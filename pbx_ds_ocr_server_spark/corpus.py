@@ -1,0 +1,274 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1/§3).
+
+The driver's ``documents`` table carries no raw payload bytes, so the
+extraction input table mandated by the project input hint
+``(url, warc_ts, html:binary, text, lang)`` is synthesized HERE, as a pure
+function of each source row — no clock, no RNG state, no I/O — so the corpus
+is byte-stable at every scale and parallelism level.
+
+Document classes (keyed off a stable hash of the doc id):
+  * plain HTML (utf-8) — whole text in one ``<main><p>``
+  * paragraph HTML — text chunked into 10-word ``<p>`` blocks
+  * boilerplate-heavy HTML — nav + link-dense sidebar + footer around main
+  * charset variants — gb18030 / latin-1 / utf-8 with BOM / utf-16
+  * PDF — 1-5 pages of text blocks at known coordinates
+  * degenerate — empty payload / the reference's 14-byte invalid PDF fixture
+    (``/root/reference/tests/test_endpoints.py:17``) / PNG magic-only rows
+    (``/root/reference/tests/test_result_images_security.py:39``)
+
+The *expected* extraction output for every class is constructed alongside the
+payload (this module is also the golden oracle for the pytest suite).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import html as _html
+from typing import Iterator
+
+import pandas as pd
+
+_EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+NAV = (
+    '<nav class="top"><ul>'
+    + "".join(f'<li><a href="/s/{i}">section {i}</a></li>' for i in range(8))
+    + "</ul></nav>"
+)
+SIDEBAR = (
+    '<div class="sidebar"><ul>'
+    + "".join(
+        f'<li><a href="/rel/{i}">related article number {i} click here</a></li>'
+        for i in range(12)
+    )
+    + "</ul></div>"
+)
+FOOTER = (
+    "<footer><p>© 2025 example corp - "
+    + " ".join(f'<a href="/f/{i}">legal {i}</a>' for i in range(6))
+    + "</p></footer>"
+)
+HEAD = (
+    "<head><title>synthetic page</title>"
+    '<style>body{margin:0}</style>'
+    "<script>var tracker=1;</script></head>"
+)
+
+
+def _h(key: str) -> int:
+    """Stable 64-bit hash (NOT Python's randomized hash())."""
+    return int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "big")
+
+
+def chunk_words(text: str, n: int = 10) -> list[str]:
+    w = text.split(" ")
+    return [" ".join(w[i : i + n]) for i in range(0, len(w), n)]
+
+
+def wrap_html_plain(text: str) -> str:
+    return (
+        f"<!DOCTYPE html><html>{HEAD}<body>{NAV}"
+        f"<main><p>{_html.escape(text)}</p></main>{SIDEBAR}{FOOTER}</body></html>"
+    )
+
+
+def wrap_html_paras(text: str, words_per_para: int = 10) -> str:
+    paras = "".join(f"<p>{_html.escape(c)}</p>" for c in chunk_words(text, words_per_para))
+    return (
+        f"<!DOCTYPE html><html>{HEAD}<body>{NAV}"
+        f"<main>{paras}</main>{SIDEBAR}{FOOTER}</body></html>"
+    )
+
+
+# ---------------------------------------------------------------- PDF writer
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_pdf(pages: list[list[tuple[float, float, str]]]) -> bytes:
+    """Minimal valid single-xref PDF; one content stream per page, text shown
+    with explicit Td coordinates (latin-1-encodable text only)."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, items in enumerate(pages):
+        content_ref = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_ref} 0 R /Resources << /Font << /F1 "
+                f"{3 + 2 * n_pages} 0 R >> >> >>"
+            ).encode()
+        )
+        ops = ["BT", "/F1 12 Tf"]
+        prev_x = prev_y = 0.0
+        for x, y, s in items:
+            ops.append(f"{x - prev_x:.1f} {y - prev_y:.1f} Td")
+            ops.append(f"({_pdf_escape(s)}) Tj")
+            prev_x, prev_y = x, y
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_pages_for(text: str, n_pages: int) -> list[list[tuple[float, float, str]]]:
+    """Deterministic page layout: chunk text into per-page 8-word lines laid
+    out top-down at y = 700, 680, ... (ASCII-safe via latin-1 filter)."""
+    safe = text.encode("latin-1", "ignore").decode("latin-1")
+    lines = chunk_words(safe, 8)
+    per_page = max(1, (len(lines) + n_pages - 1) // n_pages)
+    pages = []
+    for p in range(n_pages):
+        chunk = lines[p * per_page : (p + 1) * per_page]
+        pages.append(
+            [(72.0, 700.0 - 20.0 * j, line) for j, line in enumerate(chunk)]
+        )
+    return pages
+
+
+# ------------------------------------------------------------- corpus rows
+CLASSES = (
+    "plain",        # 0
+    "paras",        # 1
+    "boiler",       # 2  (same as paras but scorer must drop heavy sidebar)
+    "gb18030",      # 3
+    "latin1",       # 4
+    "utf8_bom",     # 5
+    "utf16",        # 6
+    "pdf",          # 7
+    "empty",        # 8
+    "bad_pdf",      # 9
+    "png",          # 10
+)
+
+# weights: mostly HTML, some PDFs, few degenerates
+_CLASS_TABLE = (
+    ["plain"] * 6
+    + ["paras"] * 6
+    + ["boiler"] * 6
+    + ["gb18030", "latin1", "utf8_bom", "utf16"]
+    + ["pdf"] * 4
+    + ["empty", "bad_pdf", "png"]
+)
+
+
+def doc_class(doc_id: int) -> str:
+    return _CLASS_TABLE[_h(f"class:{doc_id}") % len(_CLASS_TABLE)]
+
+
+def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
+    """One corpus row. ``url`` host is Zipf-ish (hash-skewed so a few hosts
+    dominate — exercises salting, FIXTURES.md §1)."""
+    cls = doc_class(doc_id)
+    hv = _h(f"host:{doc_id}")
+    # Zipf-ish: half of docs land on 4 hot hosts, rest spread over 4096
+    host = hv % 4 if hv % 2 == 0 else 4 + (hv % 4096)
+    url = f"https://host{host}.example/{cls}/{doc_id}"
+    ts = _EPOCH + _dt.timedelta(seconds=doc_id)
+    expected: str | None
+    if cls == "plain":
+        payload = wrap_html_plain(text).encode("utf-8")
+        expected = text
+    elif cls in ("paras", "boiler"):
+        payload = wrap_html_paras(text).encode("utf-8")
+        expected = "\n\n".join(chunk_words(text, 10))
+    elif cls == "gb18030":
+        body = wrap_html_paras(text).replace(
+            "<head>", '<head><meta charset="gb18030">', 1
+        )
+        payload = body.encode("gb18030")
+        expected = "\n\n".join(chunk_words(text, 10))
+    elif cls == "latin1":
+        safe = text.encode("latin-1", "ignore").decode("latin-1")
+        body = wrap_html_plain(safe).replace(
+            "<head>", '<head><meta charset="iso-8859-1">', 1
+        )
+        payload = body.encode("latin-1")
+        expected = safe
+    elif cls == "utf8_bom":
+        payload = b"\xef\xbb\xbf" + wrap_html_plain(text).encode("utf-8")
+        expected = text
+    elif cls == "utf16":
+        payload = wrap_html_plain(text).encode("utf-16")  # emits BOM
+        expected = text
+    elif cls == "pdf":
+        n_pages = 1 + _h(f"npages:{doc_id}") % 5
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf(pages)
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "empty":
+        payload = b""
+        expected = None
+    elif cls == "bad_pdf":
+        payload = b"%PDF-1.4\n%EOF"  # the reference's own invalid fixture
+        expected = None
+    else:  # png
+        payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+        expected = None
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": text,
+        "lang": lang,
+        "doc_class": cls,
+        "expected_text": expected,
+    }
+
+
+CORPUS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string,"
+    " doc_class string, expected_text string"
+)
+
+
+def synthesize_corpus_df(spark, documents_path: str, repeat: int = 1):
+    """documents.parquet (doc_id,text,lang,...) → Common-Crawl-style corpus.
+
+    ``repeat`` deterministically replicates rows with distinct urls/doc_ids to
+    scale the corpus up for benching (content differs per replica via the
+    class hash, so this is NOT a trivially-cacheable copy)."""
+    docs = spark.read.parquet(documents_path).select("doc_id", "text", "lang")
+    if repeat > 1:
+        from pyspark.sql import functions as F
+
+        docs = docs.crossJoin(
+            spark.range(repeat).withColumnRenamed("id", "rep")
+        ).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000)
+        ).drop("rep")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                synthesize_row(int(r.doc_id), r.text, r.lang)
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema=CORPUS_SCHEMA)

@@ -1,0 +1,86 @@
+"""Charset sniffing for raw HTML payload bytes.
+
+The reference delegates decoding to PIL/model internals; for the web-page
+rebuild we define a frozen, deterministic precedence (SURVEY.md §7 hard-part 1,
+FIXTURES.md §3a "charset variants"):
+
+  1. Unicode BOM (UTF-8 / UTF-16 LE / UTF-16 BE / UTF-32)
+  2. ``<meta charset=...>`` / ``<meta http-equiv=Content-Type ...>`` declared
+     encoding, scanned ASCII-wise in the first 4096 bytes
+  3. strict UTF-8 attempt
+  4. latin-1 fallback (never fails; preserves every byte deterministically)
+
+A declared-but-wrong charset (meta says latin-1, bytes are valid UTF-8 with
+non-ASCII) falls through 2→3 only when the declared codec *errors*; if the
+declared codec decodes successfully it wins — the precedence itself is part of
+the frozen spec, mirrored in the golden fixtures.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+_META_RE = re.compile(
+    rb"""<meta[^>]+?(?:
+        charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)      # <meta charset=...>
+        |
+        content\s*=\s*["'][^"']*charset=([A-Za-z0-9._:-]+)  # http-equiv form
+    )""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+# Common label aliases (WHATWG encoding-ish, minimal deterministic subset).
+_ALIASES = {
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "windows-1252": "cp1252",
+    "gb2312": "gb18030",  # WHATWG maps gb2312 label to gb18030 decoder
+    "gbk": "gb18030",
+    "utf8": "utf-8",
+}
+
+
+def declared_charset(payload: bytes) -> str | None:
+    """Return the charset label declared in a <meta> tag, lowercased."""
+    m = _META_RE.search(payload[:4096])
+    if not m:
+        return None
+    label = (m.group(1) or m.group(2) or b"").decode("ascii", "ignore").strip().lower()
+    return label or None
+
+
+def sniff_decode(payload: bytes) -> tuple[str, str]:
+    """Decode HTML payload bytes → ``(text, encoding_used)``.
+
+    Deterministic: identical bytes always produce identical output.
+    """
+    if not payload:
+        return "", "utf-8"
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            try:
+                if enc == "utf-8-sig":
+                    return payload.decode("utf-8-sig"), enc
+                return payload[len(bom):].decode(enc), enc
+            except (UnicodeDecodeError, LookupError):
+                break  # corrupt BOM'd payload → fall through to meta/utf-8
+    label = declared_charset(payload)
+    if label:
+        codec = _ALIASES.get(label, label)
+        try:
+            return payload.decode(codec), codec
+        except (UnicodeDecodeError, LookupError):
+            pass
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"

@@ -1,0 +1,243 @@
+"""HTML main-content extraction kernel (replaces op T6, SURVEY.md §2.3).
+
+The reference runs each rendered page through a GPU OCR model
+(``/root/reference/app/services/dsocr_model.py:415-457``); per the project
+north rule that step is replaced by a deterministic, CPU-only boilerplate
+stripper in the Boilerpipe/trafilatura family:
+
+  charset sniff → HTML tokenize → flat block segmentation at block-level
+  tags → per-block link-density scoring → boilerplate-container pruning
+  (nav/aside/footer/header/head/form/...) → entity unescape + whitespace
+  collapse → span assembly with byte offsets.
+
+The whitespace/normalization spec is OURS and frozen (SURVEY.md §7 risk 2):
+  * entities unescaped with the HTML5 table (``html.unescape``)
+  * runs of whitespace collapsed to a single space, block text stripped
+  * kept blocks joined by ``"\\n\\n"`` (the reference's full.md separator,
+    ``/root/reference/app/services/pipeline.py:205``)
+  * blocks that are empty after collapse are skipped (the reference's
+    ``t.strip()`` blank-skip rule, ``pipeline.py:195-197``)
+
+Pure function of (payload bytes, config) — no I/O, no randomness, no clock —
+so output is bit-stable across partitions and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from dataclasses import dataclass, field
+
+from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pbx_ds_ocr_server_spark.kernels.charset import sniff_decode
+
+# Tags whose open OR close terminates the current text block.
+# Everything not listed in _INLINE below is treated as a block boundary —
+# permissive by design (unknown tags segment rather than glue text together).
+_INLINE = frozenset(
+    """a abbr acronym b bdi bdo big cite code data del dfn em font i ins kbd
+    mark q rp rt ruby s samp small span strike strong sub sup time tt u var
+    wbr img picture source audio video track map area object embed param
+    label output progress meter""".split()
+)
+
+# Containers whose entire subtree is boilerplate (dropped).
+_BOILER = frozenset(
+    """head nav aside footer header form button select option optgroup
+    datalist iframe svg math template menu dialog""".split()
+)
+
+# Raw-text elements: content consumed verbatim (and dropped) until the
+# matching close tag.
+_RAWTEXT = frozenset("script style textarea title noscript".split())
+
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_TABLEISH = frozenset({"table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption"})
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)(/?)>",
+    re.DOTALL,
+)
+_WS_RE = re.compile(r"\s+")
+_NONWS_RE = re.compile(r"\S")
+
+
+@dataclass
+class Span:
+    """One kept content block. ``start``/``end`` are UTF-8 byte offsets into
+    the page text (re-based to document offsets at assembly time)."""
+
+    page_index: int
+    kind: str
+    bbox: list[float]
+    start: int
+    end: int
+    text: str
+
+
+@dataclass
+class PageResult:
+    """Extraction output for one page (analog of DSResult,
+    ``/root/reference/app/services/dsocr_model.py:177-182``)."""
+
+    page_index: int
+    text: str
+    spans: list[Span] = field(default_factory=list)
+
+
+def _classify(tag: str | None) -> str:
+    if tag in _HEADINGS:
+        return "heading"
+    if tag == "li":
+        return "list_item"
+    if tag in _TABLEISH:
+        return "table"
+    if tag == "pre":
+        return "pre"
+    return "text"
+
+
+def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageResult:
+    """Extract main content from one HTML payload → a single PageResult
+    (HTML documents are one logical page; page_index is 1-based to match
+    the reference, ``dsocr_model.py:391-395``)."""
+    text, _enc = sniff_decode(payload)
+    n = len(text)
+    pos = 0
+    boiler_depth = 0
+    link_depth = 0
+    rawtext_until: str | None = None  # element name we're skipping until
+    block_tag: str | None = "body"
+    # current block accumulators
+    pieces: list[str] = []
+    link_nonws = 0
+    total_nonws = 0
+    cur_chars = 0
+    blocks: list[tuple[str, str]] = []  # (kind, collapsed_text)
+    n_blocks_seen = 0
+    truncated = False
+
+    def flush() -> None:
+        nonlocal pieces, link_nonws, total_nonws, cur_chars, n_blocks_seen
+        if pieces:
+            raw = _html.unescape("".join(pieces))
+            collapsed = _WS_RE.sub(" ", raw).strip()
+            if collapsed:
+                n_blocks_seen += 1
+                keep = (
+                    total_nonws > 0
+                    and (link_nonws / total_nonws) <= cfg.link_density_max
+                )
+                if keep:
+                    blocks.append((_classify(block_tag), collapsed))
+        pieces = []
+        link_nonws = 0
+        total_nonws = 0
+        cur_chars = 0
+
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt == -1:
+            lt = n
+        if lt > pos:
+            chunk = text[pos:lt]
+            if rawtext_until is None and boiler_depth == 0:
+                if cur_chars < cfg.max_block_chars:
+                    pieces.append(chunk[: cfg.max_block_chars - cur_chars])
+                    cur_chars += len(chunk)
+                nw = len(_NONWS_RE.findall(chunk))
+                total_nonws += nw
+                if link_depth > 0:
+                    link_nonws += nw
+            pos = lt
+            continue
+        if pos >= n:
+            break
+        # at a '<'
+        if rawtext_until is not None:
+            close = re.compile(
+                r"</" + rawtext_until + r"\s*>", re.IGNORECASE
+            ).search(text, pos)
+            if close is None:
+                break
+            pos = close.end()
+            rawtext_until = None
+            continue
+        if text.startswith("<!--", pos):
+            end = text.find("-->", pos + 4)
+            pos = n if end == -1 else end + 3
+            continue
+        if text.startswith("<!", pos) or text.startswith("<?", pos):
+            end = text.find(">", pos)
+            pos = n if end == -1 else end + 1
+            continue
+        m = _TAG_RE.match(text, pos)
+        if m is None:
+            # stray '<' — literal text
+            if rawtext_until is None and boiler_depth == 0:
+                if cur_chars < cfg.max_block_chars:
+                    pieces.append("<")
+                    cur_chars += 1
+                total_nonws += 1
+                if link_depth > 0:
+                    link_nonws += 1
+            pos += 1
+            continue
+        closing, name, _attrs, selfclose = m.groups()
+        name = name.lower()
+        pos = m.end()
+        if not closing and not selfclose and name in _RAWTEXT:
+            rawtext_until = name
+            continue
+        if name in _BOILER:
+            flush()
+            if selfclose:
+                continue
+            if closing:
+                boiler_depth = max(0, boiler_depth - 1)
+            else:
+                boiler_depth += 1
+            continue
+        if name == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            elif not selfclose:
+                link_depth += 1
+            continue
+        if name == "br":
+            flush()
+            continue
+        if name not in _INLINE:
+            flush()
+            if n_blocks_seen >= cfg.max_blocks_per_doc:
+                truncated = True
+                break
+            block_tag = name if not closing else None
+            if closing:
+                block_tag = None
+        # inline non-anchor tags: no effect on the block
+
+    if not truncated:
+        flush()
+
+    parts: list[str] = []
+    spans: list[Span] = []
+    byte_off = 0
+    sep_bytes = len(cfg.page_separator.encode("utf-8"))
+    for kind, btext in blocks:
+        if parts:
+            byte_off += sep_bytes
+        blen = len(btext.encode("utf-8"))
+        spans.append(
+            Span(
+                page_index=1,
+                kind=kind,
+                bbox=[0.0, 0.0, 0.0, 0.0],
+                start=byte_off,
+                end=byte_off + blen,
+                text=btext,
+            )
+        )
+        parts.append(btext)
+        byte_off += blen
+    return PageResult(page_index=1, text=cfg.page_separator.join(parts), spans=spans)

@@ -1,0 +1,215 @@
+"""The extraction pipeline as Spark operators.
+
+Maps the reference's per-job dataflow (SURVEY.md §3 EP1) onto a declarative
+plan:
+
+  read table
+    → [one pass] mapInPandas validate + dispatch + per-page extract   (§2.1-2.4)
+    → window over (url, seq): re-base span offsets to document offsets
+    → groupBy(url) assembly agg: ordered text merge + span flatten    (§2.5)
+
+Design notes for 100 TB scale:
+  * Validation, content-type sniff (S4/S5), size/page predicates (F1/F2) and
+    extraction (T6) run in ONE ``mapInPandas`` pass so the heavy ``html``
+    binary column is scanned exactly once and never shuffled — only the
+    (small) extracted page rows cross the wire.
+  * Rejected rows are never dropped: they surface as page_index=0 rows with a
+    ``status`` (→ lineage), mirroring the reference's failed-job statuses
+    (``/root/reference/app/schemas.py:10-16``).
+  * The window and the final groupBy share the same hash partitioning on
+    ``url``; Catalyst performs ONE shuffle for both (partial aggregation is
+    not needed since rows per url ≤ max_pages and the window already
+    co-located them).
+  * Skew (giant docs / hot hosts) is handled upstream by ``salt_partitions``
+    (operators/salting.py) + small Arrow batches + AQE (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pbx_ds_ocr_server_spark.kernels import (
+    detect_content_type,
+    extract_html,
+    extract_pdf,
+    pdf_page_count,
+)
+from pbx_ds_ocr_server_spark.operators.salting import salt_partitions
+
+SPAN_STRUCT = (
+    "struct<page_index:int,kind:string,bbox:array<double>,"
+    "start:bigint,end:bigint,text:string>"
+)
+PAGES_SCHEMA = (
+    "url string, content_type string, n_pages int, seq int, page_index int,"
+    f" page_text string, spans array<{SPAN_STRUCT}>,"
+    " status string, error string"
+)
+
+# JobStatus analog (/root/reference/app/schemas.py:10-16) + rejection reasons
+ST_OK = "succeeded"
+ST_NOOP = "succeeded_noop"
+ST_FAILED = "failed"
+ST_REJ_SIZE = "rejected_size"
+ST_REJ_PAGES = "rejected_pages"
+ST_REJ_UNPARSEABLE = "rejected_unparseable"
+
+
+def _span_dicts(spans) -> list[dict]:
+    return [
+        {
+            "page_index": s.page_index,
+            "kind": s.kind,
+            "bbox": s.bbox,
+            "start": s.start,
+            "end": s.end,
+            "text": s.text,
+        }
+        for s in spans
+    ]
+
+
+def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
+    """One document → page rows (pure; exceptions become failed rows)."""
+    base = {"url": url, "n_pages": 0, "seq": 0, "page_index": 0,
+            "page_text": "", "spans": [], "error": None}
+    ctype = detect_content_type(payload)
+    base["content_type"] = ctype
+    if payload is None or len(payload) == 0:
+        return [dict(base, status=ST_REJ_UNPARSEABLE, error="empty payload")]
+    if len(payload) > cfg.max_bytes:  # F1 (app/config.py:62)
+        return [dict(base, status=ST_REJ_SIZE,
+                     error=f"payload {len(payload)}b > {cfg.max_bytes}b")]
+    try:
+        if ctype == "pdf":
+            n = pdf_page_count(payload)  # F2 (app/utils/pdf.py:12-23)
+            if n is None:
+                return [dict(base, status=ST_REJ_UNPARSEABLE,
+                             error="pdf page count failed")]
+            if n > cfg.max_pages:  # app/config.py:63
+                return [dict(base, n_pages=n, status=ST_REJ_PAGES,
+                             error=f"{n} pages > {cfg.max_pages}")]
+            pages = extract_pdf(payload, cfg)
+            return [
+                dict(base, n_pages=n, seq=i, page_index=p.page_index,
+                     page_text=p.text, spans=_span_dicts(p.spans), status=ST_OK)
+                for i, p in enumerate(pages)
+            ] or [dict(base, n_pages=n, status=ST_OK)]
+        if ctype in ("png", "jpeg", "unknown"):
+            # OCR-of-raster is out of scope (north rule): dispatch must not
+            # fail, rows pass through as no-ops (FIXTURES.md §3c).
+            return [dict(base, status=ST_NOOP)]
+        page = extract_html(payload, cfg)
+        return [dict(base, n_pages=1, seq=0, page_index=1,
+                     page_text=page.text, spans=_span_dicts(page.spans),
+                     status=ST_OK)]
+    except Exception as exc:  # defensive, like _parse_output's fallbacks
+        return [dict(base, status=ST_FAILED,
+                     error=f"{type(exc).__name__}: {exc}")]
+
+
+def extract_pages(
+    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = True
+) -> DataFrame:
+    """(url, html, ...) → one row per (url, page). Single pass over payloads."""
+    src = df.select("url", "html")
+    if salted:
+        src = salt_partitions(src)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "content_type", "n_pages", "seq", "page_index",
+            "page_text", "spans", "status", "error",
+        ]
+        for pdf_batch in batches:
+            out: list[dict] = []
+            for r in pdf_batch.itertuples():
+                out.extend(_extract_one(r.url, r.html, cfg))
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+def assemble_documents(
+    pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Page rows → one row per url (M1/M2, SURVEY.md §2.5).
+
+    Text merge follows the reference's full.md rule exactly
+    (``/root/reference/app/services/pipeline.py:187-205``): pages joined in
+    processing order with "\\n\\n", blank pages (after strip) skipped. Span
+    offsets are re-based from page-local to document byte offsets with a
+    window (cumulative page bytes + separator bytes).
+    """
+    sep = cfg.page_separator
+    sep_b = len(sep.encode("utf-8"))
+    nonblank = F.trim(F.col("page_text")) != ""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pages.withColumn(
+        "base_off",
+        F.coalesce(
+            F.sum(
+                F.when(nonblank, F.octet_length("page_text") + F.lit(sep_b))
+                .otherwise(F.lit(0))
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    rebased = cum.withColumn(
+        "doc_spans",
+        F.when(
+            nonblank,
+            F.expr(
+                "transform(spans, s -> struct("
+                "s.page_index as page_index, s.kind as kind, s.bbox as bbox,"
+                "s.start + base_off as start, s.end + base_off as end,"
+                "s.text as text))"
+            ),
+        ).otherwise(F.expr(f"cast(array() as array<{SPAN_STRUCT}>)")),
+    )
+    agg = rebased.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    nonblank,
+                    F.struct(
+                        F.col("seq"), F.col("page_text"), F.col("doc_spans")
+                    ),
+                )
+            )
+        ).alias("parts"),
+        F.max("n_pages").alias("n_pages"),
+        F.max("content_type").alias("content_type"),
+        F.min("status").alias("status"),  # any rejection/failure dominates
+        F.max("error").alias("error"),
+    )
+    return agg.select(
+        "url",
+        F.concat_ws(sep, F.expr("transform(parts, p -> p.page_text)")).alias(
+            "text"
+        ),
+        F.expr("flatten(transform(parts, p -> p.doc_spans))").alias("spans"),
+        "n_pages",
+        "content_type",
+        "status",
+        "error",
+    )
+
+
+def extract(
+    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = True
+) -> DataFrame:
+    """Full pipeline: input table → (url, text, spans, n_pages, content_type,
+    status, error). The library-call analog of the reference's synchronous
+    endpoint (SURVEY.md §3 EP3)."""
+    return assemble_documents(extract_pages(df, cfg, salted=salted), cfg)

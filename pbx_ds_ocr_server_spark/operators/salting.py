@@ -1,0 +1,47 @@
+"""Skew handling: explicit salting + size-aware partitioning (SURVEY.md §4).
+
+The reference serializes all work through ≤max_workers threads
+(``/root/reference/app/config.py:48``), so a giant document just takes long;
+at 10^12-doc scale, hot hosts and giant blobs create stragglers. Strategy:
+
+  * ``salt_partitions`` — repartition on ``xxhash64(url, salt_seed)`` so rows
+    from one hot host spread uniformly over all partitions (the input table is
+    typically clustered by crawl host/time, which is exactly the skew).
+  * ``salt_partitions_by_size`` — two-tier variant: documents above
+    ``giant_bytes`` are range-distributed alone (one giant per task slot
+    at a time), the rest hash-spread. Use when blob-size variance is extreme.
+  * Batch-level balance comes from ``arrow.maxRecordsPerBatch`` (session.py)
+    so one Arrow batch never accumulates many giants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_partitions(
+    df: DataFrame, num_partitions: int | None = None, salt_seed: int = 42
+) -> DataFrame:
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    salt = F.pmod(F.xxhash64(F.col("url"), F.lit(salt_seed)), F.lit(n))
+    return df.repartition(n, salt)
+
+
+def salt_partitions_by_size(
+    df: DataFrame,
+    payload_col: str = "html",
+    giant_bytes: int = 8 * 1024 * 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    is_giant = F.octet_length(F.col(payload_col)) > F.lit(giant_bytes)
+    # giants: spread one-per-partition by their own hash; normals: salted hash
+    key = F.when(
+        is_giant, F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n))
+    ).otherwise(F.pmod(F.xxhash64(F.col("url"), F.lit(42)), F.lit(n)))
+    return df.repartition(n, key)

@@ -1,0 +1,50 @@
+"""SparkSession factory with the scale/skew configuration the north rule
+demands (AQE, skew-join handling, bounded Arrow batches).
+
+The reference bounds its work with a queue + VRAM gating
+(``/root/reference/app/services/model_manager.py:165-278``); on Spark those
+concerns map to scheduler/partition config (SURVEY.md §4), set here once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pbx-ds-ocr-server-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 64,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(8, cpus)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-plan, skew split, small-partition coalesce
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere; small batches so one batch never holds many
+        # giant html blobs (skew guard — SURVEY.md §4 item 1)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records),
+        )
+        # keep scans splittable at ~128MB (tune per input-blob size at scale)
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
