@@ -1,0 +1,79 @@
+"""Charset sniff precedence: BOM > meta > utf-8 > latin-1 (FIXTURES.md §3a)."""
+
+from pbx_ds_ocr_server_spark.kernels.charset import declared_charset, sniff_decode
+
+
+def test_plain_utf8():
+    text, enc = sniff_decode("héllo wörld".encode("utf-8"))
+    assert (text, enc) == ("héllo wörld", "utf-8")
+
+
+def test_utf8_bom():
+    text, enc = sniff_decode(b"\xef\xbb\xbf" + "héllo".encode("utf-8"))
+    assert text == "héllo" and enc == "utf-8-sig"
+
+
+def test_utf16_le_bom():
+    text, enc = sniff_decode("héllo".encode("utf-16"))  # BOM + LE on x86
+    assert text == "héllo" and enc.startswith("utf-16")
+
+
+def test_meta_charset_gb18030():
+    body = '<html><head><meta charset="gb18030"></head><body>中文内容</body></html>'
+    text, enc = sniff_decode(body.encode("gb18030"))
+    assert "中文内容" in text and enc == "gb18030"
+
+
+def test_meta_http_equiv():
+    body = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head><body>caf\xe9</body></html>'
+    )
+    text, enc = sniff_decode(body.encode("latin-1"))
+    assert "café" in text and enc == "latin-1"
+
+
+def test_mislabeled_meta_falls_through():
+    # declared codec that ERRORS on these bytes (utf-32 needs len%4==0 and
+    # sane code points) → precedence falls through to strict utf-8
+    body = '<html><head><meta charset="utf-32"></head><body>héllo</body></html>'
+    text, enc = sniff_decode(body.encode("utf-8"))
+    assert "héllo" in text and enc == "utf-8"
+
+
+def test_mislabeled_but_decodable_declared_wins():
+    # frozen spec: a declared codec that decodes successfully wins even if
+    # "wrong" (latin-1 never fails) — deterministic beats clever
+    body = '<html><head><meta charset="iso-8859-1"></head><body>café</body></html>'
+    text, enc = sniff_decode(body.encode("utf-8"))
+    assert enc == "latin-1" and "cafÃ©" in text
+
+
+def test_unknown_label_falls_through():
+    body = '<html><head><meta charset="no-such-codec"></head><body>x</body></html>'
+    text, enc = sniff_decode(body.encode("utf-8"))
+    assert enc == "utf-8"
+
+
+def test_binary_garbage_never_raises():
+    text, enc = sniff_decode(b"\xff\xfe\xfd\x00\x01" * 7)  # not valid utf-16 length? still decodes
+    assert isinstance(text, str)
+
+
+def test_latin1_fallback():
+    text, enc = sniff_decode(b"caf\xe9 <p>")  # invalid utf-8 → latin-1
+    assert text == "café <p>" and enc == "latin-1"
+
+
+def test_declared_charset_scans_first_4k():
+    body = b" " * 5000 + b'<meta charset="gb18030">'
+    assert declared_charset(body) is None
+
+
+def test_empty():
+    assert sniff_decode(b"") == ("", "utf-8")
+
+
+def test_determinism():
+    payload = "héllo wörld 中文".encode("utf-8")
+    assert all(sniff_decode(payload) == sniff_decode(payload) for _ in range(3))

@@ -1,0 +1,87 @@
+"""End-to-end Spark pipeline: byte-identity, statuses, span integrity,
+and partition-level determinism (SURVEY.md §7 hard-part 1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.extract import extract, extract_pages
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    df = extract(corpus).join(
+        corpus.select("url", "doc_class", "expected_text"), "url"
+    )
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_byte_identity_all_extractable(result):
+    succeeded = result.filter(F.col("status") == "succeeded")
+    bad = succeeded.filter(F.col("text") != F.col("expected_text"))
+    assert bad.count() == 0
+    assert succeeded.count() > 400  # 462 of 500 at sf0.001
+
+
+def test_statuses_partition_the_corpus(result, corpus):
+    by_status = {
+        r["status"]: r["count"]
+        for r in result.groupBy("status").count().collect()
+    }
+    assert sum(by_status.values()) == corpus.count()  # nothing silently dropped
+    assert by_status.get("succeeded_noop", 0) > 0      # png rows pass through
+    assert by_status.get("rejected_unparseable", 0) > 0  # empty + bad_pdf
+
+
+def test_span_offsets_reconstruct_text(result):
+    rows = (
+        result.filter((F.col("status") == "succeeded") & (F.size("spans") > 0))
+        .select("text", "spans")
+        .limit(50)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        raw = r.text.encode("utf-8")
+        for s in r.spans:
+            assert raw[s.start : s.end].decode("utf-8") == s.text
+
+
+def test_pdf_spans_have_page_indexes(result):
+    r = (
+        result.filter((F.col("content_type") == "pdf") & (F.col("n_pages") >= 2))
+        .select("spans")
+        .first()
+    )
+    idx = {s.page_index for s in r.spans}
+    assert min(idx) == 1 and len(idx) >= 2
+
+
+def test_determinism_across_partitionings(spark, corpus):
+    """Same input at two parallelism shapes → identical bytes (north rule)."""
+    a = extract(corpus.repartition(3)).select("url", "text", "status")
+    b = extract(corpus.repartition(17)).select("url", "text", "status")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_column_pruning_reaches_scan(spark, corpus, tmp_path_factory):
+    """Scale check: extract() selects only (url, html) before the heavy
+    stage, so a parquet scan must prune text/lang/warc_ts (ReadSchema has
+    exactly url+html)."""
+    path = str(tmp_path_factory.mktemp("corpus") / "corpus.parquet")
+    corpus.write.mode("overwrite").parquet(path)
+    plan = (
+        extract_pages(spark.read.parquet(path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan[plan.index("ReadSchema"):][:200]
+    assert "url" in scan and "html" in scan
+    assert "warc_ts" not in scan and "lang" not in scan and "expected_text" not in scan
+
+
+def test_rejected_rows_carry_reasons(result):
+    errs = result.filter(F.col("status").startswith("rejected")).select("error")
+    assert all(r.error for r in errs.collect())

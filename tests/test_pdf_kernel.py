@@ -1,0 +1,90 @@
+"""PDF layout kernel — page count, reading order, ranges, blank pages."""
+
+import zlib
+
+from pbx_ds_ocr_server_spark.config import ExtractConfig
+from pbx_ds_ocr_server_spark.corpus import make_pdf, pdf_pages_for
+from pbx_ds_ocr_server_spark.kernels import extract_pdf, pdf_page_count
+
+
+def test_page_count_multi():
+    pdf = make_pdf(pdf_pages_for("one two three four five six seven eight " * 6, 4))
+    assert pdf_page_count(pdf) == 4
+
+
+def test_page_count_invalid_is_none():
+    # the reference's own 14-byte fixture (tests/test_endpoints.py:17)
+    assert pdf_page_count(b"%PDF-1.4\n%EOF") is None
+    assert pdf_page_count(b"") is None
+    assert pdf_page_count(b"not a pdf") is None
+
+
+def test_single_page_reading_order():
+    # blocks emitted OUT of visual order in the content stream
+    pdf = make_pdf([[(72.0, 100.0, "bottom"), (72.0, 700.0, "top"), (300.0, 700.0, "top right")]])
+    res = extract_pdf(pdf)
+    assert res[0].text == "top\n\ntop right\n\nbottom"
+
+
+def test_multi_page_order_and_index():
+    pdf = make_pdf([[(72, 700, "page one")], [(72, 700, "page two")], [(72, 700, "page three")]])
+    res = extract_pdf(pdf)
+    assert [p.page_index for p in res] == [1, 2, 3]
+    assert [p.text for p in res] == ["page one", "page two", "page three"]
+
+
+def test_page_range_processing_order():
+    pdf = make_pdf([[(72, 700, f"p{i}")] for i in range(1, 6)])
+    res = extract_pdf(pdf, ExtractConfig(page_ranges="5,1"))
+    assert [(p.page_index, p.text) for p in res] == [(5, "p5"), (1, "p1")]
+
+
+def test_blank_middle_page():
+    pdf = make_pdf([[(72, 700, "one")], [], [(72, 700, "three")]])
+    res = extract_pdf(pdf)
+    assert [p.text for p in res] == ["one", "", "three"]
+
+
+def test_escapes_in_strings():
+    pdf = make_pdf([[(72, 700, "par(en)s and \\ backslash")]])
+    assert extract_pdf(pdf)[0].text == "par(en)s and \\ backslash"
+
+
+def test_span_bboxes_carry_coords():
+    pdf = make_pdf([[(72.0, 700.0, "hello")]])
+    span = extract_pdf(pdf)[0].spans[0]
+    assert span.bbox[:2] == [72.0, 700.0] and span.kind == "text"
+
+
+def _one_page_pdf(content: bytes, filter_flate: bool = False) -> bytes:
+    dct = b"<< /Length " + str(len(content)).encode()
+    if filter_flate:
+        dct += b" /Filter /FlateDecode"
+    dct += b" >>"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + dct + b"\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+
+
+def test_flate_compressed_stream():
+    comp = zlib.compress(b"BT /F1 12 Tf 72 700 Td (flate text) Tj ET")
+    pdf = _one_page_pdf(comp, filter_flate=True)
+    assert pdf_page_count(pdf) == 1
+    assert extract_pdf(pdf)[0].text == "flate text"
+
+
+def test_tj_array_and_tstar():
+    pdf = _one_page_pdf(
+        b"BT /F1 12 Tf 20 TL 72 700 Td [(hello ) (world)] TJ T* (next line) Tj ET"
+    )
+    assert extract_pdf(pdf)[0].text == "hello world\n\nnext line"
+
+
+def test_figure_span_from_xobject():
+    pdf = _one_page_pdf(b"BT /F1 12 Tf 72 700 Td (text) Tj ET /Img1 Do")
+    spans = extract_pdf(pdf)[0].spans
+    assert [s.kind for s in spans] == ["text", "figure"]
