@@ -1,0 +1,208 @@
+"""Checkpointed, lineage-recording, resumable extraction job (K2/K3/K9).
+
+Reproduces the reference's durability contract with Spark primitives:
+
+  * ``job_status.json`` written atomically on every transition
+    (``/root/reference/app/domain/job.py:35-36``,
+    ``/root/reference/app/storage/local.py:62-78`` tmp+replace) →
+    ``manifest.json`` here, updated with the same tmp+``os.replace`` pattern
+    AFTER each bucket's data lands (write-then-status ordering,
+    ``/root/reference/app/services/queue.py:106-131``; SURVEY.md §7 risk 5).
+  * resume-from-disk (``/root/reference/app/api/v1/tasks.py:157-176``) →
+    completed buckets are read from the manifest and skipped; within the
+    run the unit of retry is a bucket (idempotent dir overwrite), so a
+    crashed run never double-writes.
+  * Prometheus counters (``/root/reference/app/monitoring/metrics.py:21-107``)
+    → per-bucket lineage rows ``(run_id, bucket, counts by status, wall
+    seconds)`` appended to a ``_lineage`` parquet table + a final
+    ``_metrics`` row with docs/sec.
+
+Scale design: the input is first STAGED once, hash-bucketed by
+``pmod(xxhash64(url), n_buckets)`` and written ``partitionBy(bucket)``.
+Per-bucket reruns then read only ``bucket=K`` directories — genuine partition
+pruning, the plain-parquet equivalent of an Iceberg bucket-partitioned table;
+no full rescans per bucket. At 10^12 docs the staging pass is the salting
+shuffle (hot crawl hosts spread uniformly), and every later retry touches
+only its bucket's bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pbx_ds_ocr_server_spark.operators.extract import extract
+
+LINEAGE_SCHEMA = (
+    "run_id string, bucket int, n_urls long, n_succeeded long,"
+    " n_noop long, n_rejected long, n_failed long,"
+    " started_at double, finished_at double, status string, error string"
+)
+
+
+class CheckpointManifest:
+    """Atomic JSON manifest of completed buckets (K1/K2 analog)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict:
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                return json.load(f) or {}
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def completed(self) -> set[int]:
+        return set(self.load().get("completed_buckets", []))
+
+    def mark(self, bucket: int, n_buckets: int, run_id: str) -> None:
+        data = self.load()
+        done = sorted(set(data.get("completed_buckets", [])) | {bucket})
+        data.update(
+            completed_buckets=done,
+            n_buckets=n_buckets,
+            last_run_id=run_id,
+            updated_at=time.time(),
+        )
+        tmp = f"{self.path}.tmp"  # tmp+replace, like storage/local.py:74-78
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(data, f)
+        os.replace(tmp, self.path)
+
+
+@dataclass
+class JobResult:
+    run_id: str
+    buckets_done: list[int]
+    buckets_skipped: list[int]
+    docs_out: int
+    wall_seconds: float
+
+    @property
+    def docs_per_sec(self) -> float:
+        return self.docs_out / self.wall_seconds if self.wall_seconds else 0.0
+
+
+def stage_input(
+    df: DataFrame, staging_dir: str, n_buckets: int
+) -> None:
+    """One-pass hash-bucketed staging write (the salting shuffle)."""
+    marker = os.path.join(staging_dir, "_STAGED")
+    if os.path.exists(marker):
+        return
+    (
+        df.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging_dir)
+    )
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(str(n_buckets))
+
+
+def run_extract_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_dir: str,
+    run_id: str | None = None,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+) -> JobResult:
+    """Resumable extraction: input table → ``output_dir/data/bucket=K/``.
+
+    ``fail_after=k`` aborts after k buckets (crash injection for tests).
+    Re-running with the same ``output_dir`` resumes from the manifest.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    os.makedirs(output_dir, exist_ok=True)
+    staging = os.path.join(output_dir, "staging")
+    data_dir = os.path.join(output_dir, "data")
+    lineage_dir = os.path.join(output_dir, "_lineage")
+    manifest = CheckpointManifest(os.path.join(output_dir, "manifest.json"))
+
+    t0 = time.time()
+    stage_input(input_df, staging, n_buckets)
+    done = manifest.completed()
+    todo = [b for b in range(n_buckets) if b not in done]
+    buckets_done: list[int] = []
+    docs_out = 0
+
+    for i, bucket in enumerate(todo):
+        if fail_after is not None and i >= fail_after:
+            break
+        b0 = time.time()
+        src = spark.read.parquet(staging).filter(F.col("bucket") == bucket)
+        # staging already co-located this bucket; no extra salting shuffle
+        result = extract(src, cfg, salted=False)
+        bucket_path = os.path.join(data_dir, f"bucket={bucket}")
+        result.write.mode("overwrite").parquet(bucket_path)  # idempotent
+
+        counts = {
+            r["status"]: r["count"]
+            for r in spark.read.parquet(bucket_path)
+            .groupBy("status")
+            .count()
+            .collect()
+        }
+        n_urls = sum(counts.values())
+        docs_out += n_urls
+        lineage_row = [
+            (
+                run_id,
+                bucket,
+                n_urls,
+                counts.get("succeeded", 0),
+                counts.get("succeeded_noop", 0),
+                sum(v for k, v in counts.items() if k.startswith("rejected")),
+                counts.get("failed", 0),
+                b0,
+                time.time(),
+                "succeeded",
+                None,
+            )
+        ]
+        spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(lineage_dir)
+        # manifest AFTER data+lineage are durable (write-then-status ordering)
+        manifest.mark(bucket, n_buckets, run_id)
+        buckets_done.append(bucket)
+
+    wall = time.time() - t0
+    res = JobResult(
+        run_id=run_id,
+        buckets_done=buckets_done,
+        buckets_skipped=sorted(done),
+        docs_out=docs_out,
+        wall_seconds=wall,
+    )
+    if not [b for b in range(n_buckets) if b not in manifest.completed()]:
+        # run complete → metrics row (K9 analog)
+        spark.createDataFrame(
+            [(run_id, docs_out, wall, res.docs_per_sec, time.time())],
+            "run_id string, docs_out long, wall_seconds double,"
+            " docs_per_sec double, finished_at double",
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(output_dir, "_metrics")
+        )
+    return res
+
+
+def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "data"))
+
+
+def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "_lineage"))

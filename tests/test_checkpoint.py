@@ -1,0 +1,88 @@
+"""Resumable checkpointed job: crash injection, resume, no double-writes
+(K2/K3, SURVEY.md §2.6; north rule 'resumable from checkpoint')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.extract import extract
+from pbx_ds_ocr_server_spark.sources.writer import (
+    CheckpointManifest,
+    read_lineage,
+    read_output,
+    run_extract_job,
+)
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("job_out"))
+
+
+@pytest.fixture(scope="module")
+def crashed_then_resumed(spark, corpus, outdir):
+    first = run_extract_job(
+        spark, corpus, outdir, run_id="r1", n_buckets=N_BUCKETS, fail_after=2
+    )
+    second = run_extract_job(
+        spark, corpus, outdir, run_id="r2", n_buckets=N_BUCKETS
+    )
+    return first, second
+
+
+def test_crash_leaves_partial_manifest(crashed_then_resumed, outdir):
+    first, _ = crashed_then_resumed
+    assert len(first.buckets_done) == 2
+
+
+def test_resume_skips_completed_buckets(crashed_then_resumed):
+    first, second = crashed_then_resumed
+    assert sorted(second.buckets_skipped) == sorted(first.buckets_done)
+    assert len(second.buckets_done) == N_BUCKETS - 2
+
+
+def test_no_double_writes_and_complete(spark, crashed_then_resumed, corpus, outdir):
+    out = read_output(spark, outdir)
+    assert out.count() == corpus.count()
+    assert out.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_output_matches_direct_extract(spark, crashed_then_resumed, corpus, outdir):
+    via_job = read_output(spark, outdir).select("url", "text", "status")
+    direct = extract(corpus).select("url", "text", "status")
+    assert via_job.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_job).count() == 0
+
+
+def test_lineage_rows_cover_all_buckets(spark, crashed_then_resumed, outdir):
+    lin = read_lineage(spark, outdir)
+    assert {r.bucket for r in lin.collect()} == set(range(N_BUCKETS))
+    runs = {r.run_id for r in lin.collect()}
+    assert runs == {"r1", "r2"}
+    # counts are consistent
+    tot = lin.agg(F.sum("n_urls")).first()[0]
+    assert tot == read_output(spark, outdir).count()
+
+
+def test_metrics_written_on_completion(spark, crashed_then_resumed, outdir):
+    import os
+
+    m = spark.read.parquet(os.path.join(outdir, "_metrics"))
+    row = m.orderBy(F.desc("finished_at")).first()
+    assert row.docs_per_sec > 0
+
+
+def test_manifest_corruption_is_tolerated(tmp_path):
+    p = tmp_path / "manifest.json"
+    p.write_text("{not json")
+    m = CheckpointManifest(str(p))
+    assert m.completed() == set()
+    m.mark(3, 8, "rX")
+    assert m.completed() == {3}
+
+
+def test_rerun_of_complete_job_is_noop(spark, crashed_then_resumed, corpus, outdir):
+    third = run_extract_job(spark, corpus, outdir, run_id="r3", n_buckets=N_BUCKETS)
+    assert third.buckets_done == []
+    assert len(third.buckets_skipped) == N_BUCKETS
