@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full extraction pipeline on the synthetic
+Common-Crawl-style corpus at sf0.001 (byte-identity is asserted in pytest;
+here the driver smoke-checks rows/schema).
+
+``queries()`` / ``oracle_sql()`` — one pair per operator family from
+SURVEY.md §2 plus the training-data-pipeline tier (dedup, similarity search,
+text analysis, multimodal metadata) and relational/window/streaming-style
+demonstrations. Column names/aliases match between Spark and SQL exactly;
+floating-point outputs are rounded identically on both sides.
+
+Non-SQL-expressible entries (full corpus status fan-out over binary
+payloads) intentionally have no oracle → driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +19,505 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pbx_ds_ocr_server_spark.corpus import synthesize_corpus_df, wrapped_docs_df
+from pbx_ds_ocr_server_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash16,
+    token_count,
+)
+from pbx_ds_ocr_server_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from pbx_ds_ocr_server_spark.operators.extract import extract
+from pbx_ds_ocr_server_spark.operators.multimodal import binary_metadata
+from pbx_ds_ocr_server_spark.operators.similarity import (
+    brute_force_topk,
+    with_lsh_bucket,
+)
+
+# ---------------------------------------------------------------- helpers
+
+# DuckDB-side whitespace normalization — the exact mirror of
+# functions/text.norm_text (trim + collapse \s+ to single space).
+NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+WORDS = f"string_split({NORM}, ' ')"
+TOKENS = f"(CASE WHEN {NORM} = '' THEN 0 ELSE len({WORDS}) END)"
+
+# dup-injection used by the dedup queries (same on both sides): docs with
+# doc_id < 20 duplicated under doc_id+1000000.
+DOCS_U = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return d.unionByName(dup)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doc_id_from_url(col: str = "url"):
+    return F.substring_index(F.col(col), "://", -1).cast("bigint").alias("doc_id")
+
+
+def _votes_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({WORDS}, w -> list_contains([{lst}], lower(w))))"
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for b in range(16):
+        ones = (
+            f"len(list_filter(ws, w -> substr(md5(w), {b + 1}, 1) IN "
+            "('8','9','a','b','c','d','e','f')))"
+        )
+        terms.append(
+            f"(CASE WHEN nw > 0 AND 2*{ones} > nw THEN {1 << b} ELSE 0 END)"
+        )
+    total = " + ".join(terms)
+    return (
+        f"WITH t AS (SELECT doc_id, {WORDS} AS ws, {TOKENS} AS nw FROM documents) "
+        f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t"
+    )
+
+
+def _plane_sql(p: int) -> str:
+    """±1 pseudo-hyperplane component for 1-based list index i (md5 keyed
+    0-based to match operators/similarity.hyperplane)."""
+    return (
+        f"(CASE WHEN substr(md5('{p}:' || (i-1)), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _lsh_bucket_sql(n_planes: int = 8, dims: int = 64) -> str:
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> embedding[i]::DOUBLE * {_plane_sql(p)}))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the Common-Crawl-style corpus at sf0.001 and run
+    the full extraction pipeline (SURVEY.md §3 EP1 rebuilt on Spark)."""
+    corpus = synthesize_corpus_df(spark, "/root/testdata/sf0.001/documents.parquet")
+    return extract(corpus).select("url", "text", "n_pages", "content_type", "status")
 
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- extraction tier (SURVEY.md §2.3/§2.5: T6 kernel + M2 merge) ---
+    def extract_plain(spark, sf_dir):
+        wrapped = wrapped_docs_df(spark, f"{sf_dir}/documents.parquet", "plain")
+        return extract(wrapped).select(
+            _doc_id_from_url(), F.col("text").alias("text_out")
+        )
 
+    def extract_paras(spark, sf_dir):
+        wrapped = wrapped_docs_df(spark, f"{sf_dir}/documents.parquet", "paras_bare")
+        return extract(wrapped).select(
+            _doc_id_from_url(), F.col("text").alias("text_out")
+        )
+
+    def extract_boiler(spark, sf_dir):
+        wrapped = wrapped_docs_df(
+            spark, f"{sf_dir}/documents.parquet", "paras_boiler"
+        )
+        return extract(wrapped).select(
+            _doc_id_from_url(), F.col("text").alias("text_out")
+        )
+
+    def extract_span_stats(spark, sf_dir):
+        wrapped = wrapped_docs_df(spark, f"{sf_dir}/documents.parquet", "paras_bare")
+        return extract(wrapped).select(
+            _doc_id_from_url(),
+            F.size("spans").cast("bigint").alias("n_spans"),
+            F.octet_length("text").cast("bigint").alias("text_bytes"),
+        )
+
+    def extract_status_counts(spark, sf_dir):
+        corpus = synthesize_corpus_df(spark, f"{sf_dir}/documents.parquet")
+        res = extract(corpus).join(corpus.select("url", "doc_class"), "url")
+        return res.groupBy("doc_class", "status").agg(
+            F.count("*").alias("n")
+        )
+
+    q["extract_plain"] = extract_plain
+    q["extract_paras"] = extract_paras
+    q["extract_boiler"] = extract_boiler
+    q["extract_span_stats"] = extract_span_stats
+    q["extract_status_counts"] = extract_status_counts  # rows-only (binary corpus)
+
+    # --- text analysis tier ---
+    q["token_counts"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    q["lang_id"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+    q["quality_scores"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    q["fingerprints"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    q["simhash"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", simhash16("text").alias("simhash")
+    )
+
+    # --- dedup tier ---
+    q["dedup_exact_groups"] = lambda spark, sf: (
+        exact_dup_groups(_docs_u(spark, sf))
+        .filter(F.col("n_copies") >= 2)
+        .select("fingerprint", "keeper", "n_copies")
+    )
+    q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
+        _docs(spark, sf)
+    ).withColumnRenamed("id", "doc_id")
+    q["minhash_lsh_pairs"] = lambda spark, sf: lsh_candidate_pairs(
+        minhash_signatures(_docs_u(spark, sf))
+    )
+    q["ngram_jaccard_pairs"] = lambda spark, sf: jaccard_pairs(
+        _docs_u(spark, sf), min_jaccard=0.8
+    )
+    q["embedding_neardup_pairs"] = lambda spark, sf: embedding_neardup_pairs(
+        _emb(spark, sf)
+        .select("vec_id", "embedding")
+        .unionByName(
+            _emb(spark, sf)
+            .filter(F.col("vec_id") < 10)
+            .select(
+                (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+            )
+        ),
+        threshold=0.999,
+    ).withColumn("cos", F.round("cos", 5))
+
+    # --- similarity-search tier ---
+    def ann_brute_top5(spark, sf):
+        emb = _emb(spark, sf)
+        qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return brute_force_topk(
+            emb.filter(F.col("vec_id") != 0),
+            [float(x) for x in qvec],
+            k=5,
+            round_dp=5,
+        )
+
+    def ann_lsh_histogram(spark, sf):
+        return (
+            with_lsh_bucket(_emb(spark, sf), n_planes=8, dims=64)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["ann_brute_top5"] = ann_brute_top5
+    q["ann_lsh_histogram"] = ann_lsh_histogram
+
+    # --- multimodal tier (binary plumbing; decode itself is stubbed) ---
+    def multimodal_meta(spark, sf):
+        payloads = _docs(spark, sf).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        return binary_metadata(payloads, id_col="doc_id").select(
+            "id", "n_bytes", "kind", "digest"
+        )
+
+    q["multimodal_meta"] = multimodal_meta
+
+    # --- relational / window / streaming-style demonstrations ---
+    def tpch_q1(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def top_orders_per_customer(spark, sf):
+        from pyspark.sql import Window
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        ranked = o.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 3
+        )
+        return ranked.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            ranked["o_custkey"] == c["c_custkey"],
+        ).select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+
+    def events_hourly(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy(
+                F.col("event_type"),
+                F.window("ts", "1 hour").start.alias("window_start"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    def supplier_region_agg(spark, sf):
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        return (
+            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(
+                F.count("*").alias("n_suppliers"),
+                F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+            )
+        )
+
+    q["tpch_q1"] = tpch_q1
+    q["top_orders_per_customer"] = top_orders_per_customer
+    q["events_hourly"] = events_hourly
+    q["supplier_region_agg"] = supplier_region_agg
+    return q
+
+
+# ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    votes = {lang: _votes_sql(lang) for lang in ("en", "de", "es", "fr", "zh")}
+    alpha = (
+        f"(CASE WHEN length({NORM}) = 0 THEN 0.0 ELSE "
+        f"length(regexp_replace({NORM}, '[^a-zA-Z]', '', 'g')) * 1.0 "
+        f"/ length({NORM}) END)"
+    )
+    stop_ratio = f"(CASE WHEN {TOKENS} = 0 THEN 0.0 ELSE {votes['en']} * 1.0 / {TOKENS} END)"
+    quality = (
+        f"round(least({TOKENS} / 50.0, 1.0) * 0.4 "
+        f"+ least(5.0 * {stop_ratio}, 1.0) * 0.3 + {alpha} * 0.3, 6)"
+    )
+
+    paras_sql = f"""
+        WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+        chunks AS (
+            SELECT doc_id, (i - 1) // 10 AS c,
+                   string_agg(ws[i], ' ' ORDER BY i) AS chunk
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+            GROUP BY doc_id, (i - 1) // 10
+        )
+        SELECT doc_id,
+               string_agg(chunk, chr(10) || chr(10) ORDER BY c) AS text_out
+        FROM chunks GROUP BY doc_id
     """
-    return {}
+
+    span_stats_sql = f"""
+        SELECT doc_id,
+               CAST(ceil({TOKENS} / 10.0) AS BIGINT) AS n_spans,
+               CAST(octet_length(encode({NORM}))
+                    + (ceil({TOKENS} / 10.0) - 1) AS BIGINT) AS text_bytes
+        FROM documents
+    """
+
+    # distinct 3-word shingles, mirroring operators/dedup.shingles (docs with
+    # <3 words collapse to one whole-text shingle)
+    shingle_cte = f"""
+        n AS (SELECT doc_id, {WORDS} AS ws FROM {{src}}),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(ws) >= 3
+                        THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        ELSE array_to_string(ws, ' ') END AS w
+            FROM n, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+            )
+        )
+    """
+    minhash_core = f"""
+        WITH {shingle_cte}
+        SELECT doc_id,
+               min(md5(w || '#0')) AS s0, min(md5(w || '#1')) AS s1,
+               min(md5(w || '#2')) AS s2, min(md5(w || '#3')) AS s3
+        FROM sh GROUP BY doc_id
+    """
+
+    lsh_pairs_sql = f"""
+        WITH docs_u AS ({DOCS_U}),
+        sigs AS ({minhash_core.format(src='docs_u')})
+        SELECT DISTINCT a, b FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y
+              ON x.s0 = y.s0 AND x.s1 = y.s1 AND x.doc_id < y.doc_id
+            UNION ALL
+            SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y
+              ON x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+        )
+    """
+
+    jaccard_sql = f"""
+        WITH docs_u AS ({DOCS_U}),
+        {shingle_cte.format(src='docs_u')},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM sh x JOIN sh y USING (w) WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = a
+        JOIN sz sb ON sb.doc_id = b
+        WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8
+    """
+
+    neardup_sql = """
+        WITH e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id < 10
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 5) AS cos
+        FROM e x, e y
+        WHERE x.vec_id < y.vec_id
+          AND round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]), 6) >= 0.999
+    """
+
+    ann_sql = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS neighbor,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5) AS cos
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5) DESC,
+                 vec_id ASC
+        LIMIT 5
+    """
+
+    lsh_hist_sql = f"""
+        WITH b AS (SELECT vec_id, CAST({_lsh_bucket_sql(8, 64)} AS BIGINT)
+                   AS bucket FROM embeddings)
+        SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    """
+
+    return {
+        "extract_plain": f"SELECT doc_id, {NORM} AS text_out FROM documents",
+        "extract_paras": paras_sql,
+        "extract_boiler": paras_sql,
+        "extract_span_stats": span_stats_sql,
+        # extract_status_counts: no oracle (binary corpus; rows-only check)
+        "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
+        "lang_id": f"""
+            SELECT doc_id, CASE
+              WHEN {votes['en']} > 0 AND {votes['en']} >= greatest({votes['de']}, {votes['es']}, {votes['fr']}, {votes['zh']}) THEN 'en'
+              WHEN {votes['de']} > 0 AND {votes['de']} >= greatest({votes['es']}, {votes['fr']}, {votes['zh']}) THEN 'de'
+              WHEN {votes['es']} > 0 AND {votes['es']} >= greatest({votes['fr']}, {votes['zh']}) THEN 'es'
+              WHEN {votes['fr']} > 0 AND {votes['fr']} >= {votes['zh']} THEN 'fr'
+              WHEN {votes['zh']} > 0 THEN 'zh'
+              ELSE 'und' END AS lang_pred
+            FROM documents
+        """,
+        "quality_scores": f"SELECT doc_id, {quality} AS quality FROM documents",
+        "fingerprints": f"SELECT doc_id, md5(lower({NORM})) AS fp FROM documents",
+        "simhash": _simhash_sql(),
+        "dedup_exact_groups": f"""
+            WITH docs_u AS ({DOCS_U})
+            SELECT md5(lower({NORM})) AS fingerprint,
+                   min(doc_id) AS keeper, count(*) AS n_copies
+            FROM docs_u GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "minhash_signatures": minhash_core.format(src="documents"),
+        "minhash_lsh_pairs": lsh_pairs_sql,
+        "ngram_jaccard_pairs": jaccard_sql,
+        "embedding_neardup_pairs": neardup_sql,
+        "ann_brute_top5": ann_sql,
+        "ann_lsh_histogram": lsh_hist_sql,
+        "multimodal_meta": (
+            "SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT)"
+            " AS n_bytes, 'binary' AS kind, md5(text) AS digest FROM documents"
+        ),
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                FROM orders
+            )
+            SELECT r.o_custkey AS custkey, c.c_mktsegment AS mktsegment,
+                   r.o_orderkey AS orderkey, CAST(r.rnk AS BIGINT) AS rnk
+            FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+            WHERE r.rnk <= 3
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "supplier_region_agg": """
+            SELECT r.r_name AS region, count(*) AS n_suppliers,
+                   round(avg(s.s_acctbal), 4) AS avg_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+    }

@@ -73,6 +73,14 @@ def wrap_html_plain(text: str) -> str:
     )
 
 
+def wrap_html_paras_bare(text: str, words_per_para: int = 10) -> str:
+    """Paragraph wrap with no boilerplate at all (oracle-friendly minimal case)."""
+    paras = "".join(
+        f"<p>{_html.escape(c)}</p>" for c in chunk_words(text, words_per_para)
+    )
+    return f"<html><body><main>{paras}</main></body></html>"
+
+
 def wrap_html_paras(text: str, words_per_para: int = 10) -> str:
     paras = "".join(f"<p>{_html.escape(c)}</p>" for c in chunk_words(text, words_per_para))
     return (
@@ -239,6 +247,33 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         "doc_class": cls,
         "expected_text": expected,
     }
+
+
+def wrapped_docs_df(spark, documents_path: str, mode: str):
+    """documents(doc_id, text) → (url='doc://<id>', html) with the text
+    deterministically wrapped in HTML. Modes: 'plain' (one <p>, full
+    boilerplate), 'paras_bare' (10-word <p> chunks, no boilerplate),
+    'paras_boiler' (10-word chunks inside the full nav/sidebar/footer
+    template). Used by the oracle-checked extraction queries."""
+    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                norm = " ".join(str(r.text).split())
+                if mode == "plain":
+                    h = wrap_html_plain(norm)
+                elif mode == "paras_bare":
+                    h = wrap_html_paras_bare(norm)
+                elif mode == "paras_boiler":
+                    h = wrap_html_paras(norm)
+                else:
+                    raise ValueError(f"unknown wrap mode: {mode}")
+                out.append({"url": f"doc://{r.doc_id}", "html": h.encode("utf-8")})
+            yield pd.DataFrame(out, columns=["url", "html"])
+
+    return docs.mapInPandas(gen, "url string, html binary")
 
 
 CORPUS_SCHEMA = (

@@ -1,0 +1,136 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Every function here is a pure ``Column`` expression built from
+``pyspark.sql.functions`` — JVM-side, vectorized, codegen-eligible; no Python
+executes per row. Each has an exact ANSI-SQL mirror used by the DuckDB oracle
+in ``__spark_entry__.py`` (same md5, same normalization, same tie-breaks), so
+results are bit-comparable across engines.
+
+Covers the "text analysis" tier: language ID (stopword-vote heuristic),
+quality scoring (length/stopword/alpha/punct ratios), token counting,
+and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Frozen stopword marker sets (lowercase). Votes decide lang_id; ties break
+# by the priority order of LANGS. Keep these lists in sync with the SQL
+# mirror in __spark_entry__.py.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "zu", "mit"),
+    "es": ("el", "los", "las", "es", "una", "y", "que", "de", "no"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pas", "pour"),
+    "zh": ("的", "是", "不", "了", "在", "我", "有", "和"),
+}
+LANGS = ("en", "de", "es", "fr", "zh")  # tie-break priority order
+
+
+def norm_text(col: Column | str) -> Column:
+    """Whitespace-normalized text: trim + collapse runs to single spaces."""
+    return F.regexp_replace(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+", " ")
+
+
+def words(col: Column | str) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    n = norm_text(col)
+    return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("bigint")
+
+
+def _vote(col: Column | str, lang: str) -> Column:
+    """Count of words (lowercased) that are in the lang's stopword set."""
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(words(col), lambda w: F.array_contains(arr, F.lower(w)))
+    )
+
+
+def lang_votes(col: Column | str) -> dict[str, Column]:
+    return {lang: _vote(col, lang) for lang in LANGS}
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax of stopword votes; ties break by LANGS order; zero votes → 'und'
+    (undetermined, BCP-47 style)."""
+    v = lang_votes(col)
+    # explicit CASE chain (mirrored exactly in the DuckDB oracle SQL):
+    chain = F.when(
+        (v["en"] > 0)
+        & (v["en"] >= F.greatest(v["de"], v["es"], v["fr"], v["zh"])),
+        F.lit("en"),
+    )
+    chain = chain.when(
+        (v["de"] > 0) & (v["de"] >= F.greatest(v["es"], v["fr"], v["zh"])),
+        F.lit("de"),
+    )
+    chain = chain.when(
+        (v["es"] > 0) & (v["es"] >= F.greatest(v["fr"], v["zh"])), F.lit("es")
+    )
+    chain = chain.when((v["fr"] > 0) & (v["fr"] >= v["zh"]), F.lit("fr"))
+    chain = chain.when(v["zh"] > 0, F.lit("zh"))
+    return chain.otherwise(F.lit("und"))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    n = norm_text(col)
+    return F.when(F.length(n) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(n, "[^a-zA-Z]", "")) / F.length(n)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    n = norm_text(col)
+    return F.when(F.length(n) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(n, "[^.,;:!?]", "")) / F.length(n)
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    t = token_count(col)
+    return F.when(t == 0, F.lit(0.0)).otherwise(_vote(col, "en") / t)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Frozen formula: 0.4·min(tokens/50,1) + 0.3·min(5·stopword_ratio,1)
+    + 0.3·alpha_ratio, rounded to 6dp. Mirrors Gopher/C4-style length +
+    stopword + symbol heuristics in one deterministic scalar."""
+    t = token_count(col)
+    len_term = F.least(t / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(
+        len_term * 0.4 + stop_term * 0.3 + alpha_ratio(col) * 0.3, 6
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of lowercased normalized text."""
+    return F.md5(F.lower(norm_text(col)))
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over the word multiset.
+
+    Bit b is set when strictly more than half of the words have the high bit
+    of hex digit b of md5(word) set (digit in 8..f). Built entirely from
+    array expressions — and cheaply mirrored in SQL.
+    """
+    w = words(col)
+    n = F.size(w)
+    total = F.lit(0).cast("bigint")
+
+    def bit_pred(b: int):
+        # NB: a `lambda x, b=b` would have arity 2 and PySpark would pass the
+        # ELEMENT INDEX as the second arg, clobbering b — use a closure.
+        return lambda x: F.substring(F.md5(x), b + 1, 1).rlike("[89a-f]")
+
+    for b in range(16):
+        ones = F.size(F.filter(w, bit_pred(b)))
+        bit = F.when((n > 0) & (ones * 2 > n), F.lit(1)).otherwise(F.lit(0))
+        total = total + bit.cast("bigint") * F.lit(1 << b).cast("bigint")
+    return total

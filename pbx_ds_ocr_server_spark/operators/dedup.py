@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All built from relational primitives so Catalyst handles distribution:
+  * exact          — md5-fingerprint groupBy (map-side partial agg for free)
+  * MinHash + LSH  — word-set min-hashes → band buckets → bucket self-join
+                     (candidate pairs only; never all-pairs)
+  * n-gram Jaccard — shingle explode + equi-join on shingle → intersection
+                     counts vs set sizes
+  * SimHash        — 16-bit near-dup signature (functions/text.simhash16)
+  * embedding cosine — exact pair scoring, intended to run per LSH bucket
+
+Scale notes: every pairwise operator goes through an equi-join on a bucket or
+shingle key — a hash shuffle that AQE can skew-split — instead of a cartesian
+product. Hot shingles (stopword-only 3-grams) are the skew risk; callers can
+cap shingle document-frequency with ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.functions.text import fingerprint, norm_text, words
+
+
+# ------------------------------------------------------------------ exact
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-equal (after normalization) documents:
+    (fingerprint, keeper=min id, n_copies)."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per fingerprint — the classic exact dedup."""
+    keep = exact_dup_groups(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """k min-hashes over the distinct n-gram shingle set:
+    s_i = min(md5(shingle||'#i')).
+
+    Hex-string min is a valid uniform hash order (md5 is uniform in hex),
+    identical across Spark and any ANSI engine — no 64-bit int conversion
+    games needed. Shingles (not single words) keep band collisions
+    proportional to real content overlap even on small vocabularies.
+    """
+    w = F.explode(shingles(text_col, ngram)).alias("w")
+    base = df.select(F.col(id_col).alias("id"), w)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"s{i}")
+        for i in range(k)
+    ]
+    return base.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: tuple[tuple[str, ...], ...] = (("s0", "s1"), ("s2", "s3"))
+) -> DataFrame:
+    """Docs sharing ANY band (all hashes in the band equal) → candidate pairs
+    (a < b, distinct). Standard banding: the self-join key is the band tuple,
+    so cost is per-bucket, not all-pairs."""
+    pairs = None
+    for band in bands:
+        key = F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key")
+        left = sig.select(F.col("id").alias("a"), key)
+        right = sig.select(F.col("id").alias("b"), key)
+        p = left.join(right, "band_key").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+# ------------------------------------------------------------ ngram jaccard
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array column (built-ins only)."""
+    w = words(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ min_jaccard.
+
+    intersection via equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stopword-shingle skew guard) — affects recall, never correctness of the
+    pairs it does emit.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- embeddings
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (JVM-side fold)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Exact cosine near-dup pairs. O(n²) within the given frame — callers
+    bucket first (LSH, operators/similarity.py) and apply this per bucket."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    x = df.select(F.col(id_col).alias("a"), v.alias("va"))
+    y = df.select(F.col(id_col).alias("b"), v.alias("vb"))
+    return (
+        x.crossJoin(y)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
