@@ -59,7 +59,67 @@ _TAG_RE = re.compile(
     re.DOTALL,
 )
 _WS_RE = re.compile(r"\s+")
-_NONWS_RE = re.compile(r"\S")
+# delete-table for C-speed non-whitespace counting (matches \s for the
+# whitespace that occurs in practice; frozen as part of the density spec)
+_WS_DELETE = {
+    ord(c): None
+    for c in (
+        " \t\r\n\f\v\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+        "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+        "\u2028\u2029\u202f\u205f\u3000"
+    )
+}
+
+# fast-skip regexes for boilerplate subtrees (content is dropped wholesale,
+# so we jump to the matching close instead of tokenizing tag-by-tag)
+_SKIP_RES: dict[str, re.Pattern] = {}
+_RAWTEXT_RES: dict[str, re.Pattern] = {}
+
+
+def _rawtext_close(name: str) -> re.Pattern:
+    r = _RAWTEXT_RES.get(name)
+    if r is None:
+        r = re.compile(r"</" + name + r"\s*>", re.IGNORECASE)
+        _RAWTEXT_RES[name] = r
+    return r
+
+
+def _skip_re(name: str) -> re.Pattern:
+    r = _SKIP_RES.get(name)
+    if r is None:
+        if name == "head":
+            # browsers implicitly close <head> at <body>; honor that so a
+            # malformed head can't swallow the document
+            r = re.compile(r"</head\s*>|<body\b", re.IGNORECASE)
+        else:
+            r = re.compile(rf"</?{name}\b", re.IGNORECASE)
+        _SKIP_RES[name] = r
+    return r
+
+
+def _skip_subtree(text: str, pos: int, name: str) -> int:
+    """Return the position just after the subtree of an opened boilerplate
+    container. Nesting-aware; unterminated containers consume to EOF.
+    (A raw '</name' inside a child <script> string can close early — an
+    accepted, deterministic corner of the frozen spec.)"""
+    n = len(text)
+    rx = _skip_re(name)
+    if name == "head":
+        m = rx.search(text, pos)
+        if m is None:
+            return n
+        if m.group(0).lower().startswith("<body"):
+            return m.start()  # leave <body> for the main loop
+        return m.end()
+    depth = 1
+    while depth:
+        m = rx.search(text, pos)
+        if m is None:
+            return n
+        depth += -1 if text[m.start() + 1] == "/" else 1
+        gt = text.find(">", m.end())
+        pos = n if gt == -1 else gt + 1
+    return pos
 
 
 @dataclass
@@ -104,9 +164,7 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
     text, _enc = sniff_decode(payload)
     n = len(text)
     pos = 0
-    boiler_depth = 0
     link_depth = 0
-    rawtext_until: str | None = None  # element name we're skipping until
     block_tag: str | None = "body"
     # current block accumulators
     pieces: list[str] = []
@@ -141,62 +199,50 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
             lt = n
         if lt > pos:
             chunk = text[pos:lt]
-            if rawtext_until is None and boiler_depth == 0:
-                if cur_chars < cfg.max_block_chars:
-                    pieces.append(chunk[: cfg.max_block_chars - cur_chars])
-                    cur_chars += len(chunk)
-                nw = len(_NONWS_RE.findall(chunk))
-                total_nonws += nw
-                if link_depth > 0:
-                    link_nonws += nw
+            if cur_chars < cfg.max_block_chars:
+                pieces.append(chunk[: cfg.max_block_chars - cur_chars])
+                cur_chars += len(chunk)
+            nw = len(chunk.translate(_WS_DELETE))
+            total_nonws += nw
+            if link_depth > 0:
+                link_nonws += nw
             pos = lt
             continue
         if pos >= n:
             break
         # at a '<'
-        if rawtext_until is not None:
-            close = re.compile(
-                r"</" + rawtext_until + r"\s*>", re.IGNORECASE
-            ).search(text, pos)
-            if close is None:
-                break
-            pos = close.end()
-            rawtext_until = None
-            continue
-        if text.startswith("<!--", pos):
-            end = text.find("-->", pos + 4)
-            pos = n if end == -1 else end + 3
-            continue
-        if text.startswith("<!", pos) or text.startswith("<?", pos):
-            end = text.find(">", pos)
-            pos = n if end == -1 else end + 1
+        nxt = text[pos + 1] if pos + 1 < n else ""
+        if nxt == "!" or nxt == "?":
+            if text.startswith("<!--", pos):
+                end = text.find("-->", pos + 4)
+                pos = n if end == -1 else end + 3
+            else:
+                end = text.find(">", pos)
+                pos = n if end == -1 else end + 1
             continue
         m = _TAG_RE.match(text, pos)
         if m is None:
             # stray '<' — literal text
-            if rawtext_until is None and boiler_depth == 0:
-                if cur_chars < cfg.max_block_chars:
-                    pieces.append("<")
-                    cur_chars += 1
-                total_nonws += 1
-                if link_depth > 0:
-                    link_nonws += 1
+            if cur_chars < cfg.max_block_chars:
+                pieces.append("<")
+                cur_chars += 1
+            total_nonws += 1
+            if link_depth > 0:
+                link_nonws += 1
             pos += 1
             continue
         closing, name, _attrs, selfclose = m.groups()
         name = name.lower()
         pos = m.end()
         if not closing and not selfclose and name in _RAWTEXT:
-            rawtext_until = name
+            close = _rawtext_close(name).search(text, pos)
+            pos = n if close is None else close.end()
             continue
         if name in _BOILER:
             flush()
-            if selfclose:
-                continue
-            if closing:
-                boiler_depth = max(0, boiler_depth - 1)
-            else:
-                boiler_depth += 1
+            if selfclose or closing:
+                continue  # stray close / void boiler tag: nothing to skip
+            pos = _skip_subtree(text, pos, name)
             continue
         if name == "a":
             if closing:

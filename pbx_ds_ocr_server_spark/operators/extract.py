@@ -20,8 +20,11 @@ Design notes for 100 TB scale:
     ``url``; Catalyst performs ONE shuffle for both (partial aggregation is
     not needed since rows per url ≤ max_pages and the window already
     co-located them).
-  * Skew (giant docs / hot hosts) is handled upstream by ``salt_partitions``
-    (operators/salting.py) + small Arrow batches + AQE (SURVEY.md §4).
+  * Skew (giant docs / hot hosts) is handled WITHOUT shuffling payloads:
+    storage-layer bucketing (sources/writer.py staging), small input splits
+    (files.maxPartitionBytes), small Arrow batches, and AQE. An explicit
+    pre-extraction salt (operators/salting.py) is available but opt-in —
+    measured, a payload shuffle costs ~3× end-to-end (SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -115,9 +118,18 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
 
 
 def extract_pages(
-    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = True
+    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = False
 ) -> DataFrame:
-    """(url, html, ...) → one row per (url, page). Single pass over payloads."""
+    """(url, html, ...) → one row per (url, page). Single pass over payloads.
+
+    ``salted=False`` by default: a pre-extraction repartition would SHUFFLE
+    the raw payload bytes — measured ~3× slower end-to-end and flat scaling
+    (the blob shuffle serializes on shuffle I/O). Payload rebalancing belongs
+    at the storage layer (the job runner's bucketed staging write,
+    sources/writer.py) or to AQE skew splitting; pass ``salted=True`` only
+    when the input layout itself is pathologically skewed and cannot be
+    re-staged.
+    """
     src = df.select("url", "html")
     if salted:
         src = salt_partitions(src)
@@ -207,7 +219,7 @@ def assemble_documents(
 
 
 def extract(
-    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = True
+    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = False
 ) -> DataFrame:
     """Full pipeline: input table → (url, text, spans, n_pages, content_type,
     status, error). The library-call analog of the reference's synchronous
