@@ -141,6 +141,39 @@ def jaccard_pairs(
     )
 
 
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH candidates → exact Jaccard verify
+    → connected keepers (min id wins per duplicate pair chain, one hop).
+
+    The standard web-scale composition: candidate generation is bucketed
+    (never all-pairs), verification touches only candidates, and the final
+    keep-set is a left-anti join. One-hop union-find is the deliberate
+    approximation (full transitive closure needs iteration; at 0.8 Jaccard,
+    chains of near-dups that never pair directly are rare)."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs)
+    # verify candidates with exact jaccard (restricted via semi joins)
+    cand_ids = cand.select(F.col("a").alias("id")).unionByName(
+        cand.select(F.col("b").alias("id"))
+    ).distinct()
+    verified = jaccard_pairs(
+        df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"),
+        id_col,
+        text_col,
+        min_jaccard=min_jaccard,
+        max_shingle_df=max_shingle_df,
+    ).join(cand, ["a", "b"], "left_semi")
+    # losers: any id that appears as the larger member of a verified pair
+    losers = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- embeddings
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (JVM-side fold)."""

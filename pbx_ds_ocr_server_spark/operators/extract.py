@@ -218,6 +218,38 @@ def assemble_documents(
     )
 
 
+def assemble_layout_json(
+    pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Page rows → (url, layout_json) in the reference's layout.json shape:
+    ``{"pages": [{"page_index": N, "res": {...}}]}`` accumulated in
+    processing order (``/root/reference/app/services/dsocr_model.py:217-243``,
+    append at :234). ``res`` carries the page text and spans — the analog of
+    the model's raw per-page output dict."""
+    agg = pages.filter(F.col("page_index") > 0).groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("seq"),
+                    F.struct(
+                        F.col("page_index"),
+                        F.struct(
+                            F.col("page_text").alias("text"),
+                            F.col("spans"),
+                        ).alias("res"),
+                    ).alias("page"),
+                )
+            )
+        ).alias("parts")
+    )
+    return agg.select(
+        "url",
+        F.to_json(
+            F.struct(F.expr("transform(parts, p -> p.page)").alias("pages"))
+        ).alias("layout_json"),
+    )
+
+
 def extract(
     df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = False
 ) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Dedup / similarity operators — semantics beyond the oracle comparison."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.dedup import (
+    dedup_exact,
+    dedup_near,
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from pbx_ds_ocr_server_spark.operators.extract import (
+    assemble_layout_json,
+    extract_pages,
+)
+from pbx_ds_ocr_server_spark.operators.multimodal import (
+    binary_metadata,
+    fake_feature,
+    jpeg_dimensions,
+    png_dimensions,
+)
+from pbx_ds_ocr_server_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    with_lsh_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota NEW"),    # near dup of 1
+        (4, "completely different words live in this one document here"),
+        (5, "another unrelated text with its own tokens entirely apart"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_identical_docs_have_identical_sigs(docs):
+    sigs = {r.id: (r.s0, r.s1, r.s2, r.s3) for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_pairs_include_exact_dups(docs):
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_jaccard_near_dup_detected(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+
+
+def test_dedup_near_removes_dups_keeps_distinct(docs):
+    kept = sorted(r.doc_id for r in dedup_near(docs, min_jaccard=0.5).collect())
+    assert kept == [1, 4, 5]  # 2 (exact) and 3 (near) fold into 1
+
+
+def test_hot_shingle_guard_drops_only_recall(docs):
+    pairs = jaccard_pairs(docs, min_jaccard=0.5, max_shingle_df=1)
+    assert pairs.count() == 0  # every shared shingle is "hot" at df>1
+
+
+def test_embedding_neardup_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    dups = {(r.a, r.b) for r in embedding_neardup_pairs(emb, threshold=0.999).collect()}
+    assert dups == {(1, 2)}
+    top = brute_force_topk(emb.filter("vec_id != 1"), [1.0, 0.0, 0.0, 0.0], k=2)
+    assert [r.neighbor for r in top.collect()] == [2, 3]
+
+
+def test_lsh_bucket_query_finds_identical_vector(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    bucketed = with_lsh_bucket(emb, n_planes=4, dims=8).cache()
+    got = lsh_topk(bucketed, [1.0] + [0.0] * 7, k=1, n_planes=4)
+    assert got.first().neighbor == 0 and got.first().cos == 1.0
+
+
+def test_png_jpeg_dimensions():
+    import struct as st
+
+    png = b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(">II", 640, 480)
+    assert png_dimensions(png) == (640, 480)
+    # minimal JPEG: SOI + SOF0 segment
+    sof = b"\xff\xc0" + st.pack(">H", 17) + b"\x08" + st.pack(">HH", 480, 640) + b"\x03"
+    jpg = b"\xff\xd8" + sof
+    assert jpeg_dimensions(jpg) == (640, 480)
+
+
+def test_binary_metadata_end_to_end(spark):
+    import struct as st
+
+    png = b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(">II", 32, 16)
+    rows = [(1, bytearray(png)), (2, bytearray(b"%PDF-1.4 x")), (3, None)]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r.id: r for r in binary_metadata(df).collect()}
+    assert got[1].kind == "png" and (got[1].width, got[1].height) == (32, 16)
+    assert got[2].kind == "pdf" and got[2].width is None
+    assert got[3].kind == "empty" and got[3].n_bytes == 0
+
+
+def test_fake_feature_deterministic():
+    assert fake_feature(b"abc") == fake_feature(b"abc")
+    assert fake_feature(b"abc") != fake_feature(b"abd")
+    assert all(0.0 <= x < 1.0 for x in fake_feature(b"abc", dims=16))
+
+
+def test_layout_json_shape(spark, corpus):
+    pages = extract_pages(corpus.filter(F.col("doc_class") == "pdf").limit(5))
+    rows = assemble_layout_json(pages).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.layout_json)
+        assert set(doc) == {"pages"}
+        idxs = [p["page_index"] for p in doc["pages"]]
+        assert idxs == sorted(idxs) and idxs[0] == 1
+        assert all("res" in p and "text" in p["res"] for p in doc["pages"])

@@ -1,0 +1,55 @@
+"""Physical-plan guarantees that matter at 100 TB (would regress silently):
+
+  * extract_pages: ZERO shuffles — payload bytes never cross the wire
+  * extract: exactly ONE shuffle — the url hash partitioning is planned once
+    and shared by the span-offset window and the assembly aggregation
+  * the parquet scan reads only (url, html) — column pruning reaches storage
+  * the assembly agg is partial+final (map-side combine before the shuffle)
+  * a filter on a scannable column reaches the scan as a pushed filter
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.extract import extract, extract_pages
+from pbx_ds_ocr_server_spark.plans import (
+    count_exchanges,
+    has_pushed_filters,
+    scan_read_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def parquet_corpus(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "corpus.parquet")
+    corpus.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_extract_pages_has_no_shuffle(parquet_corpus):
+    assert count_exchanges(extract_pages(parquet_corpus)) == 0
+
+
+def test_extract_has_exactly_one_shuffle(parquet_corpus):
+    assert count_exchanges(extract(parquet_corpus)) == 1
+
+
+def test_scan_prunes_to_url_and_html(parquet_corpus):
+    schemas = scan_read_schema(extract(parquet_corpus))
+    assert schemas and all(
+        set(s.split(",")) == {"url:string", "html:binary"} for s in schemas
+    )
+
+
+def test_assembly_agg_is_partial_final(parquet_corpus):
+    plan = extract(parquet_corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_collect_list" in plan  # map-side combine present
+
+
+def test_filter_pushdown_reaches_scan(parquet_corpus):
+    df = parquet_corpus.filter(F.col("url").startswith("https://host1."))
+    assert has_pushed_filters(df.select("url"))
+
+
+def test_salted_variant_adds_exactly_one_exchange(parquet_corpus):
+    assert count_exchanges(extract(parquet_corpus, salted=True)) == 2
