@@ -325,6 +325,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_orders_per_customer"] = top_orders_per_customer
     q["events_hourly"] = events_hourly
     q["supplier_region_agg"] = supplier_region_agg
+
+    # --- predicates as queries (F1 analog) + quality filter (C4-style) ---
+    q["size_filter"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 400))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    q["quality_filter"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.8)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+    # --- heavy shuffle agg: corpus-wide n-gram document frequencies ---
+    def ngram_topk(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.dedup import shingles
+
+        sh = _docs(spark, sf).select(
+            "doc_id", F.explode(shingles("text", 3)).alias("shingle")
+        )
+        return (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("shingle"))
+            .limit(20)
+        )
+
+    q["ngram_topk"] = ngram_topk
+
+    # --- sessionization (gap-based, pure window composition) ---
+    def sessionization(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.sessions import sessionize
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return sessionize(ev, gap_seconds=1800)
+
+    q["sessionization"] = sessionization
+
+    # --- IVF-style ANN: label centroids as coarse quantizer ---
+    def label_centroids_q(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.similarity import label_centroids
+
+        return label_centroids(_emb(spark, sf)).select(
+            "label", "dim", "centroid"
+        )
+
+    def ann_ivf_top5(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.similarity import ivf_topk
+
+        emb = _emb(spark, sf)
+        qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return ivf_topk(
+            emb.filter(F.col("vec_id") != 0),
+            [float(x) for x in qvec],
+            k=5,
+            round_dp=5,
+        )
+
+    q["label_centroids"] = label_centroids_q
+    q["ann_ivf_top5"] = ann_ivf_top5
+
+    # --- composed near-dedup (components oracle-checked individually) ---
+    def dedup_near_keepers(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
+
+        return dedup_near(_docs_u(spark, sf)).select("doc_id")
+
+    q["dedup_near_keepers"] = dedup_near_keepers  # rows-only
     return q
 
 
@@ -447,6 +521,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket, count(*) AS n FROM b GROUP BY bucket
     """
 
+    centroids_sql = """
+        SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 5) AS centroid
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+        GROUP BY 1, 2
+    """
+
+    ann_ivf_sql = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        cent AS (
+            SELECT label, list(centroid ORDER BY dim) AS cvec
+            FROM ({centroids_sql}) GROUP BY label
+        ),
+        best AS (
+            SELECT label FROM cent, q
+            ORDER BY round(list_cosine_similarity(cvec, q.e), 5) DESC, label ASC
+            LIMIT 1
+        )
+        SELECT vec_id AS neighbor,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5) AS cos
+        FROM embeddings, q, best
+        WHERE vec_id <> 0 AND embeddings.label = best.label
+        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5) DESC,
+                 vec_id ASC
+        LIMIT 5
+    """
+
+    sessionization_sql = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_start) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                   AS duration_sec
+        FROM sess GROUP BY 1, 2
+    """
+
+    dedup_near_sql = f"""
+        WITH docs_u AS ({DOCS_U}),
+        {shingle_cte.format(src='docs_u')},
+        sigs AS (
+            SELECT doc_id,
+                   min(md5(w || '#0')) AS s0, min(md5(w || '#1')) AS s1,
+                   min(md5(w || '#2')) AS s2, min(md5(w || '#3')) AS s3
+            FROM sh GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y
+                  ON x.s0 = y.s0 AND x.s1 = y.s1 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y
+                  ON x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+            )
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM sh x JOIN sh y USING (w) WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            JOIN cand USING (a, b)
+            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8
+        )
+        SELECT doc_id FROM docs_u
+        WHERE doc_id NOT IN (SELECT b FROM verified)
+    """
+
     return {
         "extract_plain": f"SELECT doc_id, {NORM} AS text_out FROM documents",
         "extract_paras": paras_sql,
@@ -520,4 +680,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
         """,
+        "size_filter": """
+            SELECT source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE n_chars BETWEEN 100 AND 400
+            GROUP BY source
+        """,
+        "quality_filter": f"""
+            SELECT lang, count(*) AS n FROM documents
+            WHERE {quality} >= 0.8 GROUP BY lang
+        """,
+        "ngram_topk": f"""
+            WITH {shingle_cte.format(src='documents')}
+            SELECT w AS shingle, count(*) AS df FROM sh
+            GROUP BY w ORDER BY df DESC, shingle ASC LIMIT 20
+        """,
+        "sessionization": sessionization_sql,
+        "label_centroids": centroids_sql,
+        "ann_ivf_top5": ann_ivf_sql,
+        "dedup_near_keepers": dedup_near_sql,
     }

@@ -85,6 +85,56 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos"), F.asc("neighbor")).limit(k)
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Per-label elementwise mean vectors, long form (label, dim, centroid).
+
+    posexplode keeps the math mirror-able in ANSI SQL (unnest + group by
+    index); the long form doubles as the IVF coarse-quantizer table."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_array(vec_col)).alias("dim", "v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), round_dp).alias("centroid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: pick the nearest coarse-quantizer centroid (here the
+    per-label means), then exact-search only that list — the classic
+    inverted-file trade: cost drops to |list|, recall bounded by the
+    quantizer. Runs as two tiny jobs + one filtered scan; no shuffle of
+    vectors beyond the centroid agg."""
+    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cvec = cents.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+        ).alias("dims")
+    ).select(
+        "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
+    )
+    scored = cvec.select(
+        "label", F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos")
+    )
+    best = scored.orderBy(F.desc("ccos"), F.asc("label")).first()
+    cand = df.filter(F.col(label_col) == best["label"])
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_dp)
+
+
 def lsh_topk(
     df_bucketed: DataFrame,
     query_vec: list[float],
