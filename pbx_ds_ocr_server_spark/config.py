@@ -25,7 +25,8 @@ class ExtractConfig:
     link_density_max: float = 0.5       # blocks above this are boilerplate
     # --- scale / skew knobs (north_rule: explicit salting + AQE) ---
     salt_buckets: int = 0               # 0 → auto: 2 * shuffle partitions
-    arrow_max_records: int = 64         # spark.sql.execution.arrow.maxRecordsPerBatch
+    arrow_max_records: int = 256        # spark.sql.execution.arrow.maxRecordsPerBatch
+                                        # (tune to 64-128 for multi-MB blob corpora)
     # --- merge rule constants (reference: pipeline.py:205) ---
     page_separator: str = "\n\n"        # full.md join separator (byte-identity!)
     # --- parity-only options: accepted but inert in the reference prompt

@@ -17,7 +17,7 @@ def get_spark(
     app_name: str = "pbx-ds-ocr-server-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 64,
+    arrow_max_records: int = 256,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -31,8 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Arrow everywhere; small batches so one batch never holds many
-        # giant html blobs (skew guard — SURVEY.md §4 item 1)
+        # Arrow everywhere. Batch size trades python-roundtrip overhead
+        # against peak batch bytes: 256 measured ~3x faster than 64 on
+        # few-KB docs; tune DOWN to 64-128 for corpora with multi-MB blobs
+        # so one batch never holds many giants (skew guard, SURVEY.md §4)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
