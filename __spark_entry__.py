@@ -399,6 +399,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_near(_docs_u(spark, sf)).select("doc_id")
 
     q["dedup_near_keepers"] = dedup_near_keepers  # rows-only
+
+    # --- grouping-set / set-operation coverage ---
+    def events_rollup(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.rollup(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    def set_ops_users(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+
+        def users(t, min_value):
+            return (
+                ev.filter((F.col("event_type") == t) & (F.col("value") > min_value))
+                .select("user_id")
+                .distinct()
+            )
+
+        return (
+            users("click", 50)
+            .intersect(users("purchase", 50))
+            .subtract(users("error", 90))
+        )
+
+    q["events_rollup"] = events_rollup
+    q["set_ops_users"] = set_ops_users
     return q
 
 
@@ -696,6 +726,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w ORDER BY df DESC, shingle ASC LIMIT 20
         """,
         "sessionization": sessionization_sql,
+        "events_rollup": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "set_ops_users": """
+            SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'click' AND value > 50
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND value > 50
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'error' AND value > 90
+        """,
         "label_centroids": centroids_sql,
         "ann_ivf_top5": ann_ivf_sql,
         "dedup_near_keepers": dedup_near_sql,
