@@ -27,7 +27,7 @@ from pbx_ds_ocr_server_spark.functions.text import (
     fingerprint,
     lang_id,
     quality_score,
-    simhash16,
+    simhash_table,
     token_count,
 )
 from pbx_ds_ocr_server_spark.operators.dedup import (
@@ -191,8 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", fingerprint("text").alias("fp")
     )
-    q["simhash"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", simhash16("text").alias("simhash")
+    q["simhash"] = lambda spark, sf: simhash_table(
+        _docs(spark, sf).select("doc_id", "text")
     )
 
     # --- dedup tier ---

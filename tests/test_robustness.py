@@ -1,0 +1,53 @@
+"""Adversarial/bounded-work kernel behavior: the T3/T4 analogs and the
+inputs a 100-TB crawl inevitably contains."""
+
+import time
+
+from pbx_ds_ocr_server_spark.config import ExtractConfig
+from pbx_ds_ocr_server_spark.kernels import extract_html
+
+
+def test_giant_single_block_is_capped_not_hung():
+    giant = b"<html><body><p>" + b"word " * 2_000_000 + b"</p></body></html>"
+    t0 = time.time()
+    r = extract_html(giant)
+    assert time.time() - t0 < 10
+    assert 0 < len(r.text) <= ExtractConfig().max_block_chars
+
+
+def test_unclosed_quote_attr_no_redos():
+    payload = b'<html><body><p attr="' + b'"a' * 100_000 + b">x</p></body></html>"
+    t0 = time.time()
+    extract_html(payload)
+    assert time.time() - t0 < 5
+
+
+def test_deep_nesting_linear():
+    deep = b"<body>" + b"<div>" * 50_000 + b"x" + b"</div>" * 50_000 + b"</body>"
+    t0 = time.time()
+    r = extract_html(deep)
+    assert time.time() - t0 < 5 and r.text == "x"
+
+
+def test_nested_boiler_skip():
+    nested = b"<body><nav>" + b"<nav>x</nav>" * 10_000 + b"</nav><p>real</p></body>"
+    t0 = time.time()
+    r = extract_html(nested)
+    assert time.time() - t0 < 5 and r.text == "real"
+
+
+def test_unterminated_boiler_consumes_to_eof():
+    r = extract_html(b"<body><p>before</p><nav><li>lost forever")
+    assert r.text == "before"
+
+
+def test_head_implicitly_closed_at_body():
+    # malformed head (no </head>) must not swallow the document
+    r = extract_html(b"<html><head><meta charset=utf-8><body><p>kept</p></body></html>")
+    assert r.text == "kept"
+
+
+def test_block_count_cap():
+    many = b"<body>" + b"<p>x</p>" * 1000 + b"</body>"
+    r = extract_html(many, ExtractConfig(max_blocks_per_doc=10))
+    assert len(r.spans) <= 10
