@@ -429,6 +429,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rollup"] = events_rollup
     q["set_ops_users"] = set_ops_users
+
+    # --- winnowing fingerprints + repetition metrics ---
+    def winnowing(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.dedup import (
+            winnowing_fingerprints,
+        )
+
+        return winnowing_fingerprints(_docs(spark, sf).select("doc_id", "text"))
+
+    def repetition(spark, sf):
+        from pbx_ds_ocr_server_spark.functions.text import repetition_metrics
+
+        return repetition_metrics(_docs(spark, sf).select("doc_id", "text"))
+
+    q["winnowing_fingerprints"] = winnowing
+    q["repetition_metrics"] = repetition
     return q
 
 
@@ -742,6 +758,54 @@ def oracle_sql() -> dict[str, str]:
               WHERE event_type = 'error' AND value > 90
         """,
         "label_centroids": centroids_sql,
+        "winnowing_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            sh AS (
+                SELECT doc_id, i - 1 AS i,
+                       md5(CASE WHEN len(ws) >= 3
+                                THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                ELSE array_to_string(ws, ' ') END) AS h,
+                       CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS n_sh
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1,
+                        CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END)) AS i)
+            ),
+            fps AS (
+                SELECT doc_id, i,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                       n_sh
+                FROM sh
+            )
+            SELECT doc_id, count(DISTINCT fp) AS n_fps,
+                   md5(string_agg(DISTINCT fp, '' ORDER BY fp)) AS digest
+            FROM fps WHERE i <= greatest(n_sh - 4, 0)
+            GROUP BY doc_id
+        """,
+        "repetition_metrics": f"""
+            WITH t AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            stats AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       len(list_distinct(ws)) AS n_distinct
+                FROM t
+            ),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 2 THEN ws[i] || ' ' || ws[i+1]
+                            ELSE ws[i] END AS bg
+                FROM t, LATERAL (SELECT unnest(generate_series(1,
+                       greatest(len(ws) - 1, 1))) AS i)
+            ),
+            top AS (
+                SELECT doc_id, max(c) AS top_bg FROM (
+                    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+                GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   round(1 - s.n_distinct * 1.0 / s.n_words, 6) AS dup_word_frac,
+                   round(2.0 * top.top_bg / s.n_words, 6) AS top_bigram_frac
+            FROM stats s JOIN top ON s.doc_id = top.doc_id
+        """,
         "ann_ivf_top5": ann_ivf_sql,
         "dedup_near_keepers": dedup_near_sql,
     }

@@ -113,6 +113,49 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(norm_text(col)))
 
 
+def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals per document:
+    ``dup_word_frac`` = 1 − |distinct words| / |words|, and
+    ``top_bigram_frac`` = words covered by the most frequent bigram / |words|.
+    High values flag boilerplate/spam for training-data filtering."""
+    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("ws"))
+    stats = base.select(
+        "id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    )
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2)),
+                ),
+            ).otherwise(F.col("ws")),
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("id", "bg")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    return (
+        stats.join(top, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(2 * F.col("top_bg") / F.col("n_words"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash) via explode + conditional aggregation — measured ~4.5×
     faster than the array-lambda column form (nested higher-order functions

@@ -141,6 +141,52 @@ def jaccard_pairs(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints.
+
+    Ordered n-gram shingles → md5 per shingle → sliding window of ``window``
+    hashes → per-window minimum → the distinct set of minima is the
+    fingerprint set (guaranteed to share members for documents sharing runs
+    of ≥ window+ngram-1 words). Output: (id, n_fps, digest) where digest =
+    md5 of the sorted concatenated fingerprint set.
+
+    Pure window/agg composition — one shuffle on id, no UDF; mirrors 1:1
+    into ANSI window SQL for the oracle.
+    """
+    from pyspark.sql import Window as W
+
+    w = words(text_col)
+    ordered = F.when(
+        F.size(w) >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - ngram),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, ngram)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    sh = df.select(
+        F.col(id_col).alias("id"), F.posexplode(ordered).alias("i", "s")
+    ).withColumn("h", F.md5("s"))
+    counts = W.partitionBy("id")
+    win = W.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
+    fps = (
+        sh.withColumn("n_sh", F.count("*").over(counts))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.greatest(F.col("n_sh") - window, F.lit(0)))
+    )
+    return fps.groupBy("id").agg(
+        F.countDistinct("fp").alias("n_fps"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_set("fp")))).alias(
+            "digest"
+        ),
+    ).withColumnRenamed("id", id_col)
+
+
 def dedup_near(
     df: DataFrame,
     id_col: str = "doc_id",
