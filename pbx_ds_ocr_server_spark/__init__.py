@@ -27,3 +27,35 @@ as vectorized pandas/Arrow UDFs — no per-row Python UDFs anywhere.
 """
 
 __version__ = "0.1.0"
+
+# Public API (lazy to keep bare-package import free of pyspark cost)
+__all__ = [
+    "ExtractConfig",
+    "extract",
+    "extract_pages",
+    "assemble_documents",
+    "assemble_layout_json",
+    "run_extract_job",
+    "get_spark",
+]
+
+
+def __getattr__(name):
+    if name in ("ExtractConfig",):
+        from pbx_ds_ocr_server_spark.config import ExtractConfig
+
+        return ExtractConfig
+    if name in ("extract", "extract_pages", "assemble_documents",
+                "assemble_layout_json"):
+        from pbx_ds_ocr_server_spark.operators import extract as _m
+
+        return getattr(_m, name)
+    if name == "run_extract_job":
+        from pbx_ds_ocr_server_spark.sources.writer import run_extract_job
+
+        return run_extract_job
+    if name == "get_spark":
+        from pbx_ds_ocr_server_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
