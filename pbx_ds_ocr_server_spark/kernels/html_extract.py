@@ -166,31 +166,41 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
     pos = 0
     link_depth = 0
     block_tag: str | None = "body"
-    # current block accumulators
+    # current block accumulators. Link-density inputs are counted LAZILY:
+    # link_texts collects only text seen inside <a>; the (identical) density
+    # math runs at flush time and only when the block contains link text —
+    # the common linkless block skips all counting work.
     pieces: list[str] = []
-    link_nonws = 0
-    total_nonws = 0
+    link_texts: list[str] = []
     cur_chars = 0
     blocks: list[tuple[str, str]] = []  # (kind, collapsed_text)
     n_blocks_seen = 0
     truncated = False
 
     def flush() -> None:
-        nonlocal pieces, link_nonws, total_nonws, cur_chars, n_blocks_seen
+        nonlocal pieces, link_texts, cur_chars, n_blocks_seen
         if pieces:
-            raw = _html.unescape("".join(pieces))
-            collapsed = _WS_RE.sub(" ", raw).strip()
+            raw = "".join(pieces)
+            if "&" in raw:
+                raw = _html.unescape(raw)
+            collapsed = " ".join(raw.split())
             if collapsed:
                 n_blocks_seen += 1
-                keep = (
-                    total_nonws > 0
-                    and (link_nonws / total_nonws) <= cfg.link_density_max
-                )
+                if link_texts:
+                    total_nonws = len("".join(pieces).translate(_WS_DELETE))
+                    link_nonws = len(
+                        "".join(link_texts).translate(_WS_DELETE)
+                    )
+                    keep = (
+                        total_nonws > 0
+                        and (link_nonws / total_nonws) <= cfg.link_density_max
+                    )
+                else:
+                    keep = True
                 if keep:
                     blocks.append((_classify(block_tag), collapsed))
         pieces = []
-        link_nonws = 0
-        total_nonws = 0
+        link_texts = []
         cur_chars = 0
 
     while pos < n:
@@ -202,10 +212,8 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
             if cur_chars < cfg.max_block_chars:
                 pieces.append(chunk[: cfg.max_block_chars - cur_chars])
                 cur_chars += len(chunk)
-            nw = len(chunk.translate(_WS_DELETE))
-            total_nonws += nw
             if link_depth > 0:
-                link_nonws += nw
+                link_texts.append(chunk)
             pos = lt
             continue
         if pos >= n:
@@ -226,9 +234,8 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
             if cur_chars < cfg.max_block_chars:
                 pieces.append("<")
                 cur_chars += 1
-            total_nonws += 1
             if link_depth > 0:
-                link_nonws += 1
+                link_texts.append("<")
             pos += 1
             continue
         closing, name, _attrs, selfclose = m.groups()
