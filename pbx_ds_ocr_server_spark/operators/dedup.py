@@ -72,15 +72,40 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Docs sharing ANY band (all hashes in the band equal) → candidate pairs
     (a < b, distinct). Standard banding: the self-join key is the band tuple,
-    so cost is per-bucket, not all-pairs."""
-    pairs = None
-    for band in bands:
-        key = F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key")
-        left = sig.select(F.col("id").alias("a"), key)
-        right = sig.select(F.col("id").alias("b"), key)
-        p = left.join(right, "band_key").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    so cost is per-bucket, never all-pairs.
+
+    All bands are melted into one (band_id, key) relation first, so the plan
+    is a SINGLE self-join regardless of band count (instead of one join +
+    union per band — at n bands that recomputes the signature subplan 2n
+    times; melted it is computed twice)."""
+    melted = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(c) for c in band]
+                        ).alias("key"),
+                    )
+                    for i, band in enumerate(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
+    left = melted.select(
+        F.col("id").alias("a"), "band_id", "key"
+    )
+    right = melted.select(
+        F.col("id").alias("b"), "band_id", "key"
+    )
+    return (
+        left.join(right, ["band_id", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 # ------------------------------------------------------------ ngram jaccard
@@ -113,13 +138,15 @@ def jaccard_pairs(
     (stopword-shingle skew guard) — affects recall, never correctness of the
     pairs it does emit.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
-    )
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("arr"))
+    sh = base.select("id", F.explode("arr").alias("sh"))
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        # set sizes straight from the array — no groupBy shuffle needed
+        sizes = base.select("id", F.size("arr").cast("bigint").alias("n_sh"))
     inter = (
         sh.alias("x")
         .join(sh.alias("y"), "sh")
@@ -127,9 +154,15 @@ def jaccard_pairs(
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is one small row per doc: broadcast it (without the hint the
+    # array-projection path estimates large and falls back to sort-merge)
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), "a")
-        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), "b")
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"})), "a"
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"})), "b"
+        )
         .withColumn(
             "jaccard",
             F.round(
