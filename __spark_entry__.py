@@ -445,6 +445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnowing_fingerprints"] = winnowing
     q["repetition_metrics"] = repetition
+
+    # --- grouped-map (applyInPandas) tier ---
+    def zscore(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.grouped import zscore_by_label
+
+        return zscore_by_label(_emb(spark, sf))
+
+    q["embedding_zscore"] = zscore
     return q
 
 
@@ -684,6 +692,21 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": jaccard_sql,
         "embedding_neardup_pairs": neardup_sql,
         "ann_brute_top5": ann_sql,
+        "embedding_zscore": """
+            WITH e AS (
+                SELECT vec_id, label, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                FROM embeddings, LATERAL (
+                    SELECT unnest(generate_series(1, len(embedding))) AS i)
+            ),
+            s AS (
+                SELECT label, dim, avg(v) AS m, stddev_pop(v) AS sd
+                FROM e GROUP BY 1, 2
+            )
+            SELECT e.vec_id, e.label, e.dim,
+                   round(CASE WHEN s.sd = 0 THEN 0
+                              ELSE (e.v - s.m) / s.sd END, 4) AS z
+            FROM e JOIN s USING (label, dim)
+        """,
         "ann_lsh_histogram": lsh_hist_sql,
         "multimodal_meta": (
             "SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT)"
