@@ -249,6 +249,39 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
     }
 
 
+def make_warc(rows: list[dict], gzip_members: bool = False) -> bytes:
+    """Serialize corpus rows into WARC/1.0 response records (optionally one
+    gzip member per record, the real Common-Crawl layout). Deterministic —
+    no uuids, no clock: the record id derives from the url hash."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for r in rows:
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(r["html"])).encode() + b"\r\n\r\n"
+            + r["html"]
+        )
+        ts = r["warc_ts"]
+        warc_date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        rec_id = f"<urn:pbx:{_h('warcid:' + r['url']):016x}>"
+        header = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {warc_date}\r\n"
+            f"WARC-Record-ID: {rec_id}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1")
+        record = header + body + b"\r\n\r\n"
+        if gzip_members:
+            out += _gzip.compress(record, mtime=0)
+        else:
+            out += record
+    return bytes(out)
+
+
 def wrapped_docs_df(spark, documents_path: str, mode: str):
     """documents(doc_id, text) → (url='doc://<id>', html) with the text
     deterministically wrapped in HTML. Modes: 'plain' (one <p>, full

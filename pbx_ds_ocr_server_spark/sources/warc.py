@@ -1,0 +1,110 @@
+"""WARC source: read Common-Crawl-style WARC files into the page table.
+
+``spark.read.format("binaryFile")`` brings whole WARC files (plain or
+gzip, including the per-record-gzip-member layout real Common Crawl uses —
+multi-member streams decompress transparently) onto executors; an
+Arrow-batched ``mapInPandas`` stage parses records into
+``(url, warc_ts, html)`` rows, the extraction pipeline's input schema.
+
+Only ``response`` (and ``resource``) records yield rows; request/metadata
+records are skipped. HTTP envelope headers are stripped — ``html`` is the
+entity body bytes, exactly what the corpus generator wrote.
+
+Scale note: one task per WARC file (binaryFile is not splittable, matching
+real WARC practice where the per-file ~1GB granularity IS the split);
+``maxPartitionBytes`` does not apply. For 100 TB, list many files.
+"""
+
+from __future__ import annotations
+
+import zlib
+from email.utils import parsedate_to_datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def _gunzip_multi(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream, tolerating trailing
+    garbage — the real-world WARC.gz shape."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += d.decompress(data[pos:])
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes → rows. Pure function; malformed records skipped."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_multi(data)
+    rows: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start == -1:
+            break
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end == -1:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        body = data[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        rtype = headers.get("warc-type", "")
+        if rtype not in ("response", "resource"):
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date", "")
+        if raw_ts:
+            try:
+                ts = pd.Timestamp(raw_ts).tz_localize(None)
+            except ValueError:
+                try:
+                    ts = pd.Timestamp(parsedate_to_datetime(raw_ts)).tz_localize(None)
+                except Exception:
+                    ts = None
+        payload = body
+        if rtype == "response" and body[:5] in (b"HTTP/", b"http/"):
+            # strip the HTTP envelope: entity body after the blank line
+            split = body.find(b"\r\n\r\n")
+            if split != -1:
+                payload = body[split + 4 :]
+        rows.append({"url": url, "warc_ts": ts, "html": payload})
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files (``path`` may be a glob) → DataFrame(url, warc_ts, html)."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[dict] = []
+            for r in b.itertuples():
+                rows.extend(parse_warc(bytes(r.content)))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
