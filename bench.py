@@ -76,8 +76,8 @@ def stage_corpus() -> int:
         spark.stop()
 
 
-def timed_extract_run(cores: int, n_docs: int, with_parquet: bool = False) -> dict:
-    """Extraction job at the given core count: warm-up, then min of REPS."""
+def _one_timed_pass(cores: int, with_parquet: bool = False) -> dict:
+    """One fresh-session warm-up + timed extraction at the given cores."""
     from pbx_ds_ocr_server_spark.operators.extract import extract
 
     spark = _session(cores, f"extract-{cores}")
@@ -85,32 +85,53 @@ def timed_extract_run(cores: int, n_docs: int, with_parquet: bool = False) -> di
         src = spark.read.parquet(CORPUS_PATH)
         # warm-up over a SAMPLE (not limit(): limit collapses to one
         # partition and would warm only one python worker — the first timed
-        # run would then pay the full 32-worker spawn, ~7× inflation)
+        # run would then pay the full worker spawn, ~7x inflation)
         extract(src.sample(0.08, seed=1)).write.format("noop").mode(
             "overwrite"
         ).save()
-        walls = []
-        for _ in range(REPS):
-            os.sync()
-            t0 = time.time()
-            extract(src).write.format("noop").mode("overwrite").save()
-            walls.append(time.time() - t0)
-        wall = min(walls)
-        out = {
-            "cores": cores,
-            "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n_docs / wall, 2),
-        }
+        os.sync()
+        t0 = time.time()
+        extract(src).write.format("noop").mode("overwrite").save()
+        out = {"wall": time.time() - t0}
         if with_parquet:
             pq = f"/tmp/pbx_bench_out_{cores}.parquet"
             shutil.rmtree(pq, ignore_errors=True)
             os.sync()
             t0 = time.time()
             extract(src).write.mode("overwrite").parquet(pq)
-            out["wall_parquet_sec"] = round(time.time() - t0, 3)
+            out["wall_parquet"] = time.time() - t0
         return out
     finally:
         spark.stop()
+
+
+def timed_extract_levels(n_docs: int) -> dict[int, dict]:
+    """Time all parallelism levels INTERLEAVED across reps (level order
+    cycles inside each rep) so host-level throttling drift hits every level
+    alike; per level the min across reps is reported."""
+    levels = [N_LOW, N_HIGH] + ([CPUS] if CPUS not in (N_LOW, N_HIGH) else [])
+    walls: dict[int, list] = {c: [] for c in levels}
+    parquet_wall = None
+    for rep in range(REPS):
+        for cores in levels:
+            want_pq = cores == CPUS and rep == REPS - 1
+            r = _one_timed_pass(cores, with_parquet=want_pq)
+            walls[cores].append(r["wall"])
+            if want_pq:
+                parquet_wall = r["wall_parquet"]
+    out = {}
+    for cores in levels:
+        w = min(walls[cores])
+        out[cores] = {
+            "cores": cores,
+            "wall_sec": round(w, 3),
+            "docs_per_sec": round(n_docs / w, 2),
+            "all_walls": [round(x, 2) for x in walls[cores]],
+        }
+    out[CPUS]["wall_parquet_sec"] = (
+        round(parquet_wall, 3) if parquet_wall else None
+    )
+    return out
 
 
 def timed_queries(names: list[str]) -> dict[str, float]:
@@ -207,9 +228,8 @@ def write_md(payload: dict) -> None:
 def main() -> int:
     write_markdown = "--no-md" not in sys.argv
     n_docs = stage_corpus()
-    low = timed_extract_run(N_LOW, n_docs)
-    high = timed_extract_run(N_HIGH, n_docs)
-    full = timed_extract_run(CPUS, n_docs, with_parquet=True)
+    levels = timed_extract_levels(n_docs)
+    low, high, full = levels[N_LOW], levels[N_HIGH], levels[CPUS]
     eff = round(
         (high["docs_per_sec"] / low["docs_per_sec"]) / (N_HIGH / N_LOW), 3
     )
@@ -232,6 +252,9 @@ def main() -> int:
         "docs_per_sec_4n": high["docs_per_sec"],
         "docs_per_sec_full": full["docs_per_sec"],
         "scaling_efficiency": eff,
+        "all_walls": {
+            str(c): levels[c]["all_walls"] for c in sorted(levels)
+        },
     }
     if write_markdown:
         write_md(payload)
