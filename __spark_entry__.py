@@ -453,6 +453,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zscore_by_label(_emb(spark, sf))
 
     q["embedding_zscore"] = zscore
+
+    # --- iterative algorithm (k-means IVF): rows-only by design — Lloyd's
+    # iterations are not expressible as one SQL statement ---
+    def ann_ivf_kmeans(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.kmeans import ivf_kmeans_topk
+
+        emb = _emb(spark, sf)
+        qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return ivf_kmeans_topk(
+            emb.filter(F.col("vec_id") != 0),
+            [float(x) for x in qvec],
+            k_clusters=8,
+            iters=3,
+            k=5,
+            n_probe=2,
+        )
+
+    q["ann_ivf_kmeans_top5"] = ann_ivf_kmeans  # rows-only (iterative)
     return q
 
 

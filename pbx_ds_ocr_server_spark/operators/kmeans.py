@@ -1,0 +1,114 @@
+"""Deterministic k-means (Lloyd's) over embedding columns — the iterative
+coarse-quantizer training step for IVF ANN.
+
+Classic Spark iteration shape: centroids live on the driver (k×dims floats,
+tiny), each iteration is ONE distributed pass — assignment via literal
+centroid arrays folded into the plan (JVM-side `aggregate`/`zip_with`
+expressions, no UDF), update via posexplode + per-(cluster, dim) average.
+No RDDs, no mutable state on executors.
+
+Determinism (everything the sandbox's byte-stability contract demands):
+  * init: the k vectors with the smallest md5(id) — a fixed pseudo-random
+    sample independent of partitioning;
+  * assignment ties break toward the lowest cluster index;
+  * empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.similarity import as_double_array
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cluster`` column: argmin of squared distance to the given
+    centroids (ties → lowest index). Pure column expressions."""
+    v = as_double_array(vec_col)
+    best_idx = F.lit(0)
+    best_dist = _sqdist(v, centroids[0])
+    for i, cent in enumerate(centroids[1:], start=1):
+        d = _sqdist(v, cent)
+        better = d < best_dist
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_dist = F.when(better, d).otherwise(best_dist)
+    return df.withColumn("cluster", best_idx.cast("int"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train k centroids; returns them as plain lists (driver-side, tiny)."""
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    dims = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(df.select(id_col, vec_col), centroids, vec_col)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(as_double_array(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, list[float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], [0.0] * dims)[r["dim"]] = r["m"]
+        for ci, vec in by_cluster.items():
+            new[ci] = vec
+        centroids = new
+    return centroids
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k_clusters: int = 8,
+    iters: int = 3,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+) -> DataFrame:
+    """End-to-end IVF: train k-means lists, probe the ``n_probe`` nearest
+    lists for the query, exact-search only those rows."""
+    import math
+
+    from pbx_ds_ocr_server_spark.operators.similarity import brute_force_topk
+
+    centroids = kmeans_fit(df, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    def sqd(a: list[float], b: list[float]) -> float:
+        return math.fsum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: (sqd(centroids[i], query_vec), i))
+    probe = set(order[:n_probe])
+    assigned = assign_clusters(df, centroids, vec_col)
+    cand = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_dp)
