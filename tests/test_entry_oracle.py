@@ -37,8 +37,6 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -59,8 +57,13 @@ def test_query_matches_oracle(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows vs {len(want)}"
     try:
+        # EXACT comparison, floats included: the driver hashes values, so a
+        # single ulp of Spark-vs-DuckDB rounding drift is a failure. The
+        # identical-rounding discipline (round(x, k) with the same k and the
+        # same tie-breaks on both engines) makes bit-equality achievable —
+        # audited across all 33 queries at sf0.01.
         pd.testing.assert_frame_equal(
-            got, want, check_dtype=False, check_exact=False, atol=1e-6
+            got, want, check_dtype=False, check_exact=True
         )
     except AssertionError as e:
         raise AssertionError(f"{name}: value mismatch\n{e}") from e
