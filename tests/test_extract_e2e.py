@@ -65,6 +65,22 @@ def test_determinism_across_partitionings(spark, corpus):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_determinism_across_arrow_batch_sizes(spark, corpus):
+    """Arrow batch boundaries must never leak into results."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")
+        a = extract(corpus).select("url", "text", "spans")
+        a_rows = a.count()
+        spark.conf.set(key, "1024")
+        b = extract(corpus).select("url", "text", "spans")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert a_rows == b.count()
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_column_pruning_reaches_scan(spark, corpus, tmp_path_factory):
     """Scale check: extract() selects only (url, html) before the heavy
     stage, so a parquet scan must prune text/lang/warc_ts (ReadSchema has
