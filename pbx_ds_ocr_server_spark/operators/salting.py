@@ -26,8 +26,10 @@ def salt_partitions(
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    salt = F.pmod(F.xxhash64(F.col("url"), F.lit(salt_seed)), F.lit(n))
-    return df.repartition(n, salt)
+    # repartition on the FULL 64-bit hash, not pmod(hash, n): Spark hashes
+    # the key again, so n distinct salt values collide into ~0.63n partitions
+    # (balls-in-bins) — full entropy keys spread uniformly.
+    return df.repartition(n, F.xxhash64(F.col("url"), F.lit(salt_seed)))
 
 
 def salt_partitions_by_size(
@@ -40,8 +42,9 @@ def salt_partitions_by_size(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     is_giant = F.octet_length(F.col(payload_col)) > F.lit(giant_bytes)
-    # giants: spread one-per-partition by their own hash; normals: salted hash
+    # giants: spread by their own full-entropy hash (distinct seed) so they
+    # land independently of the normal-row distribution; normals: salted hash
     key = F.when(
-        is_giant, F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n))
-    ).otherwise(F.pmod(F.xxhash64(F.col("url"), F.lit(42)), F.lit(n)))
+        is_giant, F.xxhash64(F.col("url"), F.lit(1))
+    ).otherwise(F.xxhash64(F.col("url"), F.lit(42)))
     return df.repartition(n, key)

@@ -102,7 +102,10 @@ def stage_input(
         df.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
         )
-        .repartition("bucket")
+        # range-partition on the bucket id: exactly one task per bucket →
+        # one file per bucket dir. A hash repartition("bucket") would
+        # collide bucket ids into ~0.63n tasks (balls-in-bins).
+        .repartitionByRange(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(staging_dir)
