@@ -26,6 +26,7 @@ from pbx_ds_ocr_server_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     lang_id,
+    lang_id_table,
     quality_score,
     simhash_table,
     token_count,
@@ -182,8 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", token_count("text").alias("n_tokens")
     )
-    q["lang_id"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", lang_id("text").alias("lang_pred")
+    q["lang_id"] = lambda spark, sf: lang_id_table(
+        _docs(spark, sf).select("doc_id", "text")
     )
     q["quality_scores"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", quality_score("text").alias("quality")
@@ -471,6 +472,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_ivf_kmeans_top5"] = ann_ivf_kmeans  # rows-only (iterative)
+
+    # --- flagship composition: the C4-style curation pipeline in one query
+    # (length gate → quality gate → language gate → exact dedup keep-first)
+    def corpus_curation(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.dedup import dedup_exact
+
+        d = _docs_u(spark, sf).select("doc_id", "text")
+        filtered = (
+            d.withColumn("n_tokens", token_count("text"))
+            .withColumn("quality", quality_score("text"))
+            .withColumn("lang_pred", lang_id("text"))
+            .filter(
+                (F.col("n_tokens") >= 20)
+                & (F.col("n_tokens") <= 500)
+                & (F.col("quality") >= 0.5)
+                & (F.col("lang_pred") == "en")
+            )
+        )
+        return dedup_exact(filtered, "doc_id", "text").select("doc_id")
+
+    q["corpus_curation"] = corpus_curation
     return q
 
 
@@ -849,4 +871,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_top5": ann_ivf_sql,
         "dedup_near_keepers": dedup_near_sql,
+        "corpus_curation": f"""
+            WITH docs_u AS ({DOCS_U}),
+            scored AS (
+                SELECT doc_id, text, CAST({TOKENS} AS BIGINT) AS n_tokens,
+                       {quality} AS q,
+                       CASE
+                         WHEN {votes['en']} > 0 AND {votes['en']} >= greatest({votes['de']}, {votes['es']}, {votes['fr']}, {votes['zh']}) THEN 'en'
+                         WHEN {votes['de']} > 0 AND {votes['de']} >= greatest({votes['es']}, {votes['fr']}, {votes['zh']}) THEN 'de'
+                         WHEN {votes['es']} > 0 AND {votes['es']} >= greatest({votes['fr']}, {votes['zh']}) THEN 'es'
+                         WHEN {votes['fr']} > 0 AND {votes['fr']} >= {votes['zh']} THEN 'fr'
+                         WHEN {votes['zh']} > 0 THEN 'zh'
+                         ELSE 'und' END AS lp
+                FROM docs_u
+            ),
+            filtered AS (
+                SELECT doc_id, text FROM scored
+                WHERE n_tokens BETWEEN 20 AND 500 AND q >= 0.5 AND lp = 'en'
+            )
+            SELECT doc_id FROM filtered
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM filtered
+                GROUP BY md5(lower({NORM}))
+            )
+        """,
     }

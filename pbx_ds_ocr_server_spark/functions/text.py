@@ -113,6 +113,40 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(norm_text(col)))
 
 
+def lang_id_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, lang_pred) via explode + 5 conditional sums — same result as the
+    ``lang_id`` column expression (same votes, same tie-break chain) but in
+    a codegen-friendly hash aggregate instead of nested array lambdas."""
+    w = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    ).withColumn("lw", F.lower("w"))
+    aggs = [
+        F.sum(F.col("lw").isin(list(STOPWORDS[lang])).cast("int")).alias(
+            f"v_{lang}"
+        )
+        for lang in LANGS
+    ]
+    v = w.groupBy("id").agg(*aggs)
+    c = {lang: F.col(f"v_{lang}") for lang in LANGS}
+    chain = F.when(
+        (c["en"] > 0)
+        & (c["en"] >= F.greatest(c["de"], c["es"], c["fr"], c["zh"])),
+        F.lit("en"),
+    )
+    chain = chain.when(
+        (c["de"] > 0) & (c["de"] >= F.greatest(c["es"], c["fr"], c["zh"])),
+        F.lit("de"),
+    )
+    chain = chain.when(
+        (c["es"] > 0) & (c["es"] >= F.greatest(c["fr"], c["zh"])), F.lit("es")
+    )
+    chain = chain.when((c["fr"] > 0) & (c["fr"] >= c["zh"]), F.lit("fr"))
+    chain = chain.when(c["zh"] > 0, F.lit("zh"))
+    return v.select(
+        F.col("id").alias(id_col), chain.otherwise(F.lit("und")).alias("lang_pred")
+    )
+
+
 def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style repetition signals per document:
     ``dup_word_frac`` = 1 − |distinct words| / |words|, and
