@@ -37,7 +37,15 @@ N_HIGH = 4 * N_LOW
 REPS = int(os.environ.get("PBX_BENCH_REPS", "3"))
 REPEAT = int(os.environ.get("PBX_BENCH_REPEAT", "20"))  # corpus = docs × REPEAT
 SF_LABEL = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-CORPUS_PATH = f"/tmp/pbx_bench_corpus_sf{SF_LABEL}_x{REPEAT}.parquet"
+
+
+def _corpus_path() -> str:
+    from pbx_ds_ocr_server_spark.corpus import CORPUS_VERSION
+
+    return f"/tmp/pbx_bench_corpus_v{CORPUS_VERSION}_sf{SF_LABEL}_x{REPEAT}.parquet"
+
+
+CORPUS_PATH = _corpus_path()
 # Fixed shuffle-partition count at EVERY parallelism level so the timed runs
 # execute the identical physical plan and differ only in executor threads.
 SHUFFLE_PARTS = 64

@@ -31,6 +31,10 @@ import pandas as pd
 
 _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
+# bump when synthesis logic changes — cache keys (e.g. bench staging paths)
+# include it so stale staged corpora are never reused
+CORPUS_VERSION = 2
+
 NAV = (
     '<nav class="top"><ul>'
     + "".join(f'<li><a href="/s/{i}">section {i}</a></li>' for i in range(8))
