@@ -250,10 +250,32 @@ def assemble_layout_json(
     )
 
 
+def keep_latest_snapshot(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """Crawl-revisit handling: keep the newest capture per url (ties break
+    on the larger payload, then deterministically). Run this BEFORE
+    extract() when the input may contain the same url at several
+    ``warc_ts`` — extraction itself requires url-unique input (url is the
+    document key, like the reference's task_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc(ts_col), F.desc(F.octet_length("html")), F.desc(F.xxhash64("html"))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def extract(
     df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = False
 ) -> DataFrame:
     """Full pipeline: input table → (url, text, spans, n_pages, content_type,
     status, error). The library-call analog of the reference's synchronous
-    endpoint (SURVEY.md §3 EP3)."""
+    endpoint (SURVEY.md §3 EP3).
+
+    Input must be UNIQUE on url (url ≙ the reference's task_id); for raw
+    crawls with revisits, apply ``keep_latest_snapshot`` first — duplicate
+    urls would otherwise merge into one output row at assembly."""
     return assemble_documents(extract_pages(df, cfg, salted=salted), cfg)

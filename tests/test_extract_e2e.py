@@ -98,6 +98,30 @@ def test_column_pruning_reaches_scan(spark, corpus, tmp_path_factory):
     assert "warc_ts" not in scan and "lang" not in scan and "expected_text" not in scan
 
 
+def test_keep_latest_snapshot_resolves_revisits(spark):
+    import datetime
+
+    from pbx_ds_ocr_server_spark.operators.extract import keep_latest_snapshot
+
+    t1 = datetime.datetime(2025, 1, 1)
+    t2 = datetime.datetime(2025, 2, 1)
+    rows = [
+        ("u:a", t1, b"<p>old</p>"),
+        ("u:a", t2, b"<p>new</p>"),
+        ("u:b", t1, b"<p>short</p>"),
+        ("u:b", t1, b"<p>same ts but longer</p>"),  # tie → larger payload
+        ("u:c", t1, b"<p>only</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    kept = {r.url: bytes(r.html) for r in keep_latest_snapshot(df).collect()}
+    assert kept["u:a"] == b"<p>new</p>"
+    assert kept["u:b"] == b"<p>same ts but longer</p>"
+    assert len(kept) == 3
+    # and extraction after dedup yields one row per url
+    out = extract(keep_latest_snapshot(df))
+    assert out.count() == 3
+
+
 def test_rejected_rows_carry_reasons(result):
     errs = result.filter(F.col("status").startswith("rejected")).select("error")
     assert all(r.error for r in errs.collect())
