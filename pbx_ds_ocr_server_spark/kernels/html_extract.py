@@ -58,6 +58,15 @@ _TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)(/?)>",
     re.DOTALL,
 )
+# single-scan tokenizer: one C-level search locates AND parses the next
+# markup construct; stray '<' never matches and thus stays in the text gap
+# (ordered alternation: comments before other declarations)
+_SCAN_RE = re.compile(
+    r"<(?:(!--)"
+    r"|([!?])"
+    r"|(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)(/?)>)",
+    re.DOTALL,
+)
 _WS_RE = re.compile(r"\s+")
 # delete-table for C-speed non-whitespace counting (matches \s for the
 # whitespace that occurs in practice; frozen as part of the density spec)
@@ -203,42 +212,28 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
         link_texts = []
         cur_chars = 0
 
+    search = _SCAN_RE.search
     while pos < n:
-        lt = text.find("<", pos)
-        if lt == -1:
-            lt = n
-        if lt > pos:
-            chunk = text[pos:lt]
+        m = search(text, pos)
+        gap_end = m.start() if m else n
+        if gap_end > pos:
+            chunk = text[pos:gap_end]
             if cur_chars < cfg.max_block_chars:
                 pieces.append(chunk[: cfg.max_block_chars - cur_chars])
                 cur_chars += len(chunk)
             if link_depth > 0:
                 link_texts.append(chunk)
-            pos = lt
-            continue
-        if pos >= n:
-            break
-        # at a '<'
-        nxt = text[pos + 1] if pos + 1 < n else ""
-        if nxt == "!" or nxt == "?":
-            if text.startswith("<!--", pos):
-                end = text.find("-->", pos + 4)
-                pos = n if end == -1 else end + 3
-            else:
-                end = text.find(">", pos)
-                pos = n if end == -1 else end + 1
-            continue
-        m = _TAG_RE.match(text, pos)
         if m is None:
-            # stray '<' — literal text
-            if cur_chars < cfg.max_block_chars:
-                pieces.append("<")
-                cur_chars += 1
-            if link_depth > 0:
-                link_texts.append("<")
-            pos += 1
+            break
+        comment, decl, closing, name, _attrs, selfclose = m.groups()
+        if comment is not None:
+            end = text.find("-->", m.start() + 4)
+            pos = n if end == -1 else end + 3
             continue
-        closing, name, _attrs, selfclose = m.groups()
+        if decl is not None:
+            end = text.find(">", m.start())
+            pos = n if end == -1 else end + 1
+            continue
         name = name.lower()
         pos = m.end()
         if not closing and not selfclose and name in _RAWTEXT:
