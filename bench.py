@@ -35,7 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_LOW = int(os.environ.get("PBX_BENCH_N", "2"))
 N_HIGH = 4 * N_LOW
 REPS = int(os.environ.get("PBX_BENCH_REPS", "3"))
-REPEAT = int(os.environ.get("PBX_BENCH_REPEAT", "20"))  # corpus = docs × REPEAT
+REPEAT = int(os.environ.get("PBX_BENCH_REPEAT", "40"))  # corpus = docs × REPEAT
 SF_LABEL = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
 
@@ -200,7 +200,7 @@ def write_md(payload: dict) -> None:
         f"| local[{CPUS}] (full) | {p['wall_full']} | {p['docs_per_sec_full']} |",
         "",
         f"**Scaling efficiency N→4N: {p['scaling_efficiency']}**"
-        " (best within-rep ratio, which cancels the host's common-mode"
+        " (median within-rep ratio — pairing cancels the host's common-mode"
         f" throttling; per-rep: {p.get('scaling_efficiency_per_rep')};"
         " target ≥ 0.8)",
         "",
@@ -242,13 +242,16 @@ def main() -> int:
     low, high, full = levels[N_LOW], levels[N_HIGH], levels[CPUS]
     # Efficiency per rep, pairing runs from the SAME noise window: host
     # throttling slows both levels of a rep alike, so the within-rep ratio
-    # cancels common-mode drift; the best rep is the least-confounded
-    # estimate (all ratios reported for transparency).
+    # cancels common-mode drift. The MEDIAN rep is reported (a max can
+    # exceed 1.0 when the low-parallelism half of a rep got throttled —
+    # cherry-picking it would overstate; all ratios are in the JSON).
+    import statistics
+
     eff_reps = [
         round((wn / w4) / (N_HIGH / N_LOW), 3)
         for wn, w4 in zip(low["all_walls"], high["all_walls"])
     ]
-    eff = max(eff_reps)
+    eff = round(statistics.median(eff_reps), 3)
     queries = timed_queries(HEADLINE)
     payload = {
         "metric": "extract_corpus_wall_seconds",

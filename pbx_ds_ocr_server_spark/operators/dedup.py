@@ -2,8 +2,8 @@
 
 All built from relational primitives so Catalyst handles distribution:
   * exact          — md5-fingerprint groupBy (map-side partial agg for free)
-  * MinHash + LSH  — word-set min-hashes → band buckets → bucket self-join
-                     (candidate pairs only; never all-pairs)
+  * MinHash + LSH  — shingle-set min-hashes → band buckets → bucket
+                     self-join (candidate pairs only; never all-pairs)
   * n-gram Jaccard — shingle explode + equi-join on shingle → intersection
                      counts vs set sizes
   * SimHash        — 16-bit near-dup signature (functions/text.simhash16)
@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
-from pbx_ds_ocr_server_spark.functions.text import fingerprint, norm_text, words
+from pbx_ds_ocr_server_spark.functions.text import fingerprint, words
 
 
 # ------------------------------------------------------------------ exact

@@ -29,7 +29,6 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-import traceback
 from typing import Iterator
 
 import pandas as pd
