@@ -152,6 +152,17 @@ class PageResult:
     page_index: int
     text: str
     spans: list[Span] = field(default_factory=list)
+    title: str | None = None
+
+
+_TITLE_RE = re.compile(
+    r"<title[^>]*>(.*?)</title", re.IGNORECASE | re.DOTALL
+)
+
+
+def _clean_title(raw: str) -> str | None:
+    t = " ".join(_html.unescape(raw).split())
+    return t or None
 
 
 def _classify(tag: str | None) -> str:
@@ -171,6 +182,10 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
     (HTML documents are one logical page; page_index is 1-based to match
     the reference, ``dsocr_model.py:391-395``)."""
     text, _enc = sniff_decode(payload)
+    # first <title> wins (browser behavior); captured up-front since the
+    # main loop fast-skips the <head> subtree wholesale
+    tm = _TITLE_RE.search(text)
+    title = _clean_title(tm.group(1)) if tm else None
     n = len(text)
     pos = 0
     link_depth = 0
@@ -288,4 +303,9 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
         )
         parts.append(btext)
         byte_off += blen
-    return PageResult(page_index=1, text=cfg.page_separator.join(parts), spans=spans)
+    return PageResult(
+        page_index=1,
+        text=cfg.page_separator.join(parts),
+        spans=spans,
+        title=title,
+    )

@@ -223,6 +223,16 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
 
 
 _DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
+_INFO_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+
+
+def pdf_title(payload: bytes) -> str | None:
+    """Document title from the Info dictionary (``/Title (...)``), if any."""
+    m = _INFO_TITLE_RE.search(payload)
+    if not m:
+        return None
+    t = " ".join(_decode_pdf_string(m.group(1)).split())
+    return t or None
 
 
 def extract_pdf(

@@ -42,6 +42,7 @@ from pbx_ds_ocr_server_spark.kernels import (
     extract_pdf,
     pdf_page_count,
 )
+from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
 from pbx_ds_ocr_server_spark.operators.salting import salt_partitions
 
 SPAN_STRUCT = (
@@ -51,7 +52,7 @@ SPAN_STRUCT = (
 PAGES_SCHEMA = (
     "url string, content_type string, n_pages int, seq int, page_index int,"
     f" page_text string, spans array<{SPAN_STRUCT}>,"
-    " status string, error string"
+    " title string, status string, error string"
 )
 
 # JobStatus analog (/root/reference/app/schemas.py:10-16) + rejection reasons
@@ -80,7 +81,7 @@ def _span_dicts(spans) -> list[dict]:
 def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
     """One document → page rows (pure; exceptions become failed rows)."""
     base = {"url": url, "n_pages": 0, "seq": 0, "page_index": 0,
-            "page_text": "", "spans": [], "error": None}
+            "page_text": "", "spans": [], "title": None, "error": None}
     ctype = detect_content_type(payload)
     base["content_type"] = ctype
     if payload is None or len(payload) == 0:
@@ -98,11 +99,13 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
                 return [dict(base, n_pages=n, status=ST_REJ_PAGES,
                              error=f"{n} pages > {cfg.max_pages}")]
             pages = extract_pdf(payload, cfg)
+            title = pdf_title(payload)
             return [
                 dict(base, n_pages=n, seq=i, page_index=p.page_index,
-                     page_text=p.text, spans=_span_dicts(p.spans), status=ST_OK)
+                     page_text=p.text, spans=_span_dicts(p.spans),
+                     title=title, status=ST_OK)
                 for i, p in enumerate(pages)
-            ] or [dict(base, n_pages=n, status=ST_OK)]
+            ] or [dict(base, n_pages=n, title=title, status=ST_OK)]
         if ctype in ("png", "jpeg", "unknown"):
             # OCR-of-raster is out of scope (north rule): dispatch must not
             # fail, rows pass through as no-ops (FIXTURES.md §3c).
@@ -110,7 +113,7 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
         page = extract_html(payload, cfg)
         return [dict(base, n_pages=1, seq=0, page_index=1,
                      page_text=page.text, spans=_span_dicts(page.spans),
-                     status=ST_OK)]
+                     title=page.title, status=ST_OK)]
     except Exception as exc:  # defensive, like _parse_output's fallbacks
         return [dict(base, status=ST_FAILED,
                      error=f"{type(exc).__name__}: {exc}")]
@@ -136,7 +139,7 @@ def extract_pages(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "url", "content_type", "n_pages", "seq", "page_index",
-            "page_text", "spans", "status", "error",
+            "page_text", "spans", "title", "status", "error",
         ]
         for pdf_batch in batches:
             out: list[dict] = []
@@ -200,6 +203,7 @@ def assemble_documents(
             )
         ).alias("parts"),
         F.max("n_pages").alias("n_pages"),
+        F.max("title").alias("title"),
         F.max("content_type").alias("content_type"),
         F.min("status").alias("status"),  # any rejection/failure dominates
         F.max("error").alias("error"),
@@ -211,6 +215,7 @@ def assemble_documents(
         ),
         F.expr("flatten(transform(parts, p -> p.doc_spans))").alias("spans"),
         "n_pages",
+        "title",
         "content_type",
         "status",
         "error",

@@ -122,6 +122,18 @@ def test_keep_latest_snapshot_resolves_revisits(spark):
     assert out.count() == 3
 
 
+def test_titles_extracted(result):
+    htmls = result.filter(F.col("content_type") == "html")
+    assert htmls.filter(F.col("title") == "synthetic page").count() == htmls.count()
+    # degenerate payloads have no title
+    assert (
+        result.filter(F.col("status") == "rejected_unparseable")
+        .filter(F.col("title").isNotNull())
+        .count()
+        == 0
+    )
+
+
 def test_rejected_rows_carry_reasons(result):
     errs = result.filter(F.col("status").startswith("rejected")).select("error")
     assert all(r.error for r in errs.collect())
