@@ -88,8 +88,47 @@ def _decode_pdf_string(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_objstm(body: bytes, out: dict[int, bytes]) -> None:
+    """Unpack a cross-reference object stream (/Type /ObjStm): header is N
+    (obj-number, offset) integer pairs, then the concatenated objects at
+    /First. Objects inside are invisible to the raw ``N 0 obj`` scan, so
+    modern xref-stream PDFs need this expansion."""
+    nm = _N_RE.search(body)
+    fm = _FIRST_RE.search(body)
+    sm = _STREAM_RE.search(body)
+    if not (nm and fm and sm):
+        return
+    data = sm.group(1)
+    if _FLATE_RE.search(body):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return
+    n = int(nm.group(1))
+    first = int(fm.group(1))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        return
+    pairs = [
+        (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+    ]
+    for i, (obj_num, off) in enumerate(pairs):
+        start = first + off
+        end = first + pairs[i + 1][1] if i + 1 < n else len(data)
+        out.setdefault(obj_num, data[start:end])
+
+
 def _parse_objects(payload: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(payload)}
+    out = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(payload)}
+    for body in list(out.values()):
+        if _OBJSTM_RE.search(body):
+            _expand_objstm(body, out)
+    return out
 
 
 def _page_object_ids(objects: dict[int, bytes]) -> list[int]:

@@ -84,6 +84,38 @@ def test_tj_array_and_tstar():
     assert extract_pdf(pdf)[0].text == "hello world\n\nnext line"
 
 
+def test_objstm_objects_visible():
+    """Page + Pages objects packed inside a compressed /Type /ObjStm (the
+    modern xref-stream layout) must still be found."""
+    inner_objs = [
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    bodies = [b for _, b in inner_objs]
+    offsets, pos = [], 0
+    for b in bodies:
+        offsets.append(pos)
+        pos += len(b) + 1
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(inner_objs, offsets)
+    ).encode()
+    first = len(header) + 1
+    blob = header + b"\n" + b"\n".join(bodies) + b"\n"
+    comp = zlib.compress(blob)
+    content = b"BT /F1 12 Tf 72 700 Td (inside objstm) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Type /ObjStm /N 2 /First " + str(first).encode()
+        + b" /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    assert pdf_page_count(pdf) == 1
+    assert extract_pdf(pdf)[0].text == "inside objstm"
+
+
 def test_figure_span_from_xobject():
     pdf = _one_page_pdf(b"BT /F1 12 Tf 72 700 Td (text) Tj ET /Img1 Do")
     spans = extract_pdf(pdf)[0].spans
