@@ -233,11 +233,17 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
         gap_end = m.start() if m else n
         if gap_end > pos:
             chunk = text[pos:gap_end]
+            # both density counters see the SAME capped text: link text past
+            # the max_block_chars cap never enters `pieces`, so it must not
+            # inflate the numerator either (density could exceed 1 otherwise)
             if cur_chars < cfg.max_block_chars:
-                pieces.append(chunk[: cfg.max_block_chars - cur_chars])
+                kept = chunk[: cfg.max_block_chars - cur_chars]
+                pieces.append(kept)
                 cur_chars += len(chunk)
-            if link_depth > 0:
-                link_texts.append(chunk)
+            else:
+                kept = ""
+            if link_depth > 0 and kept:
+                link_texts.append(kept)
         if m is None:
             break
         comment, decl, closing, name, _attrs, selfclose = m.groups()

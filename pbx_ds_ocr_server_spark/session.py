@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin UTC: parquet timestamps are TIMESTAMP_NTZ and the DuckDB
+        # oracles use naive epoch()/date_trunc — on a non-UTC host,
+        # unix_timestamp/F.window would otherwise interpret NTZ values in
+        # the session zone and diverge from the oracle.
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow everywhere. Batch size trades python-roundtrip overhead
         # against peak batch bytes: 256 measured ~3x faster than 64 on
         # few-KB docs; tune DOWN to 64-128 for corpora with multi-MB blobs

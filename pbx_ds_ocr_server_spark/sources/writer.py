@@ -94,9 +94,22 @@ class JobResult:
 def stage_input(
     df: DataFrame, staging_dir: str, n_buckets: int
 ) -> None:
-    """One-pass hash-bucketed staging write (the salting shuffle)."""
+    """One-pass hash-bucketed staging write (the salting shuffle).
+
+    The ``_STAGED`` marker records the bucket count; re-staging the same
+    directory with a DIFFERENT ``n_buckets`` raises instead of silently
+    reusing the old layout (a resume at a smaller n_buckets would otherwise
+    never extract buckets >= n_buckets yet mark the run complete)."""
     marker = os.path.join(staging_dir, "_STAGED")
     if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            staged_n = int(f.read().strip() or "0")
+        if staged_n != n_buckets:
+            raise ValueError(
+                f"staging at {staging_dir} was written with n_buckets="
+                f"{staged_n}, requested {n_buckets}; use the original bucket"
+                " count or re-stage into a fresh output_dir"
+            )
         return
     (
         df.withColumn(

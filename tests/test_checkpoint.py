@@ -86,3 +86,10 @@ def test_rerun_of_complete_job_is_noop(spark, crashed_then_resumed, corpus, outd
     third = run_extract_job(spark, corpus, outdir, run_id="r3", n_buckets=N_BUCKETS)
     assert third.buckets_done == []
     assert len(third.buckets_skipped) == N_BUCKETS
+
+
+def test_restage_with_different_n_buckets_raises(spark, corpus, tmp_path):
+    out = str(tmp_path / "mismatch")
+    run_extract_job(spark, corpus, out, run_id="rA", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extract_job(spark, corpus, out, run_id="rB", n_buckets=2)

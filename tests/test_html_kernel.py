@@ -123,3 +123,20 @@ def test_noscript_dropped():
 
 def test_form_subtree_dropped():
     assert run("<body><form><input><button>go</button></form><p>real</p></body>") == "real"
+
+
+def test_link_density_counts_capped_text_only():
+    # block exceeds max_block_chars; ALL link text sits past the cap. The
+    # density numerator must see the same capped text as the denominator
+    # (pre-fix the numerator counted uncapped link text -> density > 1 and
+    # a legitimately linkless kept-prefix was dropped).
+    body = "x" * 30 + "<a href='/'>" + "link " * 20 + "</a>"
+    out = run(f"<body><div>{body}</div></body>", max_block_chars=30)
+    assert out == "x" * 30
+
+
+def test_link_density_partial_cap_overlap():
+    # cap cuts inside the link text: only the kept slice counts as link text
+    html = "<body><div>aaaa <a href='/'>bbbb cccc</a></div></body>"
+    # cap=7 keeps "aaaa bb" -> link share 2/6 nonws <= 0.5 -> kept
+    assert run(html, max_block_chars=7) == "aaaa bb"
