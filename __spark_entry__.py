@@ -32,7 +32,7 @@ from pbx_ds_ocr_server_spark.functions.text import (
     token_count,
 )
 from pbx_ds_ocr_server_spark.operators.dedup import (
-    embedding_neardup_pairs,
+    embedding_neardup_lsh,
     exact_dup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -52,6 +52,10 @@ from pbx_ds_ocr_server_spark.operators.similarity import (
 NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
 WORDS = f"string_split({NORM}, ' ')"
 TOKENS = f"(CASE WHEN {NORM} = '' THEN 0 ELSE len({WORDS}) END)"
+
+# hot-shingle document-frequency cap (skew guard) — the Spark queries and
+# their DuckDB oracles MUST share this value (operators/dedup.jaccard_pairs).
+MAX_SHINGLE_DF = 1000
 
 # dup-injection used by the dedup queries (same on both sides): docs with
 # doc_id < 20 duplicated under doc_id+1000000.
@@ -209,9 +213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_signatures(_docs_u(spark, sf))
     )
     q["ngram_jaccard_pairs"] = lambda spark, sf: jaccard_pairs(
-        _docs_u(spark, sf), min_jaccard=0.8
+        _docs_u(spark, sf), min_jaccard=0.8, max_shingle_df=MAX_SHINGLE_DF
     )
-    q["embedding_neardup_pairs"] = lambda spark, sf: embedding_neardup_pairs(
+    # LSH-bucketed near-dup (never all-pairs): buckets + Hamming-1 probes
+    # are mirrored exactly in the oracle, so this is hash-checked end-to-end
+    q["embedding_neardup_pairs"] = lambda spark, sf: embedding_neardup_lsh(
         _emb(spark, sf)
         .select("vec_id", "embedding")
         .unionByName(
@@ -222,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         threshold=0.999,
+        n_planes=8,
+        dims=64,
     ).withColumn("cos", F.round("cos", 5))
 
     # --- similarity-search tier ---
@@ -566,13 +574,19 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # mirror of jaccard_pairs' max_shingle_df guard: shingles with document
+    # frequency above the cap are dropped BEFORE sizes and intersections
     jaccard_sql = f"""
         WITH docs_u AS ({DOCS_U}),
         {shingle_cte.format(src='docs_u')},
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        shf AS (
+            SELECT doc_id, w FROM sh WHERE w NOT IN (
+                SELECT w FROM sh GROUP BY w HAVING count(*) > {MAX_SHINGLE_DF})
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
         inter AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-            FROM sh x JOIN sh y USING (w) WHERE x.doc_id < y.doc_id
+            FROM shf x JOIN shf y USING (w) WHERE x.doc_id < y.doc_id
             GROUP BY 1, 2
         )
         SELECT a, b, round(i / (sa.n + sb.n - i), 6) AS jaccard
@@ -582,19 +596,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8
     """
 
-    neardup_sql = """
+    # exact mirror of operators/dedup.embedding_neardup_lsh: same md5
+    # hyperplane buckets, same Hamming-≤1 probe set, cosine only on
+    # candidate pairs
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(8)]
+    )
+    neardup_sql = f"""
         WITH e AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
             SELECT vec_id + 100000 AS vec_id, embedding
             FROM embeddings WHERE vec_id < 10
+        ),
+        bk AS (
+            SELECT vec_id, embedding,
+                   CAST({_lsh_bucket_sql(8, 64)} AS BIGINT) AS bucket
+            FROM e
+        ),
+        probes AS (
+            SELECT vec_id, unnest([{probe_list}]) AS probe FROM bk
+        ),
+        cand AS (
+            SELECT DISTINCT p.vec_id AS a, q.vec_id AS b
+            FROM probes p JOIN bk q ON p.probe = q.bucket
+            WHERE p.vec_id < q.vec_id
         )
-        SELECT x.vec_id AS a, y.vec_id AS b,
+        SELECT c.a, c.b,
                round(list_cosine_similarity(x.embedding::DOUBLE[],
                                             y.embedding::DOUBLE[]), 5) AS cos
-        FROM e x, e y
-        WHERE x.vec_id < y.vec_id
-          AND round(list_cosine_similarity(x.embedding::DOUBLE[],
+        FROM cand c
+        JOIN e x ON x.vec_id = c.a
+        JOIN e y ON y.vec_id = c.b
+        WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
                                            y.embedding::DOUBLE[]), 6) >= 0.999
     """
 
@@ -684,10 +718,16 @@ def oracle_sql() -> dict[str, str]:
                   ON x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
             )
         ),
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cids AS (SELECT a AS doc_id FROM cand UNION SELECT b AS doc_id FROM cand),
+        shc AS (SELECT sh.doc_id, sh.w FROM sh JOIN cids USING (doc_id)),
+        shf AS (
+            SELECT doc_id, w FROM shc WHERE w NOT IN (
+                SELECT w FROM shc GROUP BY w HAVING count(*) > {MAX_SHINGLE_DF})
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
         inter AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-            FROM sh x JOIN sh y USING (w) WHERE x.doc_id < y.doc_id
+            FROM shf x JOIN shf y USING (w) WHERE x.doc_id < y.doc_id
             GROUP BY 1, 2
         ),
         verified AS (

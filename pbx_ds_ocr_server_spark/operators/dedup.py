@@ -129,14 +129,21 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ min_jaccard.
 
     intersection via equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     (stopword-shingle skew guard) — affects recall, never correctness of the
-    pairs it does emit.
+    pairs it does emit. The default cap is ON (1000): a single hot shingle
+    ("of the and") with df=d contributes d² rows to the self-join, so an
+    uncapped run is quadratic in the hottest shingle and dies at web scale.
+    Pass ``None`` only for small, trusted frames.
+
+    The per-doc ``sizes`` relation is deliberately NOT broadcast-hinted: it
+    is one row per document (10⁹ rows at corpus scale — a guaranteed OOM as
+    a build side); AQE picks broadcast at runtime when it actually fits.
     """
     base = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("arr"))
     sh = base.select("id", F.explode("arr").alias("sh"))
@@ -154,15 +161,9 @@ def jaccard_pairs(
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
-    # sizes is one small row per doc: broadcast it (without the hint the
-    # array-projection path estimates large and falls back to sort-merge)
     return (
-        inter.join(
-            F.broadcast(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"})), "a"
-        )
-        .join(
-            F.broadcast(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"})), "b"
-        )
+        inter.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "nb"}), "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -225,7 +226,7 @@ def dedup_near(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidates → exact Jaccard verify
     → connected keepers (min id wins per duplicate pair chain, one hop).
@@ -269,15 +270,96 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.999,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs. O(n²) within the given frame — callers
-    bucket first (LSH, operators/similarity.py) and apply this per bucket."""
+    """Exact cosine near-dup pairs — O(n²) cartesian within the given frame.
+
+    This is the small-frame/per-bucket primitive, NOT the corpus entry
+    point: ``max_rows`` (default 100k) refuses frames where the cartesian
+    would be ≥10¹⁰ pairs; use :func:`embedding_neardup_lsh` for full-corpus
+    near-dedup. Pass ``max_rows=None`` only when the caller already bounded
+    the frame (e.g. one LSH bucket)."""
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is all-pairs O(n²) and the input"
+                f" exceeds max_rows={max_rows}; use embedding_neardup_lsh()"
+                " for corpus-scale near-dedup, or pass max_rows=None for a"
+                " frame you know is bounded (one LSH bucket)"
+            )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     x = df.select(F.col(id_col).alias("a"), v.alias("va"))
     y = df.select(F.col(id_col).alias("b"), v.alias("vb"))
     return (
         x.crossJoin(y)
         .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    n_planes: int = 8,
+    dims: int | None = None,
+) -> DataFrame:
+    """Corpus-scale embedding near-dedup: hyperplane-LSH bucketing →
+    Hamming-≤1 multiprobe candidate join → exact cosine verify.
+
+    The web-scale shape: every vector lands in one of 2^n_planes sign
+    buckets (operators/similarity.lsh_bucket — deterministic md5
+    hyperplanes, so the bucketing itself mirrors into ANSI SQL). Each
+    vector then PROBES its own bucket plus the n_planes buckets at Hamming
+    distance 1 (one sign bit flipped — where a true near-duplicate most
+    likely lands when a single dot product straddles zero). Candidates are
+    an equi-join on (probe = bucket): per-bucket cost, hash-shuffled, AQE
+    skew-splittable — never an all-pairs cartesian. Exact cosine runs only
+    on candidates.
+
+    Recall: pairs whose buckets differ in ≥2 bits are missed — at
+    threshold≈1 the two sign vectors can disagree on a bit only where the
+    dot product is ~0, so ≥2 simultaneous straddles is rare; raise recall
+    with fewer planes or accept the cost of more probes. Cost: n_planes+1
+    probe rows per vector, candidate count ≈ Σ_bucket n_b·(n_b+probed)/2.
+    """
+    # lazy import: similarity.py imports cosine() from this module
+    from pbx_ds_ocr_server_spark.operators.similarity import with_lsh_bucket
+
+    b = with_lsh_bucket(df, vec_col, n_planes, dims).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    probes = b.select(
+        "id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.join(
+            b.select(F.col("id").alias("id2"), "bucket"),
+            probes["probe"] == F.col("bucket"),
+        )
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("a"), F.col("id2").alias("b"))
+        .distinct()
+    )
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    va = b.select(F.col("id").alias("a"), vd.alias("va"))
+    vb = b.select(F.col("id").alias("b"), vd.alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")

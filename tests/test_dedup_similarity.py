@@ -136,3 +136,49 @@ def test_layout_json_shape(spark, corpus):
         idxs = [p["page_index"] for p in doc["pages"]]
         assert idxs == sorted(idxs) and idxs[0] == 1
         assert all("res" in p and "text" in p["res"] for p in doc["pages"])
+
+
+def test_embedding_neardup_lsh_matches_brute_force(spark):
+    # real embeddings + injected exact duplicates: the LSH-bucketed path must
+    # find exactly what the all-pairs path finds at threshold~1 (true pairs
+    # here are identical vectors -> identical buckets, recall is exact)
+    from pbx_ds_ocr_server_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    both = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+        )
+    )
+    lsh = {
+        (r.a, r.b, r.cos)
+        for r in embedding_neardup_lsh(both, threshold=0.999, dims=64).collect()
+    }
+    brute = {
+        (r.a, r.b, r.cos)
+        for r in embedding_neardup_pairs(
+            both, threshold=0.999, max_rows=None
+        ).collect()
+    }
+    assert lsh == brute and len(lsh) >= 10
+
+
+def test_embedding_neardup_lsh_plan_has_no_cartesian(spark):
+    from pbx_ds_ocr_server_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        embedding_neardup_lsh(emb, dims=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_pairs_refuses_unbounded_frames(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_neardup_pairs(emb, max_rows=10).count()
