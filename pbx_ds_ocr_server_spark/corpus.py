@@ -33,7 +33,7 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 NAV = (
     '<nav class="top"><ul>'
@@ -98,36 +98,66 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def make_pdf(pages: list[list[tuple[float, float, str]]]) -> bytes:
-    """Minimal valid single-xref PDF; one content stream per page, text shown
-    with explicit Td coordinates (latin-1-encodable text only)."""
+def _page_stream(items: list[tuple[float, float, str]], hex_strings: bool) -> bytes:
+    """One self-contained BT..ET content stream (Td chain from the origin)."""
+    ops = ["BT", "/F1 12 Tf"]
+    prev_x = prev_y = 0.0
+    for x, y, s in items:
+        ops.append(f"{x - prev_x:.1f} {y - prev_y:.1f} Td")
+        if hex_strings:
+            ops.append(f"<{s.encode('utf-8').hex()}> Tj")
+        else:
+            ops.append(f"({_pdf_escape(s)}) Tj")
+        prev_x, prev_y = x, y
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def make_pdf(
+    pages: list[list[tuple[float, float, str]]],
+    streams_per_page: int = 1,
+    hex_strings: bool = False,
+) -> bytes:
+    """Minimal valid single-xref PDF (latin-1-encodable text only).
+
+    ``streams_per_page > 1`` splits each page's text items across that many
+    content streams referenced via the ARRAY form ``/Contents [a 0 R b 0 R]``
+    (each stream self-contained BT..ET); ``hex_strings`` shows text with
+    ``<hex> Tj`` instead of literal strings — the two real-world PDF shapes
+    the round-1 kernel was blind to."""
     objs: list[bytes] = []
     n_pages = len(pages)
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    k = max(1, streams_per_page)
+    per_page = 1 + k  # page object + k content streams
+    kids = " ".join(f"{3 + per_page * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
+    font_ref = 3 + per_page * n_pages
     for i, items in enumerate(pages):
-        content_ref = 4 + 2 * i
+        refs = [4 + per_page * i + j for j in range(k)]
+        if k == 1:
+            contents = f"/Contents {refs[0]} 0 R"
+        else:
+            contents = "/Contents [" + " ".join(f"{r} 0 R" for r in refs) + "]"
         objs.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Contents {content_ref} 0 R /Resources << /Font << /F1 "
-                f"{3 + 2 * n_pages} 0 R >> >> >>"
+                f"{contents} /Resources << /Font << /F1 "
+                f"{font_ref} 0 R >> >> >>"
             ).encode()
         )
-        ops = ["BT", "/F1 12 Tf"]
-        prev_x = prev_y = 0.0
-        for x, y, s in items:
-            ops.append(f"{x - prev_x:.1f} {y - prev_y:.1f} Td")
-            ops.append(f"({_pdf_escape(s)}) Tj")
-            prev_x, prev_y = x, y
-        ops.append("ET")
-        stream = "\n".join(ops).encode("latin-1")
-        objs.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-        )
+        # split items round-robin-free: contiguous chunks keep y-order
+        chunk = max(1, (len(items) + k - 1) // k)
+        for j in range(k):
+            stream = _page_stream(
+                items[j * chunk : (j + 1) * chunk], hex_strings
+            )
+            objs.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(stream), stream)
+            )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n")
@@ -171,9 +201,10 @@ CLASSES = (
     "utf8_bom",     # 5
     "utf16",        # 6
     "pdf",          # 7
-    "empty",        # 8
-    "bad_pdf",      # 9
-    "png",          # 10
+    "pdf_multistream",  # 8  (/Contents array + hex strings)
+    "empty",        # 9
+    "bad_pdf",      # 10
+    "png",          # 11
 )
 
 # weights: mostly HTML, some PDFs, few degenerates
@@ -182,7 +213,8 @@ _CLASS_TABLE = (
     + ["paras"] * 6
     + ["boiler"] * 6
     + ["gb18030", "latin1", "utf8_bom", "utf16"]
-    + ["pdf"] * 4
+    + ["pdf"] * 3
+    + ["pdf_multistream"] * 2
     + ["empty", "bad_pdf", "png"]
 )
 
@@ -230,6 +262,13 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         n_pages = 1 + _h(f"npages:{doc_id}") % 5
         pages = pdf_pages_for(text, n_pages)
         payload = make_pdf(pages)
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_multistream":
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf(pages, streams_per_page=2, hex_strings=True)
         expected = "\n\n".join(
             "\n\n".join(line for _, _, line in page) for page in pages if page
         )

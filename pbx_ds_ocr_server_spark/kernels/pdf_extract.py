@@ -33,14 +33,18 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+# /Contents: single-ref AND array form (both everywhere in real crawls)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
 _FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 
-# content-stream tokens: strings, arrays, numbers, names, operators
+# content-stream tokens: strings (literal + hex), arrays, numbers, names,
+# operators
 _TOK_RE = re.compile(
     rb"""\((?:[^()\\]|\\.)*\)      # literal string
+      | <[0-9A-Fa-f\s]*>          # hex string (never matches '<<' dicts)
       | \[ | \]
       | /[A-Za-z0-9.#_-]+
       | [-+]?\d*\.?\d+
@@ -48,6 +52,8 @@ _TOK_RE = re.compile(
     """,
     re.VERBOSE | re.DOTALL,
 )
+
+_HEX_WS_RE = re.compile(rb"\s+")
 
 _ESC = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -86,6 +92,26 @@ def _decode_pdf_string(raw: bytes) -> str:
         out += c
         i += 1
     return out.decode("utf-8", errors="replace")
+
+
+def _tok_text(tok: bytes) -> str:
+    """Decode a string token — literal ``(...)`` or hex ``<...>`` form."""
+    if tok.startswith(b"("):
+        return _decode_pdf_string(tok[1:-1])
+    if tok.startswith(b"<"):
+        hx = _HEX_WS_RE.sub(b"", tok[1:-1])
+        if len(hx) % 2:  # odd digit count: spec pads with trailing 0
+            hx += b"0"
+        try:
+            raw = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return ""
+        return raw.decode("utf-8", errors="replace")
+    return ""
+
+
+def _is_string_tok(tok: bytes) -> bool:
+    return tok.startswith(b"(") or tok.startswith(b"<")
 
 
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
@@ -165,19 +191,47 @@ def pdf_page_count(payload: bytes) -> int | None:
     return len(pages) if pages else None
 
 
-def _content_stream(objects: dict[int, bytes], page_body: bytes) -> bytes:
-    m = _CONTENTS_RE.search(page_body)
-    body = objects.get(int(m.group(1)), b"") if m else page_body
+def _stream_data(body: bytes) -> tuple[bytes, bool]:
+    """Decode one object's stream → (data, had_raw). ``had_raw`` is True
+    when a non-empty raw stream existed, even if decoding failed — the
+    signal that separates a genuinely blank page from a parser blind spot
+    (undecodable filter, unsupported encoding)."""
     sm = _STREAM_RE.search(body)
     if not sm:
-        return b""
+        return b"", False
     data = sm.group(1)
+    had_raw = bool(data)
     if _FLATE_RE.search(body):
         try:
             data = zlib.decompress(data)
         except zlib.error:
-            return b""
-    return data
+            return b"", had_raw
+    return data, had_raw
+
+
+def _content_stream(
+    objects: dict[int, bytes], page_body: bytes
+) -> tuple[bytes, bool]:
+    """Page body → (concatenated decoded content, had_raw_content).
+
+    Handles BOTH /Contents forms: the single ref ``/Contents N 0 R`` and the
+    array ``/Contents [N 0 R M 0 R]`` (streams concatenated in array order
+    with a whitespace joint, per the PDF spec's "treated as one stream"
+    rule). The array form is everywhere in real crawls; silently yielding
+    empty text for it was the reference-parity gap flagged in round 1."""
+    am = _CONTENTS_ARR_RE.search(page_body)
+    if am:
+        parts: list[bytes] = []
+        had_any = False
+        for rm in _REF_RE.finditer(am.group(1)):
+            data, had = _stream_data(objects.get(int(rm.group(1)), b""))
+            had_any = had_any or had
+            if data:
+                parts.append(data)
+        return b"\n".join(parts), had_any
+    m = _CONTENTS_RE.search(page_body)
+    body = objects.get(int(m.group(1)), b"") if m else page_body
+    return _stream_data(body)
 
 
 def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
@@ -196,7 +250,7 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
         if tok == b"]":
             stack.append(b"ARRAY")
             continue
-        if tok.startswith(b"("):
+        if _is_string_tok(tok):
             if in_array is not None:
                 in_array.append(tok)
             else:
@@ -237,19 +291,20 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
                     leading = float(stack[-1])
                 except ValueError:
                     pass
-        elif op == b"Tj" or op == b"'":
-            if op == b"'":
+        elif op in (b"Tj", b"'", b'"'):
+            # ' and " move to the next line first; " additionally carries
+            # (aw ac) word/char spacing operands BEFORE the string — the
+            # string is still the top of stack, spacing is layout-only
+            if op != b"Tj":
                 ly -= leading
                 x, y = lx, ly
-            if stack and stack[-1].startswith(b"("):
-                s = _decode_pdf_string(stack[-1][1:-1])
+            if stack and _is_string_tok(stack[-1]):
+                s = _tok_text(stack[-1])
                 if s:
                     items.append((x, y, s))
         elif op == b"TJ":
             if in_array is not None:
-                s = "".join(
-                    _decode_pdf_string(t[1:-1]) for t in in_array
-                )
+                s = "".join(_tok_text(t) for t in in_array)
                 if s:
                     items.append((x, y, s))
             in_array = None
@@ -263,10 +318,30 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
 
 _DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
 _INFO_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 
 
 def pdf_title(payload: bytes) -> str | None:
-    """Document title from the Info dictionary (``/Title (...)``), if any."""
+    """Document title from the trailer's Info dictionary.
+
+    Resolves ``/Info N 0 R`` (the LAST occurrence wins — incremental
+    updates append a new trailer) and reads ``/Title (...)`` from that
+    object's body only, so a /Title in an outline, annotation or content
+    stream cannot shadow the real document title. Falls back to a
+    whole-payload scan only when no /Info reference resolves."""
+    info_obj: int | None = None
+    for im in _INFO_REF_RE.finditer(payload):
+        info_obj = int(im.group(1))
+    if info_obj is not None:
+        om = re.search(
+            rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj" % info_obj,
+            payload,
+            re.DOTALL,
+        )
+        if om:
+            m = _INFO_TITLE_RE.search(om.group(1))
+            t = " ".join(_decode_pdf_string(m.group(1)).split()) if m else ""
+            return t or None
     m = _INFO_TITLE_RE.search(payload)
     if not m:
         return None
@@ -280,17 +355,29 @@ def extract_pdf(
     """Extract selected pages → list[PageResult] in *processing order*
     (the parse_page_ranges output order — part of the byte-identity
     contract, see module docstring)."""
+    return [p for p, _unparsed in extract_pdf_detailed(payload, cfg)]
+
+
+def extract_pdf_detailed(
+    payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> list[tuple[PageResult, bool]]:
+    """Like :func:`extract_pdf` but each page carries an ``unparsed`` flag:
+    True when the page HAD non-empty content-stream bytes yet produced zero
+    text — the 'parser blind spot' signal (unsupported filter/encoding),
+    distinct from a genuinely blank page. The extract operator maps it to
+    status ``succeeded_empty`` so lineage never reports a silent miss as a
+    clean success."""
     objects = _parse_objects(payload)
     page_ids = _page_object_ids(objects)
     total = len(page_ids)
     if total == 0:
         return []
     wanted = parse_page_ranges(cfg.page_ranges, total)
-    results: list[PageResult] = []
+    results: list[tuple[PageResult, bool]] = []
     sep_bytes = len(cfg.page_separator.encode("utf-8"))
     for page_index in wanted:
         body = objects.get(page_ids[page_index - 1], b"")
-        stream = _content_stream(objects, body)
+        stream, had_raw = _content_stream(objects, body)
         items = _text_items(stream)
         # reading-order sort: visual top-to-bottom (descending y), then x
         items.sort(key=lambda it: (-round(it[1], 1), round(it[0], 1)))
@@ -328,10 +415,13 @@ def extract_pdf(
                 )
             )
         results.append(
-            PageResult(
-                page_index=page_index,
-                text=cfg.page_separator.join(parts),
-                spans=spans,
+            (
+                PageResult(
+                    page_index=page_index,
+                    text=cfg.page_separator.join(parts),
+                    spans=spans,
+                ),
+                had_raw and not parts,
             )
         )
     return results

@@ -39,10 +39,12 @@ from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pbx_ds_ocr_server_spark.kernels import (
     detect_content_type,
     extract_html,
-    extract_pdf,
     pdf_page_count,
 )
-from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+    extract_pdf_detailed,
+    pdf_title,
+)
 from pbx_ds_ocr_server_spark.operators.salting import salt_partitions
 
 SPAN_STRUCT = (
@@ -57,6 +59,7 @@ PAGES_SCHEMA = (
 
 # JobStatus analog (/root/reference/app/schemas.py:10-16) + rejection reasons
 ST_OK = "succeeded"
+ST_EMPTY = "succeeded_empty"  # page HAD content bytes but parsing got no text
 ST_NOOP = "succeeded_noop"
 ST_FAILED = "failed"
 ST_REJ_SIZE = "rejected_size"
@@ -98,13 +101,16 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
             if n > cfg.max_pages:  # app/config.py:63
                 return [dict(base, n_pages=n, status=ST_REJ_PAGES,
                              error=f"{n} pages > {cfg.max_pages}")]
-            pages = extract_pdf(payload, cfg)
+            pages = extract_pdf_detailed(payload, cfg)
             title = pdf_title(payload)
+            # per-page: a page with non-empty content bytes but zero text is
+            # succeeded_empty (parser blind spot), never a silent success;
+            # doc-level min(status) keeps 'succeeded' if any page has text
             return [
                 dict(base, n_pages=n, seq=i, page_index=p.page_index,
                      page_text=p.text, spans=_span_dicts(p.spans),
-                     title=title, status=ST_OK)
-                for i, p in enumerate(pages)
+                     title=title, status=ST_EMPTY if unparsed else ST_OK)
+                for i, (p, unparsed) in enumerate(pages)
             ] or [dict(base, n_pages=n, title=title, status=ST_OK)]
         if ctype in ("png", "jpeg", "unknown"):
             # OCR-of-raster is out of scope (north rule): dispatch must not

@@ -137,3 +137,32 @@ def test_titles_extracted(result):
 def test_rejected_rows_carry_reasons(result):
     errs = result.filter(F.col("status").startswith("rejected")).select("error")
     assert all(r.error for r in errs.collect())
+
+
+def test_multistream_pdfs_extract_byte_identical(result):
+    ms = result.filter(
+        (F.col("doc_class") == "pdf_multistream")
+        & (F.col("status") == "succeeded")
+    )
+    assert ms.count() > 0
+    assert ms.filter(F.col("text") != F.col("expected_text")).count() == 0
+
+
+def test_unparseable_content_is_succeeded_empty_not_silent(spark):
+    # a PDF whose single content stream is undecodable (bad Flate data):
+    # page count parses, text does not -> succeeded_empty, never a silent
+    # 'succeeded' with empty text
+    bad = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 15 /Filter /FlateDecode >>\n"
+        b"stream\n\x01\x02 not zlib x\nendstream\nendobj\n"
+    )
+    df = spark.createDataFrame(
+        [("pdf://bad-stream", bad)], "url string, html binary"
+    )
+    row = extract(df).first()
+    assert row.status == "succeeded_empty"
+    assert row.text == ""

@@ -120,3 +120,114 @@ def test_figure_span_from_xobject():
     pdf = _one_page_pdf(b"BT /F1 12 Tf 72 700 Td (text) Tj ET /Img1 Do")
     spans = extract_pdf(pdf)[0].spans
     assert [s.kind for s in spans] == ["text", "figure"]
+
+
+def _multi_content_pdf(streams: list[bytes], flate_idx: set[int] = frozenset()) -> bytes:
+    """One page whose /Contents is an ARRAY of the given content streams."""
+    refs = " ".join(f"{4 + i} 0 R" for i in range(len(streams)))
+    out = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents ["
+        + refs.encode()
+        + b"] >>\nendobj\n"
+    )
+    for i, s in enumerate(streams):
+        dct = b"<< /Length " + str(len(s)).encode()
+        if i in flate_idx:
+            dct += b" /Filter /FlateDecode"
+        dct += b" >>"
+        out += (
+            str(4 + i).encode() + b" 0 obj\n" + dct
+            + b"\nstream\n" + s + b"\nendstream\nendobj\n"
+        )
+    return out
+
+
+def test_contents_array_concatenates_streams():
+    pdf = _multi_content_pdf([
+        b"BT /F1 12 Tf 72 700 Td (first stream) Tj ET",
+        b"BT /F1 12 Tf 72 600 Td (second stream) Tj ET",
+    ])
+    assert pdf_page_count(pdf) == 1
+    assert extract_pdf(pdf)[0].text == "first stream\n\nsecond stream"
+
+
+def test_contents_array_with_mixed_filters():
+    comp = zlib.compress(b"BT /F1 12 Tf 72 500 Td (flate part) Tj ET")
+    pdf = _multi_content_pdf(
+        [b"BT /F1 12 Tf 72 700 Td (plain part) Tj ET", comp],
+        flate_idx={1},
+    )
+    assert extract_pdf(pdf)[0].text == "plain part\n\nflate part"
+
+
+def test_hex_strings_decode():
+    hx = "hex hello".encode("utf-8").hex().encode()
+    pdf = _one_page_pdf(b"BT /F1 12 Tf 72 700 Td <" + hx + b"> Tj ET")
+    assert extract_pdf(pdf)[0].text == "hex hello"
+
+
+def test_hex_strings_whitespace_and_odd_digit():
+    # <48 65 6C 6C 6F2> -> "Hello " + chr(0x20): odd digit padded with 0
+    pdf = _one_page_pdf(b"BT /F1 12 Tf 72 700 Td <48 65\n6C 6C 6F 2> Tj ET")
+    assert extract_pdf(pdf)[0].text == "Hello"
+
+
+def test_hex_strings_in_tj_array():
+    pdf = _one_page_pdf(b"BT /F1 12 Tf 72 700 Td [<6869> ( there)] TJ ET")
+    assert extract_pdf(pdf)[0].text == "hi there"
+
+
+def test_doublequote_operator_moves_line_and_shows():
+    pdf = _one_page_pdf(
+        b'BT /F1 12 Tf 20 TL 72 700 Td (line one) Tj 0 0 (line two) " ET'
+    )
+    assert extract_pdf(pdf)[0].text == "line one\n\nline two"
+
+
+def test_unparsed_flag_for_undecodable_stream():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    bad = _one_page_pdf(b"\x01\x02 not zlib data", filter_flate=True)
+    pages = extract_pdf_detailed(bad)
+    assert len(pages) == 1
+    page, unparsed = pages[0]
+    assert page.text == "" and unparsed is True
+    # genuinely blank page (empty content stream): NOT flagged
+    blank = _one_page_pdf(b"")
+    page, unparsed = extract_pdf_detailed(blank)[0]
+    assert page.text == "" and unparsed is False
+
+
+def test_pdf_title_resolves_info_not_outline():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"7 0 obj\n<< /Title (Shadow Outline Title) /Type /Outlines >>\nendobj\n"
+        b"9 0 obj\n<< /Title (Real Document Title) /Producer (x) >>\nendobj\n"
+        b"trailer\n<< /Size 10 /Root 1 0 R /Info 9 0 R >>\n"
+    )
+    assert pdf_title(pdf) == "Real Document Title"
+    # /Info object exists but has no /Title -> no shadowing fallback
+    pdf_no_title = (
+        b"%PDF-1.4\n"
+        b"7 0 obj\n<< /Title (Shadow) >>\nendobj\n"
+        b"9 0 obj\n<< /Producer (x) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Info 9 0 R >>\n"
+    )
+    assert pdf_title(pdf_no_title) is None
+    # no /Info at all -> whole-payload fallback still works
+    assert pdf_title(b"%PDF-1.4\n5 0 obj\n<< /Title (Loose) >>\nendobj\n") == "Loose"
+
+
+def test_make_pdf_multistream_hex_round_trip():
+    text = ("alpha beta gamma delta epsilon zeta eta theta " * 4).strip()
+    pages = pdf_pages_for(text, 2)
+    pdf = make_pdf(pages, streams_per_page=2, hex_strings=True)
+    got = extract_pdf(pdf)
+    want = ["\n\n".join(line for _, _, line in page) for page in pages]
+    assert [p.text for p in got] == want
+    assert b"/Contents [" in pdf and b"> Tj" in pdf
