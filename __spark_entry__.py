@@ -170,6 +170,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.octet_length("text").cast("bigint").alias("text_bytes"),
         )
 
+    def extract_markdown(spark, sf_dir):
+        from pbx_ds_ocr_server_spark.config import ExtractConfig
+
+        wrapped = wrapped_docs_df(spark, f"{sf_dir}/documents.parquet", "structured")
+        return extract(wrapped, ExtractConfig(mode="markdown")).select(
+            _doc_id_from_url(), F.col("text").alias("text_out")
+        )
+
     def extract_status_counts(spark, sf_dir):
         corpus = synthesize_corpus_df(spark, f"{sf_dir}/documents.parquet")
         res = extract(corpus).join(corpus.select("url", "doc_class"), "url")
@@ -181,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_paras"] = extract_paras
     q["extract_boiler"] = extract_boiler
     q["extract_span_stats"] = extract_span_stats
+    q["extract_markdown"] = extract_markdown
     q["extract_status_counts"] = extract_status_counts  # rows-only (binary corpus)
 
     # --- text analysis tier ---
@@ -532,6 +541,29 @@ def oracle_sql() -> dict[str, str]:
         FROM chunks GROUP BY doc_id
     """
 
+    # markdown-mode mirror: same 10-word chunks as paras_sql, chunk 0
+    # rendered '## ', every 5th chunk '- ' (kernels/html_extract
+    # _render_markdown over corpus.wrap_html_structured)
+    markdown_sql = f"""
+        WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+        chunks AS (
+            SELECT doc_id, (i - 1) // 10 AS c,
+                   string_agg(ws[i], ' ' ORDER BY i) AS chunk
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+            GROUP BY doc_id, (i - 1) // 10
+        ),
+        md AS (
+            SELECT doc_id, c,
+                   CASE WHEN c = 0 THEN '## ' || chunk
+                        WHEN c % 5 = 4 THEN '- ' || chunk
+                        ELSE chunk END AS mchunk
+            FROM chunks
+        )
+        SELECT doc_id,
+               string_agg(mchunk, chr(10) || chr(10) ORDER BY c) AS text_out
+        FROM md GROUP BY doc_id
+    """
+
     span_stats_sql = f"""
         SELECT doc_id,
                CAST(ceil({TOKENS} / 10.0) AS BIGINT) AS n_spans,
@@ -746,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_paras": paras_sql,
         "extract_boiler": paras_sql,
         "extract_span_stats": span_stats_sql,
+        "extract_markdown": markdown_sql,
         # extract_status_counts: no oracle (binary corpus; rows-only check)
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
         "lang_id": f"""

@@ -29,6 +29,10 @@ class ExtractConfig:
                                         # (tune to 64-128 for multi-MB blob corpora)
     # --- merge rule constants (reference: pipeline.py:205) ---
     page_separator: str = "\n\n"        # full.md join separator (byte-identity!)
+    # --- output rendering (reference full.md is markdown: pipeline.py:189-205
+    #     merges model markdown; 'markdown' renders the kernel's span
+    #     classifications as ## heading / - list_item / fenced pre) ---
+    mode: str = "plain"                 # 'plain' | 'markdown'
     # --- parity-only options: accepted but inert in the reference prompt
     #     build too (dsocr_model.py:459-468 ignores them) ---
     enable_formula: bool = True

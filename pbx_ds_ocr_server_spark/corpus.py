@@ -93,6 +93,21 @@ def wrap_html_paras(text: str, words_per_para: int = 10) -> str:
     )
 
 
+def wrap_html_structured(text: str, words_per_para: int = 10) -> str:
+    """Deterministic structure for the markdown-mode oracle: chunk 0 is an
+    <h2> heading, every 5th chunk (c % 5 == 4) an <li>, the rest <p>."""
+    parts = []
+    for i, c in enumerate(chunk_words(text, words_per_para)):
+        esc = _html.escape(c)
+        if i == 0:
+            parts.append(f"<h2>{esc}</h2>")
+        elif i % 5 == 4:
+            parts.append(f"<li>{esc}</li>")
+        else:
+            parts.append(f"<p>{esc}</p>")
+    return f"<html><body><main>{''.join(parts)}</main></body></html>"
+
+
 # ---------------------------------------------------------------- PDF writer
 def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -344,6 +359,8 @@ def wrapped_docs_df(spark, documents_path: str, mode: str):
                     h = wrap_html_paras_bare(norm)
                 elif mode == "paras_boiler":
                     h = wrap_html_paras(norm)
+                elif mode == "structured":
+                    h = wrap_html_structured(norm)
                 else:
                     raise ValueError(f"unknown wrap mode: {mode}")
                 out.append({"url": f"doc://{r.doc_id}", "html": h.encode("utf-8")})

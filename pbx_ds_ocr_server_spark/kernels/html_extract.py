@@ -165,6 +165,21 @@ def _clean_title(raw: str) -> str | None:
     return t or None
 
 
+def _render_markdown(kind: str, tag: str | None, btext: str) -> str:
+    """Frozen markdown rendering of a classified block (cfg.mode='markdown'):
+    hN → N hashes, list items → '- ', pre → fenced. Tables stay flattened
+    plain text (cell joins were already collapsed by the tokenizer). Spans
+    carry the RENDERED text so byte offsets stay self-consistent."""
+    if kind == "heading":
+        level = int(tag[1]) if tag and len(tag) == 2 and tag[1].isdigit() else 2
+        return "#" * level + " " + btext
+    if kind == "list_item":
+        return "- " + btext
+    if kind == "pre":
+        return "```\n" + btext + "\n```"
+    return btext
+
+
 def _classify(tag: str | None) -> str:
     if tag in _HEADINGS:
         return "heading"
@@ -197,7 +212,7 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
     pieces: list[str] = []
     link_texts: list[str] = []
     cur_chars = 0
-    blocks: list[tuple[str, str]] = []  # (kind, collapsed_text)
+    blocks: list[tuple[str, str | None, str]] = []  # (kind, tag, collapsed)
     n_blocks_seen = 0
     truncated = False
 
@@ -222,7 +237,7 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
                 else:
                     keep = True
                 if keep:
-                    blocks.append((_classify(block_tag), collapsed))
+                    blocks.append((_classify(block_tag), block_tag, collapsed))
         pieces = []
         link_texts = []
         cur_chars = 0
@@ -293,7 +308,10 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
     spans: list[Span] = []
     byte_off = 0
     sep_bytes = len(cfg.page_separator.encode("utf-8"))
-    for kind, btext in blocks:
+    markdown = cfg.mode == "markdown"
+    for kind, tag, btext in blocks:
+        if markdown:
+            btext = _render_markdown(kind, tag, btext)
         if parts:
             byte_off += sep_bytes
         blen = len(btext.encode("utf-8"))

@@ -140,3 +140,29 @@ def test_link_density_partial_cap_overlap():
     html = "<body><div>aaaa <a href='/'>bbbb cccc</a></div></body>"
     # cap=7 keeps "aaaa bb" -> link share 2/6 nonws <= 0.5 -> kept
     assert run(html, max_block_chars=7) == "aaaa bb"
+
+
+def test_markdown_mode_rendering():
+    html = (
+        "<body><h1>Top</h1><h3>Sub head</h3><li>item one</li>"
+        "<pre>code here</pre><p>plain para</p></body>"
+    )
+    out = run(html, mode="markdown")
+    assert out == (
+        "# Top\n\n### Sub head\n\n- item one\n\n"
+        "```\ncode here\n```\n\nplain para"
+    )
+
+
+def test_markdown_mode_spans_match_rendered_text():
+    res = extract_html(b"<body><h2>head</h2><p>body</p></body>",
+                       ExtractConfig(mode="markdown"))
+    raw = res.text.encode("utf-8")
+    for s in res.spans:
+        assert raw[s.start : s.end].decode() == s.text
+    assert res.spans[0].text == "## head"
+    assert res.spans[0].kind == "heading"
+
+
+def test_plain_mode_unchanged_by_default():
+    assert run("<body><h2>head</h2><p>body</p></body>") == "head\n\nbody"
