@@ -33,7 +33,7 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 NAV = (
     '<nav class="top"><ul>'
@@ -206,6 +206,48 @@ def pdf_pages_for(text: str, n_pages: int) -> list[list[tuple[float, float, str]
     return pages
 
 
+# ----------------------------------------------------------- raster writers
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + _zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def make_png(text_items: list[tuple[str, str]], w: int = 4, h: int = 4) -> bytes:
+    """Tiny valid PNG carrying (keyword, value) metadata: latin-1-encodable
+    values as tEXt, others as iTXt (UTF-8)."""
+    import zlib as _zlib
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    out = bytearray(b"\x89PNG\r\n\x1a\n") + _png_chunk(b"IHDR", ihdr)
+    for k, v in text_items:
+        kb = k.encode("latin-1", "ignore")
+        try:
+            out += _png_chunk(b"tEXt", kb + b"\x00" + v.encode("latin-1"))
+        except UnicodeEncodeError:
+            out += _png_chunk(
+                b"iTXt", kb + b"\x00\x00\x00\x00\x00" + v.encode("utf-8")
+            )
+    raw = (b"\x00" + b"\x00" * (w * 3)) * h
+    out += _png_chunk(b"IDAT", _zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def make_jpeg(comments: list[str]) -> bytes:
+    """Minimal JPEG: SOI + one COM segment per comment (UTF-8) + EOI."""
+    out = bytearray(b"\xff\xd8")
+    for c in comments:
+        data = c.encode("utf-8")
+        out += b"\xff\xfe" + (len(data) + 2).to_bytes(2, "big") + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- corpus rows
 CLASSES = (
     "plain",        # 0
@@ -219,10 +261,12 @@ CLASSES = (
     "pdf_multistream",  # 8  (/Contents array + hex strings)
     "empty",        # 9
     "bad_pdf",      # 10
-    "png",          # 11
+    "png",          # 11  (magic-only degenerate: no metadata -> noop)
+    "png_text",     # 12  (tEXt Title + iTXt Description)
+    "jpeg_com",     # 13  (COM comment segment)
 )
 
-# weights: mostly HTML, some PDFs, few degenerates
+# weights: mostly HTML, some PDFs, few degenerates/rasters
 _CLASS_TABLE = (
     ["plain"] * 6
     + ["paras"] * 6
@@ -230,7 +274,7 @@ _CLASS_TABLE = (
     + ["gb18030", "latin1", "utf8_bom", "utf16"]
     + ["pdf"] * 3
     + ["pdf_multistream"] * 2
-    + ["empty", "bad_pdf", "png"]
+    + ["empty", "bad_pdf", "png", "png_text", "jpeg_com"]
 )
 
 
@@ -293,7 +337,24 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
     elif cls == "bad_pdf":
         payload = b"%PDF-1.4\n%EOF"  # the reference's own invalid fixture
         expected = None
-    else:  # png
+    elif cls == "png_text":
+        # Title = first 5 words (latin-1 'ignore', like the latin1 class);
+        # Description = full text. Expected mirrors the raster kernel:
+        # per-item whitespace collapse, blank-skip, "\n\n" join.
+        t5 = " ".join(
+            " ".join(text.split()[:5])
+            .encode("latin-1", "ignore")
+            .decode("latin-1")
+            .split()
+        )
+        desc = " ".join(text.split())
+        payload = make_png([("Title", t5), ("Description", text)])
+        parts = [p for p in (t5, desc) if p]
+        expected = "\n\n".join(parts) if parts else None
+    elif cls == "jpeg_com":
+        payload = make_jpeg([text])
+        expected = " ".join(text.split()) or None
+    else:  # png (magic-only degenerate)
         payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
         expected = None
     return {

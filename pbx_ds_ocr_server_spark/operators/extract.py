@@ -45,6 +45,7 @@ from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
     extract_pdf_detailed,
     pdf_title,
 )
+from pbx_ds_ocr_server_spark.kernels.raster_meta import extract_raster_meta
 from pbx_ds_ocr_server_spark.operators.salting import salt_partitions
 
 SPAN_STRUCT = (
@@ -112,9 +113,17 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
                      title=title, status=ST_EMPTY if unparsed else ST_OK)
                 for i, (p, unparsed) in enumerate(pages)
             ] or [dict(base, n_pages=n, title=title, status=ST_OK)]
-        if ctype in ("png", "jpeg", "unknown"):
-            # OCR-of-raster is out of scope (north rule): dispatch must not
-            # fail, rows pass through as no-ops (FIXTURES.md §3c).
+        if ctype in ("png", "jpeg"):
+            # OCR-of-raster is out of scope (north rule), but rasters
+            # carry metadata TEXT (PNG tEXt/iTXt, JPEG COM/EXIF): extract
+            # that; files with none pass through as no-ops (FIXTURES.md §3c)
+            page = extract_raster_meta(payload, ctype, cfg)
+            if page is None:
+                return [dict(base, status=ST_NOOP)]
+            return [dict(base, n_pages=1, seq=0, page_index=1,
+                         page_text=page.text, spans=_span_dicts(page.spans),
+                         title=page.title, status=ST_OK)]
+        if ctype == "unknown":
             return [dict(base, status=ST_NOOP)]
         page = extract_html(payload, cfg)
         return [dict(base, n_pages=1, seq=0, page_index=1,

@@ -166,3 +166,15 @@ def test_unparseable_content_is_succeeded_empty_not_silent(spark):
     row = extract(df).first()
     assert row.status == "succeeded_empty"
     assert row.text == ""
+
+
+def test_raster_metadata_classes_extract(result):
+    for cls in ("png_text", "jpeg_com"):
+        rows = result.filter(F.col("doc_class") == cls)
+        assert rows.count() > 0, cls
+        ok = rows.filter(F.col("status") == "succeeded")
+        assert ok.count() == rows.count(), cls
+        assert ok.filter(F.col("text") != F.col("expected_text")).count() == 0, cls
+    # magic-only png stays a no-op
+    noop = result.filter(F.col("doc_class") == "png")
+    assert noop.filter(F.col("status") != "succeeded_noop").count() == 0
