@@ -33,6 +33,10 @@ class ExtractConfig:
     #     merges model markdown; 'markdown' renders the kernel's span
     #     classifications as ## heading / - list_item / fenced pre) ---
     mode: str = "plain"                 # 'plain' | 'markdown'
+    # --- backend selection (reference op U2: kernel plug + fallback) ---
+    html_backend: str = "fast"          # 'fast' (regex tokenizer) | 'strict'
+                                        # (html.parser events); recorded in
+                                        # job lineage (sources/writer.py)
     # --- parity-only options: accepted but inert in the reference prompt
     #     build too (dsocr_model.py:459-468 ignores them) ---
     enable_formula: bool = True

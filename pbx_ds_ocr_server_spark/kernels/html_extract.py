@@ -303,7 +303,17 @@ def extract_html(payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG) -> PageRes
 
     if not truncated:
         flush()
+    return assemble_page(blocks, cfg, title)
 
+
+def assemble_page(
+    blocks: list[tuple[str, str | None, str]],
+    cfg: ExtractConfig,
+    title: str | None,
+) -> PageResult:
+    """Shared block→PageResult assembly (both HTML kernels, U2 seam): the
+    span/offset math and markdown rendering are part of the frozen output
+    spec and must be identical across backends."""
     parts: list[str] = []
     spans: list[Span] = []
     byte_off = 0

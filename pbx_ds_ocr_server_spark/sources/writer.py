@@ -43,7 +43,8 @@ from pbx_ds_ocr_server_spark.operators.extract import extract
 LINEAGE_SCHEMA = (
     "run_id string, bucket int, n_urls long, n_succeeded long,"
     " n_noop long, n_rejected long, n_failed long,"
-    " started_at double, finished_at double, status string, error string"
+    " started_at double, finished_at double, status string, error string,"
+    " html_backend string"
 )
 
 
@@ -179,7 +180,7 @@ def run_extract_job(
                 run_id,
                 bucket,
                 n_urls,
-                counts.get("succeeded", 0),
+                counts.get("succeeded", 0) + counts.get("succeeded_empty", 0),
                 counts.get("succeeded_noop", 0),
                 sum(v for k, v in counts.items() if k.startswith("rejected")),
                 counts.get("failed", 0),
@@ -187,6 +188,7 @@ def run_extract_job(
                 time.time(),
                 "succeeded",
                 None,
+                cfg.html_backend,  # U2: which kernel produced this bucket
             )
         ]
         spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).coalesce(1).write.mode(
