@@ -221,21 +221,71 @@ def winnowing_fingerprints(
     ).withColumnRenamed("id", id_col)
 
 
+def connected_min_label(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an (a, b) edge list → (id, label) where
+    ``label`` is the component's minimum id.
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum of its own label and its neighbors' labels; converged when no
+    label shrinks. Rounds needed ≈ log(component diameter) after the first
+    few (labels hop through already-lowered neighbors), and near-dup
+    components are tiny cliques/chains in practice — the loop is
+    driver-bounded with per-round ``localCheckpoint`` so the plan never
+    snowballs. This is the canonical Spark connected-components shape
+    (GraphFrames' CC is the same agg without the library)."""
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(edges["a"].alias("id2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        upd = labels.join(neigh, labels["id"] == neigh["id2"], "left").select(
+            labels["id"],
+            labels["label"].alias("old"),
+            F.least(
+                labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
+            ).alias("label"),
+        )
+        upd = upd.localCheckpoint()
+        changed = upd.filter(F.col("label") < F.col("old")).count()
+        labels = upd.select("id", "label")
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_near(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.8,
     max_shingle_df: int | None = 1000,
+    transitive: bool = False,
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidates → exact Jaccard verify
-    → connected keepers (min id wins per duplicate pair chain, one hop).
+    → connected keepers (min id wins per duplicate pair chain).
 
     The standard web-scale composition: candidate generation is bucketed
     (never all-pairs), verification touches only candidates, and the final
-    keep-set is a left-anti join. One-hop union-find is the deliberate
-    approximation (full transitive closure needs iteration; at 0.8 Jaccard,
-    chains of near-dups that never pair directly are rare)."""
+    keep-set is a left-anti join.
+
+    ``transitive=False`` (default): one-hop — any id that is the larger
+    member of a verified pair is dropped. A hub document near two others
+    that are NOT near each other (A≈B≈C, A≉C) keeps both endpoints.
+    ``transitive=True``: full connected components over the verified pairs
+    (iterative min-label, :func:`connected_min_label`) — exactly one keeper
+    (the min id) per component, so chain dups fold too."""
     sigs = minhash_signatures(df, id_col, text_col)
     cand = lsh_candidate_pairs(sigs)
     # verify candidates with exact jaccard (restricted via semi joins)
@@ -249,8 +299,14 @@ def dedup_near(
         min_jaccard=min_jaccard,
         max_shingle_df=max_shingle_df,
     ).join(cand, ["a", "b"], "left_semi")
-    # losers: any id that appears as the larger member of a verified pair
-    losers = verified.select(F.col("b").alias(id_col)).distinct()
+    if transitive:
+        labels = connected_min_label(verified)
+        losers = labels.filter(F.col("label") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        # losers: any id appearing as the larger member of a verified pair
+        losers = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -182,3 +182,33 @@ def test_embedding_neardup_pairs_refuses_unbounded_frames(spark):
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="all-pairs"):
         embedding_neardup_pairs(emb, max_rows=10).count()
+
+
+def test_connected_min_label_chain_and_v_shape(spark):
+    from pbx_ds_ocr_server_spark.operators.dedup import connected_min_label
+
+    # two components: a V (1-3, 2-3) and a long chain 10-11-12-13
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (11, 12), (12, 13)], "a bigint, b bigint"
+    )
+    labels = {r.id: r.label for r in connected_min_label(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_dedup_near_transitive_folds_hub_components(spark):
+    # hub B(id=3) is near A(id=1) and C(id=2); A and C are NOT near each
+    # other (two words apart -> jaccard 0.667 < 0.8). One-hop keeps both
+    # endpoints; transitive folds the whole component into min id 1.
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    a = base.replace("w12", "x12")
+    c = "x1 " + base.split(" ", 1)[1]
+    docs = spark.createDataFrame(
+        [(1, a), (2, c), (3, base)], "doc_id bigint, text string"
+    )
+    one_hop = sorted(r.doc_id for r in dedup_near(docs, min_jaccard=0.8).collect())
+    transitive = sorted(
+        r.doc_id
+        for r in dedup_near(docs, min_jaccard=0.8, transitive=True).collect()
+    )
+    assert one_hop == [1, 2]
+    assert transitive == [1]
