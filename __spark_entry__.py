@@ -23,12 +23,18 @@ from pyspark.sql import functions as F
 
 from pbx_ds_ocr_server_spark.corpus import synthesize_corpus_df, wrapped_docs_df
 from pbx_ds_ocr_server_spark.functions.text import (
+    EMAIL_RE,
+    IPV4_RE,
     STOPWORDS,
     fingerprint,
+    hash_sample,
     lang_id,
     lang_id_table,
+    pii_scrub,
     quality_score,
     simhash_table,
+    stratified_sample,
+    tfidf_top_terms,
     token_count,
 )
 from pbx_ds_ocr_server_spark.operators.dedup import (
@@ -207,6 +213,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash"] = lambda spark, sf: simhash_table(
         _docs(spark, sf).select("doc_id", "text")
+    )
+
+    # PII scrub: deterministic synthetic PII appended on BOTH sides so the
+    # scrubber provably fires on every row
+    def pii_scrub_q(spark, sf):
+        injected = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" now"),
+        )
+        return _docs(spark, sf).select(
+            "doc_id", pii_scrub(injected).alias("scrubbed")
+        )
+
+    q["pii_scrub"] = pii_scrub_q
+    q["hash_sample"] = lambda spark, sf: hash_sample(
+        _docs(spark, sf), rate=0.1
+    ).select("doc_id")
+    q["stratified_sample"] = lambda spark, sf: stratified_sample(
+        _docs(spark, sf), k=20
+    ).select("doc_id", "lang")
+    q["tfidf_top3"] = lambda spark, sf: tfidf_top_terms(
+        _docs(spark, sf), k=3
     )
 
     # --- dedup tier ---
@@ -794,6 +826,56 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"SELECT doc_id, {quality} AS quality FROM documents",
         "fingerprints": f"SELECT doc_id, md5(lower({NORM})) AS fp FROM documents",
         "simhash": _simhash_sql(),
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || ' now',
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{IPV4_RE}', '<IP>', 'g') AS scrubbed
+            FROM documents
+        """,
+        "hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < 0.1
+        """,
+        "stratified_sample": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 20
+        """,
+        "tfidf_top3": f"""
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            t AS (
+                SELECT doc_id, lower(ws[i]) AS term
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws))) AS i)
+                WHERE ws[i] <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            s AS (
+                SELECT doc_id, term,
+                       round(tf * (SELECT n * 1.0 FROM nd) / df, 6) AS score
+                FROM tf JOIN dfq USING (term)
+            ),
+            r AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rnk
+                FROM s
+            )
+            SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+        """,
         "dedup_exact_groups": f"""
             WITH docs_u AS ({DOCS_U})
             SELECT md5(lower({NORM})) AS fingerprint,

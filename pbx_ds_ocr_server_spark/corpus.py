@@ -407,7 +407,11 @@ def wrapped_docs_df(spark, documents_path: str, mode: str):
     boilerplate), 'paras_bare' (10-word <p> chunks, no boilerplate),
     'paras_boiler' (10-word chunks inside the full nav/sidebar/footer
     template). Used by the oracle-checked extraction queries."""
-    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+    from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        spark.read.parquet(documents_path).select("doc_id", "text")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -442,7 +446,11 @@ def synthesize_corpus_df(spark, documents_path: str, repeat: int = 1):
     ``repeat`` deterministically replicates rows with distinct urls/doc_ids to
     scale the corpus up for benching (content differs per replica via the
     class hash, so this is NOT a trivially-cacheable copy)."""
-    docs = spark.read.parquet(documents_path).select("doc_id", "text", "lang")
+    from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        spark.read.parquet(documents_path).select("doc_id", "text", "lang")
+    )
     if repeat > 1:
         from pyspark.sql import functions as F
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
 # Frozen stopword marker sets (lowercase). Votes decide lang_id; ties break
 # by the priority order of LANGS. Keep these lists in sync with the SQL
 # mirror in __spark_entry__.py.
@@ -117,7 +119,7 @@ def lang_id_table(df, id_col: str = "doc_id", text_col: str = "text"):
     """(id, lang_pred) via explode + 5 conditional sums — same result as the
     ``lang_id`` column expression (same votes, same tie-break chain) but in
     a codegen-friendly hash aggregate instead of nested array lambdas."""
-    w = df.select(
+    w = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
     ).withColumn("lw", F.lower("w"))
     aggs = [
@@ -152,7 +154,9 @@ def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
     ``dup_word_frac`` = 1 − |distinct words| / |words|, and
     ``top_bigram_frac`` = words covered by the most frequent bigram / |words|.
     High values flag boilerplate/spam for training-data filtering."""
-    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("ws"))
+    base = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), words(text_col).alias("ws")
+    )
     stats = base.select(
         "id",
         F.size("ws").alias("n_words"),
@@ -196,7 +200,9 @@ def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     stay outside whole-stage codegen; a hash-aggregate of 16 conditional
     sums does not). Results identical to ``simhash16``."""
     hi = list("89abcdef")
-    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    w = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
     w = w.withColumn("h", F.md5("w"))
     aggs = [
         F.sum(
@@ -235,3 +241,90 @@ def simhash16(col: Column | str) -> Column:
         bit = F.when((n > 0) & (ones * 2 > n), F.lit(1)).otherwise(F.lit(0))
         total = total + bit.cast("bigint") * F.lit(1 << b).cast("bigint")
     return total
+
+
+# ----------------------------------------------------------- PII scrubbing
+# Patterns restricted to syntax that Java regex (Spark) and RE2 (DuckDB)
+# interpret identically — keep in sync with the SQL mirror.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Replace emails and IPv4 addresses with typed placeholder tokens —
+    the standard pre-training scrub pass. Pure JVM regexp_replace, one scan
+    per pattern; order fixed (emails first so the host part of an address
+    is never half-replaced as an IP)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, IPV4_RE, "<IP>")
+
+
+# ------------------------------------------------- deterministic sampling
+def hash_sample(df, rate: float, key_col: str = "doc_id"):
+    """Stable Bernoulli sample: keep rows whose md5(key) prefix, read as a
+    32-bit fraction, falls below ``rate``. Unlike ``df.sample()`` this is a
+    pure column predicate — reproducible across runs/engines/partitionings,
+    pushes down past joins, and never needs an RNG seed plumbed through.
+    The workhorse for 'same 1% of the crawl every day' pipelines."""
+    frac = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+                  ).cast("bigint") / F.lit(float(1 << 32))
+    return df.filter(frac < F.lit(rate))
+
+
+def stratified_sample(df, k: int, group_col: str = "lang",
+                      key_col: str = "doc_id"):
+    """Deterministic k-per-group sample: rank rows inside each group by
+    md5(key) and keep the first k. One hash-partitioned window — the
+    scale-safe 'balanced eval slice per language/domain' primitive."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------------- TF-IDF terms
+def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3):
+    """Top-k characteristic terms per document by a rational tf-idf
+    (tf × N / df — no logarithm, so the score is exact integer arithmetic
+    in double precision and mirrors bit-for-bit into any SQL engine; the
+    ranking is the same as with log idf for fixed tf).
+
+    Plan shape: one explode + two hash aggs (term counts, doc frequency)
+    + a broadcast-eligible join on term + one window for the top-k. All
+    shuffles are on (term) or (id) keys — AQE-skew-splittable."""
+    from pyspark.sql import Window
+
+    w = words(text_col)
+    terms = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), F.explode(w).alias("term")
+    ).filter(F.col("term") != "").withColumn("term", F.lower(F.col("term")))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.select("id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6),
+    )
+    rank = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "score",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -38,7 +38,9 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
-_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
+# /Filter: single name or array chain, applied in order
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/([A-Za-z0-9]+))", re.DOTALL)
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 
 # content-stream tokens: strings (literal + hex), arrays, numbers, names,
 # operators
@@ -129,12 +131,9 @@ def _expand_objstm(body: bytes, out: dict[int, bytes]) -> None:
     sm = _STREAM_RE.search(body)
     if not (nm and fm and sm):
         return
-    data = sm.group(1)
-    if _FLATE_RE.search(body):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return
+    data, ok = _apply_filters(body, sm.group(1))
+    if not ok:
+        return
     n = int(nm.group(1))
     first = int(fm.group(1))
     header = data[:first].split()
@@ -191,22 +190,124 @@ def pdf_page_count(payload: bytes) -> int | None:
     return len(pages) if pages else None
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hx = _HEX_WS_RE.sub(b"", body)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    return base64.a85decode(_HEX_WS_RE.sub(b"", body))
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 128:  # EOD
+            break
+        if b < 128:
+            out += data[i + 1 : i + 2 + b]
+            i += 2 + b
+        else:
+            out += data[i + 1 : i + 2] * (257 - b)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF/TIFF LZW: MSB-first bit packing, 8-bit symbols, code 256 = clear,
+    257 = EOD, code width 9→12 bits growing one entry EARLY (PDF default
+    EarlyChange=1)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif prev is not None and code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # early change: widen one code BEFORE the table is full
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_filters(body: bytes, data: bytes) -> tuple[bytes, bool]:
+    """Run the stream through its /Filter chain (single name or array, in
+    order). → (decoded, ok). Unsupported filters (DCTDecode, JBIG2, crypt
+    filters …) and decode errors → (b'', False): the caller surfaces the
+    page as succeeded_empty, never a silent success."""
+    m = _FILTER_RE.search(body)
+    if not m:
+        return data, True
+    if m.group(1) is not None:
+        names = [n.decode("ascii") for n in _FILTER_NAME_RE.findall(m.group(1))]
+    else:
+        names = [m.group(2).decode("ascii")]
+    try:
+        for name in names:
+            if name == "FlateDecode":
+                data = zlib.decompress(data)
+            elif name == "ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif name == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif name == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif name == "LZWDecode":
+                data = _lzw_decode(data)
+            else:
+                return b"", False
+    except Exception:
+        return b"", False
+    return data, True
+
+
 def _stream_data(body: bytes) -> tuple[bytes, bool]:
     """Decode one object's stream → (data, had_raw). ``had_raw`` is True
     when a non-empty raw stream existed, even if decoding failed — the
     signal that separates a genuinely blank page from a parser blind spot
-    (undecodable filter, unsupported encoding)."""
+    (unsupported filter, undecodable data)."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return b"", False
     data = sm.group(1)
     had_raw = bool(data)
-    if _FLATE_RE.search(body):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return b"", had_raw
-    return data, had_raw
+    decoded, ok = _apply_filters(body, data)
+    if not ok:
+        return b"", had_raw
+    return decoded, had_raw
 
 
 def _content_stream(

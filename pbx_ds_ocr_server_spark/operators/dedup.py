@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
 from pbx_ds_ocr_server_spark.functions.text import fingerprint, words
+from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
 
 
 # ------------------------------------------------------------------ exact
@@ -59,7 +60,9 @@ def minhash_signatures(
     proportional to real content overlap even on small vocabularies.
     """
     w = F.explode(shingles(text_col, ngram)).alias("w")
-    base = df.select(F.col(id_col).alias("id"), w)
+    base = ensure_min_partitions(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        F.col("id"), w
+    )
     aggs = [
         F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"s{i}")
         for i in range(k)
@@ -145,7 +148,14 @@ def jaccard_pairs(
     is one row per document (10⁹ rows at corpus scale — a guaranteed OOM as
     a build side); AQE picks broadcast at runtime when it actually fits.
     """
-    base = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("arr"))
+    # fan the narrow (id, text) frame out to full parallelism BEFORE the
+    # shingle projection: a 1-row-group input would otherwise explode on one
+    # core, and the exchange lets the 4 consumers of `sh` (hot-filter,
+    # sizes, both self-join sides) reuse one computation (ReusedExchange)
+    narrow = ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    )
+    base = narrow.select("id", shingles(text_col, n).alias("arr"))
     sh = base.select("id", F.explode("arr").alias("sh"))
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
@@ -195,6 +205,9 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window as W
 
+    df = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    )
     w = words(text_col)
     ordered = F.when(
         F.size(w) >= ngram,

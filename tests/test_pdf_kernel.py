@@ -231,3 +231,112 @@ def test_make_pdf_multistream_hex_round_trip():
     want = ["\n\n".join(line for _, _, line in page) for page in pages]
     assert [p.text for p in got] == want
     assert b"/Contents [" in pdf and b"> Tj" in pdf
+
+
+def _filtered_pdf(content: bytes, filters: str) -> bytes:
+    dct = (
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter " + filters.encode() + b" >>"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + dct + b"\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+
+
+_SHOW = b"BT /F1 12 Tf 72 700 Td (filter text) Tj ET"
+
+
+def test_asciihex_filter():
+    enc = _SHOW.hex().encode() + b">"
+    assert extract_pdf(_filtered_pdf(enc, "/ASCIIHexDecode"))[0].text == "filter text"
+
+
+def test_ascii85_filter():
+    import base64
+
+    enc = base64.a85encode(_SHOW) + b"~>"
+    assert extract_pdf(_filtered_pdf(enc, "/ASCII85Decode"))[0].text == "filter text"
+
+
+def test_runlength_filter():
+    # literal runs only: chunks of <=128 bytes prefixed by len-1, EOD=128
+    out = bytearray()
+    for i in range(0, len(_SHOW), 96):
+        chunk = _SHOW[i : i + 96]
+        out += bytes([len(chunk) - 1]) + chunk
+    out.append(128)
+    assert extract_pdf(_filtered_pdf(bytes(out), "/RunLengthDecode"))[0].text == "filter text"
+
+
+def test_runlength_filter_repeats():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import _runlength_decode
+
+    # 257-250 = 7 copies of 'a' + literal 'bc' + EOD
+    assert _runlength_decode(bytes([250, ord("a"), 1, ord("b"), ord("c"), 128])) == b"aaaaaaabc"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF/PDF LZW encoder (early-change) for round-trip testing."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen when the NEXT code would not fit
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter_round_trip():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import _lzw_decode
+
+    for payload in (b"abababababab", _SHOW, b"x" * 5000, bytes(range(256)) * 8):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+    assert extract_pdf(_filtered_pdf(_lzw_encode(_SHOW), "/LZWDecode"))[0].text == "filter text"
+
+
+def test_filter_chain_array():
+    import base64
+
+    enc = base64.a85encode(zlib.compress(_SHOW)) + b"~>"
+    pdf = _filtered_pdf(enc, "[/ASCII85Decode /FlateDecode]")
+    assert extract_pdf(pdf)[0].text == "filter text"
+
+
+def test_unsupported_filter_is_unparsed_not_silent():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    pdf = _filtered_pdf(b"\xff\xd8\xff jpeg-ish", "/DCTDecode")
+    (page, unparsed), = extract_pdf_detailed(pdf)
+    assert page.text == "" and unparsed is True
