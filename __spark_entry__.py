@@ -231,6 +231,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_scrub"] = pii_scrub_q
+
+    # URL canonicalization over deterministically-messy URLs (same
+    # construction on both sides): case-variant scheme/host, userinfo,
+    # default port, fragment
+    def _messy_url():
+        return F.concat(
+            F.lit("HTTP://User:pw@Host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM:80/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q=1#frag"),
+        )
+
+    def url_normalize_q(spark, sf):
+        from pbx_ds_ocr_server_spark.functions.urls import url_normalize
+
+        return _docs(spark, sf).select(
+            "doc_id", url_normalize(_messy_url()).alias("canon_url")
+        )
+
+    def url_host_counts(spark, sf):
+        from pbx_ds_ocr_server_spark.functions.urls import url_host
+
+        return (
+            _docs(spark, sf)
+            .select(url_host(_messy_url()).alias("host"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["url_normalize"] = url_normalize_q
+    q["url_host_counts"] = url_host_counts
     q["hash_sample"] = lambda spark, sf: hash_sample(
         _docs(spark, sf), rate=0.1
     ).select("doc_id")
@@ -836,6 +868,50 @@ def oracle_sql() -> dict[str, str]:
                        '{EMAIL_RE}', '<EMAIL>', 'g'),
                      '{IPV4_RE}', '<IP>', 'g') AS scrubbed
             FROM documents
+        """,
+        "url_normalize": """
+            WITH u AS (
+                SELECT doc_id,
+                       'HTTP://User:pw@Host' || (doc_id % 7)
+                       || '.Example.COM:80/Path/' || doc_id || '?q=1#frag' AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(
+                           lower(regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                           '^[^@]*@', '') AS auth,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+                FROM u
+            )
+            SELECT doc_id,
+                   scheme || '://'
+                   || (CASE WHEN scheme = 'http'
+                            THEN regexp_replace(auth, ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(auth, ':443$', '')
+                            ELSE auth END)
+                   || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS canon_url
+            FROM p
+        """,
+        "url_host_counts": """
+            WITH u AS (
+                SELECT 'HTTP://User:pw@Host' || (doc_id % 7)
+                       || '.Example.COM:80/Path/' || doc_id || '?q=1#frag' AS url
+                FROM documents
+            )
+            SELECT regexp_replace(
+                       regexp_replace(
+                           lower(regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                           '^[^@]*@', ''),
+                       ':[0-9]*$', '') AS host,
+                   count(*) AS n
+            FROM u GROUP BY host
         """,
         "hash_sample": """
             SELECT doc_id FROM documents

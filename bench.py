@@ -148,6 +148,12 @@ def timed_queries(names: list[str]) -> dict[str, float]:
     spark = _session(CPUS, "queries")
     res: dict[str, float] = {}
     try:
+        # spawn ALL python workers before timing: otherwise the first
+        # Arrow-batched query absorbs the whole session's worker-spawn cost
+        # (~6s at 32 cores) and reads 2-3x slower than it is
+        spark.range(CPUS * 8, numPartitions=CPUS).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
         qs = entry_mod.queries()
         for name in names:
             t0 = time.time()

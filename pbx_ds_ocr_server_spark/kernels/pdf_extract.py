@@ -420,6 +420,15 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
 _DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
 _INFO_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
 _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def pdf_is_encrypted(payload: bytes) -> bool:
+    """True when a trailer carries an /Encrypt reference. The reference
+    opens encrypted docs leniently via PyMuPDF (dsocr_model.py:376-390);
+    without a decryption backend the extract operator surfaces these as a
+    typed rejection instead of empty text."""
+    return bool(_ENCRYPT_RE.search(payload))
 
 
 def pdf_title(payload: bytes) -> str | None:

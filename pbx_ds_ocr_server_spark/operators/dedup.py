@@ -160,9 +160,15 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
+        # pin a hash exchange on the join key: the two self-join sides AND
+        # the sizes aggregate then read ONE materialized computation of the
+        # explode+anti-join subplan (ReusedExchange) instead of three, and
+        # the equi-join below needs hashpartitioning(sh) anyway
+        sh = sh.repartition("sh")
         sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     else:
         # set sizes straight from the array — no groupBy shuffle needed
+        sh = sh.repartition("sh")
         sizes = base.select("id", F.size("arr").cast("bigint").alias("n_sh"))
     inter = (
         sh.alias("x")

@@ -43,6 +43,7 @@ from pbx_ds_ocr_server_spark.kernels import (
 )
 from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
     extract_pdf_detailed,
+    pdf_is_encrypted,
     pdf_title,
 )
 from pbx_ds_ocr_server_spark.kernels.raster_meta import extract_raster_meta
@@ -104,6 +105,15 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
                              error=f"{n} pages > {cfg.max_pages}")]
             pages = extract_pdf_detailed(payload, cfg)
             title = pdf_title(payload)
+            if (
+                pages
+                and all(not p.text for p, _u in pages)
+                and pdf_is_encrypted(payload)
+            ):
+                # encrypted content streams: typed rejection, not empty text
+                return [dict(base, n_pages=n, title=title,
+                             status=ST_REJ_UNPARSEABLE,
+                             error="pdf encrypted (no decryption backend)")]
             # per-page: a page with non-empty content bytes but zero text is
             # succeeded_empty (parser blind spot), never a silent success;
             # doc-level min(status) keeps 'succeeded' if any page has text

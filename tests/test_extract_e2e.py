@@ -178,3 +178,20 @@ def test_raster_metadata_classes_extract(result):
     # magic-only png stays a no-op
     noop = result.filter(F.col("doc_class") == "png")
     assert noop.filter(F.col("status") != "succeeded_noop").count() == 0
+
+
+def test_encrypted_pdf_is_typed_rejection(spark):
+    enc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 12 >>\nstream\n\x8a\x91\x22\x01 enc blob\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Filter /Standard /V 2 >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n"
+    )
+    row = extract(
+        spark.createDataFrame([("pdf://enc", enc)], "url string, html binary")
+    ).first()
+    assert row.status == "rejected_unparseable"
+    assert "encrypted" in row.error
