@@ -176,6 +176,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.octet_length("text").cast("bigint").alias("text_bytes"),
         )
 
+    def extract_plain_strict(spark, sf_dir):
+        # U2 seam through the driver gate: same oracle as extract_plain,
+        # produced by the SECOND (html.parser) kernel
+        from pbx_ds_ocr_server_spark.config import ExtractConfig
+
+        wrapped = wrapped_docs_df(spark, f"{sf_dir}/documents.parquet", "plain")
+        return extract(wrapped, ExtractConfig(html_backend="strict")).select(
+            _doc_id_from_url(), F.col("text").alias("text_out")
+        )
+
     def extract_markdown(spark, sf_dir):
         from pbx_ds_ocr_server_spark.config import ExtractConfig
 
@@ -195,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_paras"] = extract_paras
     q["extract_boiler"] = extract_boiler
     q["extract_span_stats"] = extract_span_stats
+    q["extract_plain_strict"] = extract_plain_strict
     q["extract_markdown"] = extract_markdown
     q["extract_status_counts"] = extract_status_counts  # rows-only (binary corpus)
 
@@ -481,6 +492,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_near(_docs_u(spark, sf)).select("doc_id")
 
     q["dedup_near_keepers"] = dedup_near_keepers  # rows-only
+
+    def dedup_near_transitive(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
+
+        return dedup_near(_docs_u(spark, sf), transitive=True).select("doc_id")
+
+    q["dedup_near_transitive"] = dedup_near_transitive
 
     # --- grouping-set / set-operation coverage ---
     def events_rollup(spark, sf):
@@ -796,8 +814,7 @@ def oracle_sql() -> dict[str, str]:
         FROM sess GROUP BY 1, 2
     """
 
-    dedup_near_sql = f"""
-        WITH docs_u AS ({DOCS_U}),
+    dedup_near_body = f"""docs_u AS ({DOCS_U}),
         {shingle_cte.format(src='docs_u')},
         sigs AS (
             SELECT doc_id,
@@ -814,7 +831,15 @@ def oracle_sql() -> dict[str, str]:
                   ON x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
             )
         ),
-        cids AS (SELECT a AS doc_id FROM cand UNION SELECT b AS doc_id FROM cand),
+        cids AS (
+            -- no top-level UNION: under WITH RECURSIVE (the transitive
+            -- variant) DuckDB treats anchor UNION branch as a recursive
+            -- split and loses the dedup (118 rows instead of 80)
+            SELECT DISTINCT doc_id FROM (
+                SELECT a AS doc_id FROM cand
+                UNION ALL SELECT b AS doc_id FROM cand
+            )
+        ),
         shc AS (SELECT sh.doc_id, sh.w FROM sh JOIN cids USING (doc_id)),
         shf AS (
             SELECT doc_id, w FROM shc WHERE w NOT IN (
@@ -832,9 +857,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = b
             JOIN cand USING (a, b)
             WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8
-        )
+        )"""
+
+    dedup_near_sql = f"""
+        WITH {dedup_near_body}
         SELECT doc_id FROM docs_u
         WHERE doc_id NOT IN (SELECT b FROM verified)
+    """
+
+    # transitive variant: connected components over the verified pairs via a
+    # recursive reachability CTE; keeper = component min id (mirror of
+    # operators/dedup.connected_min_label)
+    dedup_near_transitive_sql = f"""
+        WITH RECURSIVE {dedup_near_body},
+        edges AS (
+            SELECT a AS s, b AS t FROM verified
+            UNION ALL SELECT b AS s, a AS t FROM verified
+        ),
+        reach(v, u) AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.v, e.t FROM reach r JOIN edges e ON r.u = e.s
+        ),
+        losers AS (
+            SELECT v FROM reach GROUP BY v HAVING min(u) < v
+        )
+        SELECT doc_id FROM docs_u
+        WHERE doc_id NOT IN (SELECT v FROM losers)
     """
 
     return {
@@ -842,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_paras": paras_sql,
         "extract_boiler": paras_sql,
         "extract_span_stats": span_stats_sql,
+        "extract_plain_strict": f"SELECT doc_id, {NORM} AS text_out FROM documents",
         "extract_markdown": markdown_sql,
         # extract_status_counts: no oracle (binary corpus; rows-only check)
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
@@ -1102,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_top5": ann_ivf_sql,
         "dedup_near_keepers": dedup_near_sql,
+        "dedup_near_transitive": dedup_near_transitive_sql,
         "corpus_curation": f"""
             WITH docs_u AS ({DOCS_U}),
             scored AS (

@@ -51,3 +51,36 @@ def test_block_count_cap():
     many = b"<body>" + b"<p>x</p>" * 1000 + b"</body>"
     r = extract_html(many, ExtractConfig(max_blocks_per_doc=10))
     assert len(r.spans) <= 10
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_lzw_decode_round_trips_any_bytes(payload):
+    from tests.test_pdf_kernel import _lzw_encode
+
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import _lzw_decode
+
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_lzw_decode_never_crashes_on_garbage(payload):
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import _lzw_decode
+
+    try:
+        _lzw_decode(payload)
+    except ValueError:
+        pass  # 'bad LZW code' is the accepted failure mode
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_runlength_decode_never_crashes(payload):
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import _runlength_decode
+
+    _runlength_decode(payload)
