@@ -530,6 +530,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rollup"] = events_rollup
     q["set_ops_users"] = set_ops_users
 
+    # crawl-revisit resolution semantics (operators/extract.
+    # keep_latest_snapshot) demonstrated on the events table: newest row
+    # per key, deterministic tie-break
+    def latest_event_per_user(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+
+    q["latest_event_per_user"] = latest_event_per_user
+
     # --- winnowing fingerprints + repetition metrics ---
     def winnowing(spark, sf):
         from pbx_ds_ocr_server_spark.operators.dedup import (
@@ -1090,6 +1108,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "latest_event_per_user": """
+            WITH r AS (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id, event_type FROM r WHERE rn = 1
         """,
         "set_ops_users": """
             SELECT DISTINCT user_id FROM events

@@ -335,8 +335,18 @@ def _content_stream(
     return _stream_data(body)
 
 
+# inline images: BI <dict> ID <binary...> EI — the binary body is raw
+# sample data that would otherwise feed garbage tokens (an unbalanced '('
+# swallows real text up to the next ')'). EI must be whitespace-delimited
+# (the standard heuristic; a false EI inside sample data truncates only the
+# image, never text).
+_INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bID\b.*?(?:\s)EI\b", re.DOTALL)
+
+
 def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
     """Interpret text-showing operators → [(x, y, text)] in stream order."""
+    if b"BI" in stream:
+        stream = _INLINE_IMG_RE.sub(b" ", stream)
     items: list[tuple[float, float, str]] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (for T*)

@@ -340,3 +340,14 @@ def test_unsupported_filter_is_unparsed_not_silent():
     pdf = _filtered_pdf(b"\xff\xd8\xff jpeg-ish", "/DCTDecode")
     (page, unparsed), = extract_pdf_detailed(pdf)
     assert page.text == "" and unparsed is True
+
+
+def test_inline_image_binary_does_not_leak_text():
+    # binary sample data contains an unbalanced '(' that would swallow the
+    # following real text if the BI..EI segment were tokenized
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 ID \x00( \xff\x01garbage\x02 EI\n"
+        b"BT /F1 12 Tf 72 600 Td (after) Tj ET"
+    )
+    assert extract_pdf(_one_page_pdf(content))[0].text == "before\n\nafter"

@@ -53,3 +53,48 @@ def test_filter_pushdown_reaches_scan(parquet_corpus):
 
 def test_salted_variant_adds_exactly_one_exchange(parquet_corpus):
     assert count_exchanges(extract(parquet_corpus, salted=True)) == 2
+
+
+def test_jaccard_reuses_shingle_exchange(spark):
+    """The hot-filtered shingle relation must be computed once: both
+    self-join sides and the sizes aggregate read the pinned hash exchange
+    (ReusedExchange), not three recomputations of the explode."""
+    from pbx_ds_ocr_server_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = jaccard_pairs(docs.select("doc_id", "text"))
+    df.collect()  # reuse is an AQE stage-materialization decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in plan  # ReusedExchange / reused shuffle query stage
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_predicate_stays_a_filter(spark):
+    """hash_sample is a pure predicate — no shuffle, no sample operator."""
+    from pbx_ds_ocr_server_spark.functions.text import hash_sample
+    from pbx_ds_ocr_server_spark.plans import count_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = hash_sample(docs, 0.1).select("doc_id")
+    assert count_exchanges(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sample" not in plan
+
+
+def test_narrow_fanout_never_touches_payload_column(spark, corpus, tmp_path_factory):
+    """ensure_min_partitions consumers must not pull the html payload into
+    their exchange: the extraction plan's only repartition carries (doc_id,
+    text)-sized rows."""
+    from pbx_ds_ocr_server_spark.corpus import wrapped_docs_df
+
+    path = str(tmp_path_factory.mktemp("fanout") / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = wrapped_docs_df(spark, path, "plain")
+    from pbx_ds_ocr_server_spark.plans import scan_read_schema
+
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        set(s.split(",")) == {"doc_id:bigint", "text:string"} for s in schemas
+    )
