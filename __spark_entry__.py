@@ -122,6 +122,34 @@ def _plane_sql(p: int) -> str:
     )
 
 
+def _status_counts_sql() -> str:
+    """Mirror of extract_status_counts WITHOUT running extraction: the
+    corpus class is a pure sha256 hash of doc_id (corpus.doc_class) and
+    every class maps to one terminal status, so the full (doc_class,
+    status, n) distribution is predictable from first principles. A parser
+    regression that flips any document's status breaks the hash match."""
+    from pbx_ds_ocr_server_spark.corpus import _CLASS_TABLE
+
+    cases = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CLASS_TABLE)
+    )
+    return f"""
+        WITH cls AS (
+            SELECT CASE (CAST(concat('0x',
+                       substr(sha256('class:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) % {len(_CLASS_TABLE)}) {cases} END AS doc_class
+            FROM documents
+        )
+        SELECT doc_class,
+               CASE WHEN doc_class IN ('empty', 'bad_pdf')
+                        THEN 'rejected_unparseable'
+                    WHEN doc_class = 'png' THEN 'succeeded_noop'
+                    ELSE 'succeeded' END AS status,
+               count(*) AS n
+        FROM cls GROUP BY doc_class, status
+    """
+
+
 def _lsh_bucket_sql(n_planes: int = 8, dims: int = 64) -> str:
     terms = []
     for p in range(n_planes):
@@ -207,7 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_span_stats"] = extract_span_stats
     q["extract_plain_strict"] = extract_plain_strict
     q["extract_markdown"] = extract_markdown
-    q["extract_status_counts"] = extract_status_counts  # rows-only (binary corpus)
+    # oracle-checked: doc_class is a pure sha256 hash of doc_id and each
+    # class has a deterministic terminal status, so DuckDB can predict the
+    # full distribution without running extraction
+    q["extract_status_counts"] = extract_status_counts
 
     # --- text analysis tier ---
     q["token_counts"] = lambda spark, sf: _docs(spark, sf).select(
@@ -911,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_span_stats": span_stats_sql,
         "extract_plain_strict": f"SELECT doc_id, {NORM} AS text_out FROM documents",
         "extract_markdown": markdown_sql,
-        # extract_status_counts: no oracle (binary corpus; rows-only check)
+        "extract_status_counts": _status_counts_sql(),
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
         "lang_id": f"""
             SELECT doc_id, CASE
