@@ -96,7 +96,7 @@ def _votes_sql(lang: str) -> str:
     return f"len(list_filter({WORDS}, w -> list_contains([{lst}], lower(w))))"
 
 
-def _simhash_sql() -> str:
+def _simhash_core(src: str = "documents") -> str:
     terms = []
     for b in range(16):
         ones = (
@@ -108,9 +108,13 @@ def _simhash_sql() -> str:
         )
     total = " + ".join(terms)
     return (
-        f"WITH t AS (SELECT doc_id, {WORDS} AS ws, {TOKENS} AS nw FROM documents) "
-        f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t"
+        f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM "
+        f"(SELECT doc_id, {WORDS} AS ws, {TOKENS} AS nw FROM {src})"
     )
+
+
+def _simhash_sql() -> str:
+    return _simhash_core("documents")
 
 
 def _plane_sql(p: int) -> str:
@@ -332,6 +336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # LSH-bucketed near-dup (never all-pairs): buckets + Hamming-1 probes
     # are mirrored exactly in the oracle, so this is hash-checked end-to-end
+    def simhash_hamming_q(spark, sf):
+        from pbx_ds_ocr_server_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        return simhash_hamming_pairs(_docs_u(spark, sf), max_hamming=2)
+
+    q["simhash_hamming_pairs"] = simhash_hamming_q
+
     q["embedding_neardup_pairs"] = lambda spark, sf: embedding_neardup_lsh(
         _emb(spark, sf)
         .select("vec_id", "embedding")
@@ -1061,6 +1074,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": lsh_pairs_sql,
         "ngram_jaccard_pairs": jaccard_sql,
         "embedding_neardup_pairs": neardup_sql,
+        "simhash_hamming_pairs": f"""
+            WITH docs_u AS ({DOCS_U}),
+            t AS ({_simhash_core('docs_u')}),
+            b AS (
+                SELECT doc_id, simhash, 0 AS band_id, simhash % 64 AS key FROM t
+                UNION ALL
+                SELECT doc_id, simhash, 1, (simhash // 64) % 32 FROM t
+                UNION ALL
+                SELECT doc_id, simhash, 2, (simhash // 2048) % 32 FROM t
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.simhash AS sa, y.simhash AS sb
+                FROM b x JOIN b y
+                  ON x.band_id = y.band_id AND x.key = y.key
+                 AND x.doc_id < y.doc_id
+            )
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+        """,
         "ann_brute_top5": ann_sql,
         "embedding_zscore": """
             WITH e AS (

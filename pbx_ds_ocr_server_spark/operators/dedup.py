@@ -329,6 +329,63 @@ def dedup_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded so it is NEVER
+    all-pairs: the 16-bit signature splits into 3 bands (6|5|5 bits); by
+    pigeonhole any pair within Hamming ≤ 2 agrees exactly on ≥1 band, so a
+    per-band equi-join generates a complete candidate set and the exact
+    ``bit_count(xor)`` verify runs only on candidates. The same
+    banding-over-signatures shape as MinHash-LSH — hash-shuffled on (band,
+    key), AQE-skew-splittable. Recall is exact for ``max_hamming ≤ 2``;
+    larger radii need more/finer bands."""
+    from pbx_ds_ocr_server_spark.functions.text import simhash_table
+
+    sig = simhash_table(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    band_exprs = (
+        "simhash % 64",
+        "(simhash div 64) % 32",
+        "(simhash div 2048) % 32",
+    )
+    melted = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"), F.expr(e).alias("key")
+                    )
+                    for i, e in enumerate(band_exprs)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
+    x = melted.select(
+        F.col("id").alias("a"), F.col("simhash").alias("sa"), "band_id", "key"
+    )
+    y = melted.select(
+        F.col("id").alias("b"), F.col("simhash").alias("sb"), "band_id", "key"
+    )
+    return (
+        x.join(y, ["band_id", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 # ------------------------------------------------------------- embeddings
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (JVM-side fold)."""

@@ -85,3 +85,21 @@ def events_windowed_stream(
             "sum_value",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key arriving within
+    the watermark window (``dropDuplicatesWithinWatermark``) — the streaming
+    twin of ``dedup_exact`` for at-least-once upstream sources (a crawl
+    frontier that re-emits urls, a replayed Kafka topic). State per key is
+    bounded by the watermark horizon, so this runs forever at constant
+    memory — the property a plain ``dropDuplicates`` on a stream lacks."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )

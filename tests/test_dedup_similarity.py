@@ -212,3 +212,29 @@ def test_dedup_near_transitive_folds_hub_components(spark):
     )
     assert one_hop == [1, 2]
     assert transitive == [1]
+
+
+def test_simhash_hamming_banding_is_complete_for_radius_2(spark):
+    # brute-force ground truth vs banded pairs on real docs + injected dups
+    from pbx_ds_ocr_server_spark.functions.text import simhash_table
+    from pbx_ds_ocr_server_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    du = d.unionByName(dup)
+    banded = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_hamming_pairs(du, max_hamming=2).collect()
+    }
+    sig = {r.doc_id: r.simhash for r in simhash_table(du).collect()}
+    ids = sorted(sig)
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 2
+    }
+    assert banded == brute and len(brute) > 0

@@ -75,3 +75,26 @@ def test_events_windowed_stream_runs_as_stream(spark, tmp_path):
     # everything except the trailing watermark horizon closes
     n_stream = spark.sql("select count(*) from ev_win_test").first()[0]
     assert n_stream > 0
+
+
+def test_dedup_stream_drops_watermark_window_repeats(spark, tmp_path):
+    from pbx_ds_ocr_server_spark.streaming.stream import dedup_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    doubled = ev.unionByName(ev)  # at-least-once upstream: every event twice
+    inp = str(tmp_path / "dd_in")
+    doubled.write.parquet(inp)
+    stream = spark.readStream.schema(doubled.schema).parquet(inp)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id, count(*) c from dd_test group by event_id")
+    assert got.filter("c > 1").count() == 0  # repeats dropped
+    assert got.count() == 200  # every distinct key survives
