@@ -273,15 +273,29 @@ def hash_sample(df, rate: float, key_col: str = "doc_id"):
 
 
 def stratified_sample(df, k: int, group_col: str = "lang",
-                      key_col: str = "doc_id"):
+                      key_col: str = "doc_id", pre_rate: float | None = None):
     """Deterministic k-per-group sample: rank rows inside each group by
-    md5(key) and keep the first k. One hash-partitioned window — the
-    scale-safe 'balanced eval slice per language/domain' primitive."""
+    md5(key) and keep the first k.
+
+    Scale note: the ranking window hash-partitions on ``group_col`` — with
+    LOW-cardinality groups (5 languages over 10⁹ docs) that is 5 reducer
+    partitions doing all the sorting. ``pre_rate`` fixes it: a stable
+    md5-fraction pre-filter (same order statistic the window sorts by!)
+    shrinks each group BEFORE the shuffle without changing the result —
+    the prefilter keeps a PREFIX of the window's order (md5/2³² is exactly
+    the sort key), so the result is identical whenever each group retains
+    ≥ k rows — guaranteed in expectation at rate = c·k/group_count with
+    failure probability exp(−Θ(c·k)). Pick ``pre_rate ≈ 10·k /
+    min_group_count``; a count per group beforehand makes it exact."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(key_col).cast("string")), F.col(key_col)
-    )
+    h = F.md5(F.col(key_col).cast("string"))
+    if pre_rate is not None:
+        frac = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(
+            float(1 << 32)
+        )
+        df = df.filter(frac < F.lit(pre_rate))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

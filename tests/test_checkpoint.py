@@ -93,3 +93,16 @@ def test_restage_with_different_n_buckets_raises(spark, corpus, tmp_path):
     run_extract_job(spark, corpus, out, run_id="rA", n_buckets=4)
     with pytest.raises(ValueError, match="n_buckets"):
         run_extract_job(spark, corpus, out, run_id="rB", n_buckets=2)
+
+
+def test_write_table_parquet_and_iceberg_seam(spark, tmp_path):
+    from pbx_ds_ocr_server_spark.sources.writer import write_table
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    out = str(tmp_path / "wt")
+    write_table(df, out, fmt="parquet", mode="overwrite")
+    assert spark.read.parquet(out).count() == 10
+    with pytest.raises(RuntimeError, match="Iceberg sink requires"):
+        write_table(df, "nocat.db.t", fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown sink format"):
+        write_table(df, out, fmt="orcish")

@@ -238,3 +238,20 @@ def test_simhash_hamming_banding_is_complete_for_radius_2(spark):
         if bin(sig[a] ^ sig[b]).count("1") <= 2
     }
     assert banded == brute and len(brute) > 0
+
+
+def test_stratified_sample_prefilter_is_exact_at_adequate_rate(spark):
+    from pbx_ds_ocr_server_spark.functions.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(docs, k=5).select("doc_id", "lang").collect()
+    }
+    pre = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(docs, k=5, pre_rate=0.5)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert pre == exact and len(exact) > 0
