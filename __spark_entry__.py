@@ -697,8 +697,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, (i - 1) // 10
         ),
         md AS (
+            -- empty chunk (whitespace-only doc) gets NO prefix: the kernel
+            -- skips blank blocks, so text_out must stay ''
             SELECT doc_id, c,
-                   CASE WHEN c = 0 THEN '## ' || chunk
+                   CASE WHEN chunk = '' THEN ''
+                        WHEN c = 0 THEN '## ' || chunk
                         WHEN c % 5 = 4 THEN '- ' || chunk
                         ELSE chunk END AS mchunk
             FROM chunks
@@ -994,10 +997,10 @@ def oracle_sql() -> dict[str, str]:
                            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                        regexp_replace(
                            lower(regexp_extract(url,
-                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
                            '^[^@]*@', '') AS auth,
                        regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
                 FROM u
             )
             SELECT doc_id,
@@ -1019,7 +1022,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_replace(
                        regexp_replace(
                            lower(regexp_extract(url,
-                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
                            '^[^@]*@', ''),
                        ':[0-9]*$', '') AS host,
                    count(*) AS n

@@ -33,7 +33,7 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 NAV = (
     '<nav class="top"><ul>'
@@ -193,8 +193,13 @@ def make_pdf(
 
 def pdf_pages_for(text: str, n_pages: int) -> list[list[tuple[float, float, str]]]:
     """Deterministic page layout: chunk text into per-page 8-word lines laid
-    out top-down at y = 700, 680, ... (ASCII-safe via latin-1 filter)."""
+    out top-down at y = 700, 680, ... (ASCII-safe via latin-1 filter; a text
+    with NO latin-1 content — e.g. pure CJK — falls back to a fixed ASCII
+    placeholder so pdf-class docs always carry extractable text and the
+    class→status oracle stays exact)."""
     safe = text.encode("latin-1", "ignore").decode("latin-1")
+    if not safe.strip():
+        safe = "untitled document"
     lines = chunk_words(safe, 8)
     per_page = max(1, (len(lines) + n_pages - 1) // n_pages)
     pages = []
@@ -238,12 +243,36 @@ def make_png(text_items: list[tuple[str, str]], w: int = 4, h: int = 4) -> bytes
     return bytes(out)
 
 
+def split_for_com(text: str, limit: int = 60000) -> list[str]:
+    """Split text on word boundaries into chunks whose UTF-8 encoding fits a
+    JPEG COM segment (max payload 65533 bytes). Mirrors what make_jpeg
+    writes, so expected_text stays derivable."""
+    words = text.split(" ")
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for w in words:
+        wb = len(w.encode("utf-8")) + (1 if cur else 0)
+        if cur and cur_bytes + wb > limit:
+            chunks.append(" ".join(cur))
+            cur, cur_bytes = [], 0
+            wb = len(w.encode("utf-8"))
+        cur.append(w)
+        cur_bytes += wb
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
 def make_jpeg(comments: list[str]) -> bytes:
-    """Minimal JPEG: SOI + one COM segment per comment (UTF-8) + EOI."""
+    """Minimal JPEG: SOI + COM segments (UTF-8) + EOI. Comments longer than
+    one segment's 65533-byte payload cap are split on word boundaries
+    (split_for_com) instead of overflowing the 2-byte length field."""
     out = bytearray(b"\xff\xd8")
     for c in comments:
-        data = c.encode("utf-8")
-        out += b"\xff\xfe" + (len(data) + 2).to_bytes(2, "big") + data
+        for chunk in split_for_com(c):
+            data = chunk.encode("utf-8")
+            out += b"\xff\xfe" + (len(data) + 2).to_bytes(2, "big") + data
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -353,7 +382,12 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         expected = "\n\n".join(parts) if parts else None
     elif cls == "jpeg_com":
         payload = make_jpeg([text])
-        expected = " ".join(text.split()) or None
+        # mirror the COM chunking: each segment is a separate metadata item
+        parts = [
+            " ".join(c.split()) for c in split_for_com(text)
+        ]
+        parts = [p for p in parts if p]
+        expected = "\n\n".join(parts) if parts else None
     else:  # png (magic-only degenerate)
         payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
         expected = None

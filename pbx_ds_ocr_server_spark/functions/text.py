@@ -261,15 +261,23 @@ def pii_scrub(col: Column | str) -> Column:
 
 
 # ------------------------------------------------- deterministic sampling
+def _md5_frac(key_col: str):
+    """md5(key) prefix as a uniform fraction in [0, 1) — the shared order
+    statistic of hash_sample (threshold) and stratified_sample (prefilter +
+    window sort key); the prefix-property guarantee depends on all three
+    using THIS expression."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 32))
+
+
 def hash_sample(df, rate: float, key_col: str = "doc_id"):
     """Stable Bernoulli sample: keep rows whose md5(key) prefix, read as a
     32-bit fraction, falls below ``rate``. Unlike ``df.sample()`` this is a
     pure column predicate — reproducible across runs/engines/partitionings,
     pushes down past joins, and never needs an RNG seed plumbed through.
     The workhorse for 'same 1% of the crawl every day' pipelines."""
-    frac = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-                  ).cast("bigint") / F.lit(float(1 << 32))
-    return df.filter(frac < F.lit(rate))
+    return df.filter(_md5_frac(key_col) < F.lit(rate))
 
 
 def stratified_sample(df, k: int, group_col: str = "lang",
@@ -291,10 +299,7 @@ def stratified_sample(df, k: int, group_col: str = "lang",
 
     h = F.md5(F.col(key_col).cast("string"))
     if pre_rate is not None:
-        frac = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(
-            float(1 << 32)
-        )
-        df = df.filter(frac < F.lit(pre_rate))
+        df = df.filter(_md5_frac(key_col) < F.lit(pre_rate))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -22,8 +22,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
-_AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
-_REST = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"
+# authority may be EMPTY (file:///path): '+' here would fail the whole match
+# and silently canonicalize every file:/// URL to 'file:///', merging
+# distinct paths onto one dedup key
+_AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_REST = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
 def _c(col: Column | str) -> Column:

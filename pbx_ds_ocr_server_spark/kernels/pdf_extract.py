@@ -338,15 +338,29 @@ def _content_stream(
 # inline images: BI <dict> ID <binary...> EI — the binary body is raw
 # sample data that would otherwise feed garbage tokens (an unbalanced '('
 # swallows real text up to the next ')'). EI must be whitespace-delimited
-# (the standard heuristic; a false EI inside sample data truncates only the
-# image, never text).
-_INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bID\b.*?(?:\s)EI\b", re.DOTALL)
+# (the standard heuristic). A match is stripped ONLY when its ID..EI body
+# contains non-text bytes: real sample data is binary, while a false match
+# spanning literal strings like "(BI) Tj ... ( EI) Tj" is printable and is
+# left alone (a purely ASCII-encoded inline image then feeds harmless
+# number/name tokens — no string tokens — to the interpreter).
+_INLINE_IMG_RE = re.compile(rb"\bBI\b.*?\bID\b(.*?)\sEI\b", re.DOTALL)
+_TEXTUAL_BYTES = frozenset(range(32, 127)) | {9, 10, 13}
+
+
+def _strip_inline_images(stream: bytes) -> bytes:
+    def repl(m: re.Match) -> bytes:
+        body = m.group(1)
+        if all(b in _TEXTUAL_BYTES for b in body):
+            return m.group(0)  # printable: likely a false match in text
+        return b" "
+
+    return _INLINE_IMG_RE.sub(repl, stream)
 
 
 def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
     """Interpret text-showing operators → [(x, y, text)] in stream order."""
     if b"BI" in stream:
-        stream = _INLINE_IMG_RE.sub(b" ", stream)
+        stream = _strip_inline_images(stream)
     items: list[tuple[float, float, str]] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (for T*)

@@ -23,7 +23,10 @@ import struct
 import zlib
 
 from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
-from pbx_ds_ocr_server_spark.kernels.html_extract import PageResult, Span
+from pbx_ds_ocr_server_spark.kernels.html_extract import (
+    PageResult,
+    assemble_page,
+)
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -137,6 +140,9 @@ def jpeg_text_segments(payload: bytes) -> list[tuple[str, str]]:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # 0xFF fill-byte padding before a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -177,27 +183,6 @@ def extract_raster_meta(
     if not texts:
         return None
     title = " ".join(title_raw.split()) if title_raw else None
-    spans: list[Span] = []
-    byte_off = 0
-    sep_bytes = len(cfg.page_separator.encode("utf-8"))
-    for t in texts:
-        if spans:
-            byte_off += sep_bytes
-        blen = len(t.encode("utf-8"))
-        spans.append(
-            Span(
-                page_index=1,
-                kind="meta",
-                bbox=[0.0, 0.0, 0.0, 0.0],
-                start=byte_off,
-                end=byte_off + blen,
-                text=t,
-            )
-        )
-        byte_off += blen
-    return PageResult(
-        page_index=1,
-        text=cfg.page_separator.join(texts),
-        spans=spans,
-        title=title or None,
-    )
+    # same frozen span/offset assembly as the HTML kernels (one source of
+    # truth for the byte-offset math); 'meta' is not a markdown-rendered kind
+    return assemble_page([("meta", None, t) for t in texts], cfg, title or None)

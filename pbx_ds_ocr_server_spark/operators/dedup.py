@@ -248,12 +248,14 @@ def connected_min_label(
 
     Iterative min-label propagation: each round every vertex takes the
     minimum of its own label and its neighbors' labels; converged when no
-    label shrinks. Rounds needed ≈ log(component diameter) after the first
-    few (labels hop through already-lowered neighbors), and near-dup
-    components are tiny cliques/chains in practice — the loop is
-    driver-bounded with per-round ``localCheckpoint`` so the plan never
-    snowballs. This is the canonical Spark connected-components shape
-    (GraphFrames' CC is the same agg without the library)."""
+    label shrinks. The minimum travels one hop per round, so rounds needed
+    = component diameter; near-dup components are tiny cliques/chains in
+    practice. The loop is driver-bounded with per-round ``localCheckpoint``
+    so the plan never snowballs, and RAISES if ``max_iter`` rounds pass
+    without convergence — silently-wrong components would diverge from the
+    exact transitive-closure oracle. This is the canonical Spark
+    connected-components shape (GraphFrames' CC is the same agg without the
+    library)."""
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -280,8 +282,11 @@ def connected_min_label(
         changed = upd.filter(F.col("label") < F.col("old")).count()
         labels = upd.select("id", "label")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise ValueError(
+        f"connected_min_label did not converge in max_iter={max_iter} rounds"
+        " (a component diameter exceeds it); raise max_iter"
+    )
 
 
 def dedup_near(

@@ -43,6 +43,9 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # 0xFF fill-byte padding before a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -242,11 +242,15 @@ def write_table(
                 df.writeTo(target).append()
             else:
                 df.writeTo(target).createOrReplace()
-        except Exception as exc:  # jar/catalog missing → actionable error
+        except Exception as exc:
+            # most common cause is the missing runtime jar/catalog, but keep
+            # the underlying error visible — a schema or permission failure
+            # on a real cluster must not masquerade as a packaging problem
             raise RuntimeError(
-                "Iceberg sink requires the iceberg-spark-runtime jar and a "
-                "configured catalog (spark.sql.catalog.<name>) — neither is "
-                "present in this environment"
+                "Iceberg write failed — if the message below is about an "
+                "unknown catalog/table provider, add the "
+                "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
+                f"config. Underlying error: {exc}"
             ) from exc
         return
     raise ValueError(f"unknown sink format: {fmt!r}")

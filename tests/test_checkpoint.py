@@ -102,7 +102,7 @@ def test_write_table_parquet_and_iceberg_seam(spark, tmp_path):
     out = str(tmp_path / "wt")
     write_table(df, out, fmt="parquet", mode="overwrite")
     assert spark.read.parquet(out).count() == 10
-    with pytest.raises(RuntimeError, match="Iceberg sink requires"):
+    with pytest.raises(RuntimeError, match="Iceberg write failed"):
         write_table(df, "nocat.db.t", fmt="iceberg")
     with pytest.raises(ValueError, match="unknown sink format"):
         write_table(df, out, fmt="orcish")

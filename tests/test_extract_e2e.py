@@ -195,3 +195,17 @@ def test_encrypted_pdf_is_typed_rejection(spark):
     ).first()
     assert row.status == "rejected_unparseable"
     assert "encrypted" in row.error
+
+
+def test_pure_cjk_pdf_class_still_succeeds(spark):
+    # latin-1 filtering of pure-CJK text must fall back to placeholder text
+    # so pdf-class docs never silently become succeeded_empty (the status
+    # oracle predicts 'succeeded' for the class)
+    from pbx_ds_ocr_server_spark.corpus import make_pdf, pdf_pages_for
+
+    pages = pdf_pages_for("中文 文本 只有 中文", 2)
+    pdf = make_pdf(pages)
+    row = extract(
+        spark.createDataFrame([("pdf://cjk", pdf)], "url string, html binary")
+    ).first()
+    assert row.status == "succeeded" and row.text != ""

@@ -351,3 +351,15 @@ def test_inline_image_binary_does_not_leak_text():
         b"BT /F1 12 Tf 72 600 Td (after) Tj ET"
     )
     assert extract_pdf(_one_page_pdf(content))[0].text == "before\n\nafter"
+
+
+def test_inline_image_false_positive_in_strings_preserved():
+    # 'BI', 'ID' and 'EI' appearing as ordinary literal-string content must
+    # NOT trigger stripping (the body is printable text, not sample data)
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (BI) Tj 0 -20 Td (real ID text) Tj "
+        b"0 -20 Td ( EI trailer) Tj ET"
+    )
+    assert extract_pdf(_one_page_pdf(content))[0].text == (
+        "BI\n\nreal ID text\n\nEI trailer"
+    )

@@ -79,3 +79,26 @@ def test_extract_raster_meta_assembles_page():
 def test_extract_raster_meta_none_when_no_text():
     assert extract_raster_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png") is None
     assert extract_raster_meta(make_jpeg([]), "jpeg") is None
+
+
+def test_jpeg_fill_byte_padding_before_markers():
+    # 0xFF fill bytes before a marker are legal; the walker must not read
+    # the length from the wrong offset
+    data = "padded comment".encode("utf-8")
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xfe" + (len(data) + 2).to_bytes(2, "big") + data
+        + b"\xff\xd9"
+    )
+    assert jpeg_text_segments(jpg) == [("com", "padded comment")]
+
+
+def test_make_jpeg_long_comment_splits_segments():
+    from pbx_ds_ocr_server_spark.corpus import make_jpeg, split_for_com
+
+    text = "word " * 20000  # ~100KB, over the 65533-byte COM cap
+    jpg = make_jpeg([text.strip()])
+    got = jpeg_text_segments(jpg)
+    assert len(got) == len(split_for_com(text.strip())) >= 2
+    assert " ".join(v for _s, v in got) == text.strip()

@@ -58,3 +58,9 @@ def test_non_url_passes_through(norm):
 
 def test_host_excludes_port(norm):
     assert norm("https://A.Com:8443/x")["h"] == "a.com"
+
+
+def test_empty_authority_preserves_path(norm):
+    assert norm("file:///etc/passwd")["n"] == "file:///etc/passwd"
+    assert norm("file:///var/log")["n"] == "file:///var/log"
+    assert norm("file:///etc/passwd")["h"] == ""
