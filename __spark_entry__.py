@@ -592,6 +592,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["latest_event_per_user"] = latest_event_per_user
 
+    # exact distributed percentiles (Spark `percentile` interpolates the
+    # same as ANSI quantile_cont — verified to 4dp against DuckDB)
+    def event_value_percentiles(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+
+    q["event_value_percentiles"] = event_value_percentiles
+
     # --- winnowing fingerprints + repetition metrics ---
     def winnowing(spark, sf):
         from pbx_ds_ocr_server_spark.operators.dedup import (
@@ -1175,6 +1187,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "event_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
         """,
         "latest_event_per_user": """
             WITH r AS (
