@@ -247,18 +247,33 @@ def split_for_com(text: str, limit: int = 60000) -> list[str]:
     """Split text on word boundaries into chunks whose UTF-8 encoding fits a
     JPEG COM segment (max payload 65533 bytes). Mirrors what make_jpeg
     writes, so expected_text stays derivable."""
-    words = text.split(" ")
+    def hard_split(w: str) -> list[str]:
+        # a single "word" over the cap (minified JS, base64 blob): split on
+        # character boundaries so every piece's UTF-8 fits
+        out, cur, cur_b = [], [], 0
+        for ch in w:
+            cb = len(ch.encode("utf-8"))
+            if cur and cur_b + cb > limit:
+                out.append("".join(cur))
+                cur, cur_b = [], 0
+            cur.append(ch)
+            cur_b += cb
+        if cur:
+            out.append("".join(cur))
+        return out
+
     chunks: list[str] = []
     cur: list[str] = []
     cur_bytes = 0
-    for w in words:
-        wb = len(w.encode("utf-8")) + (1 if cur else 0)
-        if cur and cur_bytes + wb > limit:
-            chunks.append(" ".join(cur))
-            cur, cur_bytes = [], 0
-            wb = len(w.encode("utf-8"))
-        cur.append(w)
-        cur_bytes += wb
+    for word in text.split(" "):
+        for w in hard_split(word) if len(word.encode("utf-8")) > limit else [word]:
+            wb = len(w.encode("utf-8")) + (1 if cur else 0)
+            if cur and cur_bytes + wb > limit:
+                chunks.append(" ".join(cur))
+                cur, cur_bytes = [], 0
+                wb = len(w.encode("utf-8"))
+            cur.append(w)
+            cur_bytes += wb
     if cur:
         chunks.append(" ".join(cur))
     return chunks

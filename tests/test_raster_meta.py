@@ -102,3 +102,17 @@ def test_make_jpeg_long_comment_splits_segments():
     got = jpeg_text_segments(jpg)
     assert len(got) == len(split_for_com(text.strip())) >= 2
     assert " ".join(v for _s, v in got) == text.strip()
+
+
+def test_split_for_com_handles_oversized_single_token():
+    from pbx_ds_ocr_server_spark.corpus import split_for_com
+
+    blob = "x" * 150000  # one unbroken 150KB token
+    chunks = split_for_com(blob)
+    assert all(len(c.encode("utf-8")) <= 60000 for c in chunks)
+    assert "".join(chunks) == blob
+    # and multibyte chars never split mid-codepoint
+    cjk = "中" * 30000  # 90KB utf-8
+    chunks = split_for_com(cjk)
+    assert all(len(c.encode("utf-8")) <= 60000 for c in chunks)
+    assert "".join(chunks) == cjk
