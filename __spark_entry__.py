@@ -117,6 +117,32 @@ def _simhash_sql() -> str:
     return _simhash_core("documents")
 
 
+def _simhash_bands_core(src: str) -> str:
+    """(doc_id, s0..s3) mirror of functions/text.simhash_bands_table."""
+    from pbx_ds_ocr_server_spark.functions.text import (
+        SIMHASH_BANDS,
+        SIMHASH_HI,
+    )
+
+    band_cols = []
+    for j, (off, bit) in enumerate(SIMHASH_BANDS):
+        hi = ", ".join(f"'{c}'" for c in SIMHASH_HI[bit])
+        terms = []
+        for i in range(16):
+            ones = (
+                f"len(list_filter(ws, w -> substr(md5(w), {off + i + 1}, 1)"
+                f" IN ({hi})))"
+            )
+            terms.append(
+                f"(CASE WHEN nw > 0 AND 2*{ones} > nw THEN {1 << i} ELSE 0 END)"
+            )
+        band_cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS s{j}")
+    return (
+        f"SELECT doc_id, {', '.join(band_cols)} FROM "
+        f"(SELECT doc_id, {WORDS} AS ws, {TOKENS} AS nw FROM {src})"
+    )
+
+
 def _plane_sql(p: int) -> str:
     """±1 pseudo-hyperplane component for 1-based list index i (md5 keyed
     0-based to match operators/similarity.hyperplane)."""
@@ -341,7 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_hamming_pairs,
         )
 
-        return simhash_hamming_pairs(_docs_u(spark, sf), max_hamming=2)
+        return simhash_hamming_pairs(_docs_u(spark, sf), max_hamming=3)
 
     q["simhash_hamming_pairs"] = simhash_hamming_q
 
@@ -1091,23 +1117,28 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": neardup_sql,
         "simhash_hamming_pairs": f"""
             WITH docs_u AS ({DOCS_U}),
-            t AS ({_simhash_core('docs_u')}),
+            t AS ({_simhash_bands_core('docs_u')}),
             b AS (
-                SELECT doc_id, simhash, 0 AS band_id, simhash % 64 AS key FROM t
-                UNION ALL
-                SELECT doc_id, simhash, 1, (simhash // 64) % 32 FROM t
-                UNION ALL
-                SELECT doc_id, simhash, 2, (simhash // 2048) % 32 FROM t
+                SELECT doc_id, s0, s1, s2, s3, 0 AS band_id, s0 AS key FROM t
+                UNION ALL SELECT doc_id, s0, s1, s2, s3, 1, s1 FROM t
+                UNION ALL SELECT doc_id, s0, s1, s2, s3, 2, s2 FROM t
+                UNION ALL SELECT doc_id, s0, s1, s2, s3, 3, s3 FROM t
             ),
             cand AS (
                 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                       x.simhash AS sa, y.simhash AS sb
+                       x.s0 AS xa0, x.s1 AS xa1, x.s2 AS xa2, x.s3 AS xa3,
+                       y.s0 AS yb0, y.s1 AS yb1, y.s2 AS yb2, y.s3 AS yb3
                 FROM b x JOIN b y
                   ON x.band_id = y.band_id AND x.key = y.key
                  AND x.doc_id < y.doc_id
             )
-            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-            FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+            SELECT a, b,
+                   CAST(bit_count(xor(xa0, yb0)) + bit_count(xor(xa1, yb1))
+                      + bit_count(xor(xa2, yb2)) + bit_count(xor(xa3, yb3))
+                        AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(xa0, yb0)) + bit_count(xor(xa1, yb1))
+                + bit_count(xor(xa2, yb2)) + bit_count(xor(xa3, yb3)) <= 3
         """,
         "ann_brute_top5": ann_sql,
         "embedding_zscore": """

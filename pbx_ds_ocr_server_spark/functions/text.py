@@ -347,3 +347,42 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# 64-bit SimHash as FOUR 16-bit band signatures (no sign-bit packing
+# games): band j draws bit i from md5 hex char (char_off + i + 1), testing
+# hex bit 3 or 2. Bands partition the 64 bits, so total Hamming distance =
+# sum of per-band distances — and any pair within Hamming <= 3 agrees
+# EXACTLY on >= 1 of the 4 bands (pigeonhole), which is what makes banded
+# candidate generation complete (Manku et al., WWW'07 shape).
+SIMHASH_BANDS = ((0, 3), (0, 2), (16, 3), (16, 2))  # (md5 char offset, bit)
+SIMHASH_HI = {3: tuple("89abcdef"), 2: tuple("4567cdef")}
+
+
+def simhash_bands_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, s0, s1, s2, s3): four 16-bit SimHash band signatures per doc —
+    one hash aggregate of 64 conditional sums (codegen-friendly, same style
+    as simhash_table)."""
+    w = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
+    w = w.withColumn("h", F.md5("w"))
+    aggs = [F.count("*").alias("n")]
+    for j, (off, bit) in enumerate(SIMHASH_BANDS):
+        hi = list(SIMHASH_HI[bit])
+        for i in range(16):
+            aggs.append(
+                F.sum(
+                    F.when(F.substring("h", off + i + 1, 1).isin(hi), 1)
+                    .otherwise(0)
+                ).alias(f"o{j}_{i}")
+            )
+    counted = w.groupBy("id").agg(*aggs)
+    outs = []
+    for j in range(4):
+        total = F.lit(0).cast("bigint")
+        for i in range(16):
+            bit = F.when(F.col(f"o{j}_{i}") * 2 > F.col("n"), 1).otherwise(0)
+            total = total + bit.cast("bigint") * F.lit(1 << i).cast("bigint")
+        outs.append(total.alias(f"s{j}"))
+    return counted.select(F.col("id").alias(id_col), *outs)

@@ -338,54 +338,66 @@ def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 2,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded so it is NEVER
-    all-pairs: the 16-bit signature splits into 3 bands (6|5|5 bits); by
-    pigeonhole any pair within Hamming ≤ 2 agrees exactly on ≥1 band, so a
-    per-band equi-join generates a complete candidate set and the exact
-    ``bit_count(xor)`` verify runs only on candidates. The same
-    banding-over-signatures shape as MinHash-LSH — hash-shuffled on (band,
-    key), AQE-skew-splittable. Recall is exact for ``max_hamming ≤ 2``;
-    larger radii need more/finer bands."""
-    from pbx_ds_ocr_server_spark.functions.text import simhash_table
+    """Near-dup pairs by 64-bit SimHash Hamming distance, banded so it is
+    NEVER all-pairs: the signature is four 16-bit bands
+    (functions/text.simhash_bands_table); by pigeonhole any pair within
+    Hamming ≤ 3 agrees EXACTLY on ≥1 band, so a per-band equi-join
+    generates a complete candidate set and the exact per-band
+    ``bit_count(xor)`` sum verifies only candidates — the Manku et al.
+    (WWW'07) web-dedup shape. 16-bit band keys give 65536 buckets: at 10⁹
+    docs a bucket holds ~15k docs, so candidates are ~10⁻⁶ of all pairs
+    (a 16-bit TOTAL signature saturates there — that was the round-2
+    first cut). Hash-shuffled on (band, key), AQE-skew-splittable."""
+    from pbx_ds_ocr_server_spark.functions.text import simhash_bands_table
 
-    sig = simhash_table(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), "simhash"
-    )
-    band_exprs = (
-        "simhash % 64",
-        "(simhash div 64) % 32",
-        "(simhash div 2048) % 32",
+    sig = simhash_bands_table(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "s0", "s1", "s2", "s3"
     )
     melted = sig.select(
         "id",
-        "simhash",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band_id"), F.expr(e).alias("key")
+                        F.lit(j).alias("band_id"),
+                        F.col(f"s{j}").alias("key"),
                     )
-                    for i, e in enumerate(band_exprs)
+                    for j in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
+    ).select(
+        "id", "s0", "s1", "s2", "s3",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.key").alias("key"),
+    )
     x = melted.select(
-        F.col("id").alias("a"), F.col("simhash").alias("sa"), "band_id", "key"
+        F.col("id").alias("a"),
+        *[F.col(f"s{j}").alias(f"xa{j}") for j in range(4)],
+        "band_id",
+        "key",
     )
     y = melted.select(
-        F.col("id").alias("b"), F.col("simhash").alias("sb"), "band_id", "key"
+        F.col("id").alias("b"),
+        *[F.col(f"s{j}").alias(f"yb{j}") for j in range(4)],
+        "band_id",
+        "key",
     )
+    hamming = sum(
+        F.expr(f"bit_count(xa{j} ^ yb{j})") for j in range(4)
+    ).cast("bigint")
     return (
         x.join(y, ["band_id", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
+        .select("a", "b", "xa0", "xa1", "xa2", "xa3", "yb0", "yb1", "yb2", "yb3")
         .distinct()
-        .withColumn(
-            "hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)")
-        )
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

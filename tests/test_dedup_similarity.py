@@ -214,9 +214,9 @@ def test_dedup_near_transitive_folds_hub_components(spark):
     assert transitive == [1]
 
 
-def test_simhash_hamming_banding_is_complete_for_radius_2(spark):
-    # brute-force ground truth vs banded pairs on real docs + injected dups
-    from pbx_ds_ocr_server_spark.functions.text import simhash_table
+def test_simhash_hamming_banding_is_complete_for_radius_3(spark):
+    # brute-force ground truth over the 64-bit signatures vs banded pairs
+    from pbx_ds_ocr_server_spark.functions.text import simhash_bands_table
     from pbx_ds_ocr_server_spark.operators.dedup import simhash_hamming_pairs
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -227,17 +227,27 @@ def test_simhash_hamming_banding_is_complete_for_radius_2(spark):
     du = d.unionByName(dup)
     banded = {
         (r.a, r.b, r.hamming)
-        for r in simhash_hamming_pairs(du, max_hamming=2).collect()
+        for r in simhash_hamming_pairs(du, max_hamming=3).collect()
     }
-    sig = {r.doc_id: r.simhash for r in simhash_table(du).collect()}
+    sig = {
+        r.doc_id: (r.s0, r.s1, r.s2, r.s3)
+        for r in simhash_bands_table(du).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+
     ids = sorted(sig)
     brute = {
-        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        (a, b, ham(a, b))
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(sig[a] ^ sig[b]).count("1") <= 2
+        if ham(a, b) <= 3
     }
     assert banded == brute and len(brute) > 0
+    # the first-cut 16-bit signature collided 12% of ALL pairs at this size;
+    # 64 bits must collapse the pair count to near the true-dup set
+    assert len(brute) < 100
 
 
 def test_stratified_sample_prefilter_is_exact_at_adequate_rate(spark):
