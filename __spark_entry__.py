@@ -384,6 +384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold=0.999,
         n_planes=8,
         dims=64,
+        # impl='expr': the JVM sequential fold whose summation ORDER matches
+        # the DuckDB mirror's list_sum bit-for-bit — a hash-gated query must
+        # be exact-by-construction, not exact-up-to-SIMD-summation-order
+        # (production callers keep the default Arrow matmul)
+        impl="expr",
     ).withColumn("cos", F.round("cos", 5))
 
     # --- similarity-search tier ---
@@ -398,8 +403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_lsh_histogram(spark, sf):
+        # impl='expr' for the same reason as embedding_neardup_pairs: the
+        # oracle gate needs the mirror's exact summation order
         return (
-            with_lsh_bucket(_emb(spark, sf), n_planes=8, dims=64)
+            with_lsh_bucket(_emb(spark, sf), n_planes=8, dims=64, impl="expr")
             .groupBy("bucket")
             .agg(F.count("*").alias("n"))
         )
@@ -559,14 +566,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_near_keepers(spark, sf):
         from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
 
-        return dedup_near(_docs_u(spark, sf)).select("doc_id")
+        return dedup_near(
+            _docs_u(spark, sf), max_shingle_df=MAX_SHINGLE_DF
+        ).select("doc_id")
 
     q["dedup_near_keepers"] = dedup_near_keepers  # rows-only
 
     def dedup_near_transitive(spark, sf):
         from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
 
-        return dedup_near(_docs_u(spark, sf), transitive=True).select("doc_id")
+        return dedup_near(
+            _docs_u(spark, sf),
+            max_shingle_df=MAX_SHINGLE_DF,
+            transitive=True,
+        ).select("doc_id")
 
     q["dedup_near_transitive"] = dedup_near_transitive
 

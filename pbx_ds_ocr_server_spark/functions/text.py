@@ -281,25 +281,57 @@ def hash_sample(df, rate: float, key_col: str = "doc_id"):
 
 
 def stratified_sample(df, k: int, group_col: str = "lang",
-                      key_col: str = "doc_id", pre_rate: float | None = None):
+                      key_col: str = "doc_id",
+                      pre_rate: float | str | None = "auto"):
     """Deterministic k-per-group sample: rank rows inside each group by
     md5(key) and keep the first k.
 
     Scale note: the ranking window hash-partitions on ``group_col`` — with
     LOW-cardinality groups (5 languages over 10⁹ docs) that is 5 reducer
-    partitions doing all the sorting. ``pre_rate`` fixes it: a stable
-    md5-fraction pre-filter (same order statistic the window sorts by!)
-    shrinks each group BEFORE the shuffle without changing the result —
-    the prefilter keeps a PREFIX of the window's order (md5/2³² is exactly
-    the sort key), so the result is identical whenever each group retains
-    ≥ k rows — guaranteed in expectation at rate = c·k/group_count with
-    failure probability exp(−Θ(c·k)). Pick ``pre_rate ≈ 10·k /
-    min_group_count``; a count per group beforehand makes it exact."""
+    partitions doing all the sorting. The md5-fraction pre-filter fixes it:
+    it shrinks each group BEFORE the shuffle without changing the result,
+    because the prefilter keeps a PREFIX of the window's own sort order
+    (md5/2³² is exactly the sort key) — the result is provably identical
+    whenever each group retains ≥ k rows after filtering.
+
+    ``pre_rate='auto'`` (default): derive the rate from one cheap per-group
+    count (rate = 10·k / min_group_count), then VERIFY with a second cheap
+    agg that every group retained ≥ min(k, group_count) rows — doubling the
+    rate until it does (first try succeeds unless the md5 fractions of a
+    group are pathologically clustered). Two map-side-combined scans of two
+    narrow columns replace an all-data sort on ≤|groups| reducers — the
+    right trade at any scale where this operator matters. Pass a float to
+    pin the rate (caller guarantees adequacy), or ``None`` to disable the
+    prefilter (tiny frames / group_col with high cardinality)."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
-    if pre_rate is not None:
-        df = df.filter(_md5_frac(key_col) < F.lit(pre_rate))
+    rate: float | None = None
+    if pre_rate == "auto":
+        counts = {
+            r[0]: r[1]
+            for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        }
+        if counts:
+            cand = 10.0 * k / min(counts.values())
+            while cand < 1.0:
+                kept = {
+                    r[0]: r[1]
+                    for r in df.filter(_md5_frac(key_col) < F.lit(cand))
+                    .groupBy(group_col)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                if all(
+                    kept.get(g, 0) >= min(k, n) for g, n in counts.items()
+                ):
+                    rate = cand
+                    break
+                cand *= 2.0  # astronomically rare; bounded by cand < 1.0
+    elif pre_rate is not None:
+        rate = float(pre_rate)
+    if rate is not None and rate < 1.0:
+        df = df.filter(_md5_frac(key_col) < F.lit(rate))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -138,11 +138,17 @@ def jaccard_pairs(
 
     intersection via equi-join on shingle; |A∪B| = |A|+|B|−|A∩B|.
     ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (stopword-shingle skew guard) — affects recall, never correctness of the
-    pairs it does emit. The default cap is ON (1000): a single hot shingle
-    ("of the and") with df=d contributes d² rows to the self-join, so an
-    uncapped run is quadratic in the hottest shingle and dies at web scale.
-    Pass ``None`` only for small, trusted frames.
+    (stopword-shingle skew guard). NOTE the cap changes the EMITTED Jaccard
+    values, not just recall: sizes and intersections are both computed over
+    the cap-filtered shingle sets, so a pair's reported Jaccard is the
+    Jaccard of the *rare-shingle subsets* — it can exceed (or fall below)
+    the true full-set Jaccard, e.g. two boilerplate-heavy docs whose shared
+    rare shingles dominate after hot-shingle removal can clear the
+    threshold even though their true Jaccard does not. The default cap is
+    ON (1000) because an uncapped run is quadratic in the hottest shingle's
+    document frequency ("of the and" with df=d contributes d² join rows)
+    and dies at web scale. Pass ``None`` for small, trusted frames where
+    exact full-set Jaccard matters.
 
     The per-doc ``sizes`` relation is deliberately NOT broadcast-hinted: it
     is one row per document (10⁹ rows at corpus scale — a guaranteed OOM as
@@ -250,20 +256,32 @@ def connected_min_label(
     minimum of its own label and its neighbors' labels; converged when no
     label shrinks. The minimum travels one hop per round, so rounds needed
     = component diameter; near-dup components are tiny cliques/chains in
-    practice. The loop is driver-bounded with per-round ``localCheckpoint``
-    so the plan never snowballs, and RAISES if ``max_iter`` rounds pass
-    without convergence — silently-wrong components would diverge from the
-    exact transitive-closure oracle. This is the canonical Spark
+    practice. The loop is driver-bounded with a per-round checkpoint so the
+    plan never snowballs, and RAISES if ``max_iter`` rounds pass without
+    convergence — silently-wrong components would diverge from the exact
+    transitive-closure oracle. This is the canonical Spark
     connected-components shape (GraphFrames' CC is the same agg without the
-    library)."""
+    library).
+
+    Checkpoint durability: when the session has a reliable checkpoint dir
+    configured (``spark.sparkContext.setCheckpointDir``), rounds use
+    ``df.checkpoint()`` — executor loss mid-loop recovers from storage. With
+    no checkpoint dir, falls back to ``localCheckpoint()`` (executor-held
+    blocks, no fault tolerance — fine in local mode, set a checkpoint dir on
+    a real cluster)."""
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    labels = (
+    labels = _checkpoint(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -278,7 +296,7 @@ def connected_min_label(
                 labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
             ).alias("label"),
         )
-        upd = upd.localCheckpoint()
+        upd = _checkpoint(upd)
         changed = upd.filter(F.col("label") < F.col("old")).count()
         labels = upd.select("id", "label")
         if changed == 0:
@@ -289,16 +307,26 @@ def connected_min_label(
     )
 
 
+_REQUIRED = object()  # sentinel: dedup_near's cap must be an explicit choice
+
+
 def dedup_near(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.8,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None | object = _REQUIRED,
     transitive: bool = False,
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidates → exact Jaccard verify
     → connected keepers (min id wins per duplicate pair chain).
+
+    ``max_shingle_df`` has NO default here (unlike :func:`jaccard_pairs`):
+    this operator DELETES rows, and the cap changes which pairs verify (the
+    emitted Jaccard is over cap-filtered shingle sets — see jaccard_pairs).
+    Callers must choose: an int (scale-safe, cap-filtered verification) or
+    ``None`` (exact full-set Jaccard; quadratic in the hottest shingle —
+    small trusted frames only).
 
     The standard web-scale composition: candidate generation is bucketed
     (never all-pairs), verification touches only candidates, and the final
@@ -310,6 +338,15 @@ def dedup_near(
     ``transitive=True``: full connected components over the verified pairs
     (iterative min-label, :func:`connected_min_label`) — exactly one keeper
     (the min id) per component, so chain dups fold too."""
+    if max_shingle_df is _REQUIRED:
+        raise TypeError(
+            "dedup_near requires an explicit max_shingle_df: an int caps"
+            " hot-shingle document frequency (scale-safe; verification"
+            " Jaccard is then over cap-filtered shingle sets), None keeps"
+            " exact full-set Jaccard (quadratic in the hottest shingle —"
+            " small trusted frames only). This operator deletes rows, so"
+            " the trade-off must be the caller's choice."
+        )
     sigs = minhash_signatures(df, id_col, text_col)
     cand = lsh_candidate_pairs(sigs)
     # verify candidates with exact jaccard (restricted via semi joins)
@@ -456,6 +493,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.999,
     n_planes: int = 8,
     dims: int | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Corpus-scale embedding near-dedup: hyperplane-LSH bucketing →
     Hamming-≤1 multiprobe candidate join → exact cosine verify.
@@ -475,11 +513,18 @@ def embedding_neardup_lsh(
     dot product is ~0, so ≥2 simultaneous straddles is rare; raise recall
     with fewer planes or accept the cost of more probes. Cost: n_planes+1
     probe rows per vector, candidate count ≈ Σ_bucket n_b·(n_b+probed)/2.
+
+    ``impl`` picks the bucket computation (see similarity.with_lsh_bucket):
+    'pandas' (default) is the Arrow matmul production path; 'expr' is the
+    sequential JVM fold whose summation ORDER matches the ANSI-SQL mirror
+    bit-for-bit — use it for oracle/hash-gated runs, where a blocked-SIMD
+    sum flipping a sign on a dot product within float ulps of zero would
+    make the gate nondeterministically fragile.
     """
     # lazy import: similarity.py imports cosine() from this module
     from pbx_ds_ocr_server_spark.operators.similarity import with_lsh_bucket
 
-    b = with_lsh_bucket(df, vec_col, n_planes, dims).select(
+    b = with_lsh_bucket(df, vec_col, n_planes, dims, impl=impl).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
     probes = b.select(

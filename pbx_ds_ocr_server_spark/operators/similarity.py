@@ -33,16 +33,19 @@ def as_double_array(col: Column | str) -> Column:
 
 def hyperplane(plane: int, dims: int) -> Column:
     """Deterministic ±1 pseudo-hyperplane: component i is +1 when the first
-    hex digit of md5('<plane>:<i>') is 0-7, else −1."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda i: F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(str(plane) + ":"), i.cast("string"))), 1, 1
-            ).rlike("[0-7]"),
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    hex digit of md5('<plane>:<i>') is 0-7, else −1.
+
+    Materialized driver-side as a LITERAL array: the md5 rule runs dims
+    times per plane on the driver, zero times per row (the first-cut column
+    form evaluated dims×planes md5s per ROW — the whole reason impl='expr'
+    was slow). Values are bit-identical to the SQL mirror's per-row rule."""
+    signs = [
+        1.0
+        if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] in "01234567"
+        else -1.0
+        for i in range(dims)
+    ]
+    return F.array(*[F.lit(s) for s in signs])
 
 
 def lsh_bucket(vec_col: Column | str, n_planes: int, dims: int) -> Column:
@@ -104,8 +107,14 @@ def with_lsh_bucket(
     impl: str = "pandas",
 ) -> DataFrame:
     """Add the LSH 'bucket' column. ``impl='pandas'`` (default) uses the
-    Arrow-batched matmul; ``impl='expr'`` keeps the pure column-expression
-    form (slower, but the exact sequential-fold the SQL mirror spells)."""
+    Arrow-batched matmul — the production path. ``impl='expr'`` is the pure
+    column-expression form whose sequential left-to-right fold matches the
+    ANSI-SQL mirror's summation ORDER bit-for-bit; use it wherever results
+    are hash-gated against the oracle (numpy's blocked/SIMD summation can
+    flip a sign bit when a dot product sits within float ulps of zero —
+    measure-zero for real embeddings, but 'almost always equal' is the
+    wrong property for an exactness gate). With literal hyperplane arrays
+    the expr path is within ~2× of the matmul."""
     if dims is None:
         dims = len(df.select(vec_col).first()[0])
     if impl == "pandas":

@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pbx_ds_ocr_server_spark.operators.extract import extract
 
+# Schema history: v2 added `html_backend` (which kernel produced a bucket).
+# Appending into a lineage dir written by v1 produces mixed-schema parquet —
+# readers must use spark.read.option("mergeSchema", "true") (read_lineage
+# does) and will see NULL html_backend for v1 rows.
 LINEAGE_SCHEMA = (
     "run_id string, bucket int, n_urls long, n_succeeded long,"
     " n_noop long, n_rejected long, n_failed long,"
@@ -100,15 +104,31 @@ def stage_input(
     The ``_STAGED`` marker records the bucket count; re-staging the same
     directory with a DIFFERENT ``n_buckets`` raises instead of silently
     reusing the old layout (a resume at a smaller n_buckets would otherwise
-    never extract buckets >= n_buckets yet mark the run complete)."""
+    never extract buckets >= n_buckets yet mark the run complete). A marker
+    with no recorded count (runs staged before the count was recorded) is
+    treated as 'unknown': accepted with a warning and rewritten with the
+    requested count, so pre-existing runs stay resumable."""
+    import warnings
+
     marker = os.path.join(staging_dir, "_STAGED")
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
-            staged_n = int(f.read().strip() or "0")
-        if staged_n != n_buckets:
+            raw = f.read().strip()
+        if not raw:
+            warnings.warn(
+                f"staging marker at {marker} records no bucket count"
+                " (legacy run); accepting the existing layout and recording"
+                f" n_buckets={n_buckets} — verify it matches the original"
+                " staging call",
+                stacklevel=2,
+            )
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write(str(n_buckets))
+            return
+        if int(raw) != n_buckets:
             raise ValueError(
                 f"staging at {staging_dir} was written with n_buckets="
-                f"{staged_n}, requested {n_buckets}; use the original bucket"
+                f"{int(raw)}, requested {n_buckets}; use the original bucket"
                 " count or re-stage into a fresh output_dir"
             )
         return
@@ -261,4 +281,7 @@ def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
 
 
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "_lineage"))
+    # mergeSchema: lineage dirs may mix schema versions (see LINEAGE_SCHEMA)
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(output_dir, "_lineage")
+    )

@@ -66,8 +66,18 @@ def test_jaccard_near_dup_detected(docs):
 
 
 def test_dedup_near_removes_dups_keeps_distinct(docs):
-    kept = sorted(r.doc_id for r in dedup_near(docs, min_jaccard=0.5).collect())
+    # max_shingle_df is an explicit, required choice for the row-deleting
+    # operator; None = exact full-set Jaccard (small trusted frame)
+    kept = sorted(
+        r.doc_id
+        for r in dedup_near(docs, min_jaccard=0.5, max_shingle_df=None).collect()
+    )
     assert kept == [1, 4, 5]  # 2 (exact) and 3 (near) fold into 1
+
+
+def test_dedup_near_requires_explicit_shingle_cap(docs):
+    with pytest.raises(TypeError, match="max_shingle_df"):
+        dedup_near(docs, min_jaccard=0.5)
 
 
 def test_hot_shingle_guard_drops_only_recall(docs):
@@ -163,6 +173,56 @@ def test_embedding_neardup_lsh_matches_brute_force(spark):
     assert lsh == brute and len(lsh) >= 10
 
 
+def test_embedding_neardup_lsh_recall_on_perturbed_duplicates(spark):
+    """ADVICE r2 #5: the driver oracle mirrors the probe set, so it verifies
+    self-consistency, not recall — a probe-set regression would pass the
+    gate. This test injects NEAR-but-not-identical duplicates (first
+    component nudged by +0.01, cosine stays ≥0.999 but hyperplane dots CAN
+    straddle zero → buckets CAN differ) and checks the LSH path against
+    exhaustive cosine:
+      * the DESIGNED guarantee is exact: every true pair whose buckets
+        differ in ≤1 bit must be emitted;
+      * overall recall on this corpus must stay high (pairs ≥2 bits apart
+        need ≥2 simultaneous near-zero dots — rare by construction)."""
+    from pbx_ds_ocr_server_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.01)), F.slice(v, 2, 10_000)
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", v.alias("embedding")).unionByName(perturbed)
+    lsh = {
+        (r.a, r.b)
+        for r in embedding_neardup_lsh(both, threshold=0.999, dims=64).collect()
+    }
+    brute = {
+        (r.a, r.b): r.cos
+        for r in embedding_neardup_pairs(
+            both, threshold=0.999, max_rows=None
+        ).collect()
+    }
+    assert len(brute) >= 50  # the injected pairs are all above threshold
+    missed = set(brute) - lsh
+    assert not (lsh - set(brute))  # LSH never invents pairs
+    # exact guarantee: misses may only be pairs whose buckets differ ≥2 bits
+    from pbx_ds_ocr_server_spark.operators.similarity import with_lsh_bucket
+
+    buckets = {
+        r.vec_id: r.bucket
+        for r in with_lsh_bucket(both, n_planes=8, dims=64, impl="expr")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    for a, b in missed:
+        assert bin(buckets[a] ^ buckets[b]).count("1") >= 2, (a, b)
+    # and on this corpus the recall must stay high end-to-end
+    assert len(missed) / len(brute) <= 0.1
+
+
 def test_embedding_neardup_lsh_plan_has_no_cartesian(spark):
     from pbx_ds_ocr_server_spark.operators.dedup import embedding_neardup_lsh
 
@@ -205,10 +265,15 @@ def test_dedup_near_transitive_folds_hub_components(spark):
     docs = spark.createDataFrame(
         [(1, a), (2, c), (3, base)], "doc_id bigint, text string"
     )
-    one_hop = sorted(r.doc_id for r in dedup_near(docs, min_jaccard=0.8).collect())
+    one_hop = sorted(
+        r.doc_id
+        for r in dedup_near(docs, min_jaccard=0.8, max_shingle_df=None).collect()
+    )
     transitive = sorted(
         r.doc_id
-        for r in dedup_near(docs, min_jaccard=0.8, transitive=True).collect()
+        for r in dedup_near(
+            docs, min_jaccard=0.8, max_shingle_df=None, transitive=True
+        ).collect()
     )
     assert one_hop == [1, 2]
     assert transitive == [1]
@@ -254,14 +319,16 @@ def test_stratified_sample_prefilter_is_exact_at_adequate_rate(spark):
     from pbx_ds_ocr_server_spark.functions.text import stratified_sample
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    exact = {
-        (r.doc_id, r.lang)
-        for r in stratified_sample(docs, k=5).select("doc_id", "lang").collect()
-    }
-    pre = {
-        (r.doc_id, r.lang)
-        for r in stratified_sample(docs, k=5, pre_rate=0.5)
-        .select("doc_id", "lang")
-        .collect()
-    }
-    assert pre == exact and len(exact) > 0
+
+    def run(**kw):
+        return {
+            (r.doc_id, r.lang)
+            for r in stratified_sample(docs, k=5, **kw)
+            .select("doc_id", "lang")
+            .collect()
+        }
+
+    exact = run(pre_rate=None)  # no prefilter: the ground truth
+    assert len(exact) > 0
+    assert run(pre_rate=0.5) == exact  # pinned adequate rate
+    assert run() == exact  # 'auto' (default): derived + verified rate

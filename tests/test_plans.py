@@ -81,6 +81,23 @@ def test_hash_sample_predicate_stays_a_filter(spark):
     assert "Sample" not in plan
 
 
+def test_stratified_sample_prefilter_runs_before_window_exchange(spark):
+    """stratified_sample's default ('auto') md5-fraction prefilter must sit
+    BELOW the window's hashpartitioning(group) exchange — that filter is the
+    entire scale story (without it, 5 language groups over 10⁹ docs = 5
+    reducers sorting everything). In the printed plan tree, deeper = earlier,
+    so the conv(md5…) filter must appear after the Window/Exchange lines."""
+    from pbx_ds_ocr_server_spark.functions.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = stratified_sample(docs, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "conv(" in plan  # the md5-fraction prefilter survived planning
+    win = plan.index("Window")
+    exch = plan.index("Exchange hashpartitioning(lang", win)
+    assert plan.index("conv(", exch) > exch  # filter is upstream of the shuffle
+
+
 def test_narrow_fanout_never_touches_payload_column(spark, corpus, tmp_path_factory):
     """ensure_min_partitions consumers must not pull the html payload into
     their exchange: the extraction plan's only repartition carries (doc_id,
