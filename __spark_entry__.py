@@ -174,6 +174,8 @@ def _status_counts_sql() -> str:
                CASE WHEN doc_class IN ('empty', 'bad_pdf')
                         THEN 'rejected_unparseable'
                     WHEN doc_class = 'png' THEN 'succeeded_noop'
+                    -- glyph-indexed, no ToUnicode: honest empty, not mojibake
+                    WHEN doc_class = 'pdf_cid_noto' THEN 'succeeded_empty'
                     ELSE 'succeeded' END AS status,
                count(*) AS n
         FROM cls GROUP BY doc_class, status

@@ -33,7 +33,7 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 NAV = (
     '<nav class="top"><ul>'
@@ -113,25 +113,68 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_stream(items: list[tuple[float, float, str]], hex_strings: bool) -> bytes:
-    """One self-contained BT..ET content stream (Td chain from the origin)."""
+def _page_stream(items: list[tuple[float, float, str]], show) -> bytes:
+    """One self-contained BT..ET content stream (Td chain from the origin).
+    ``show(s)`` renders one text item as its show-operand token."""
     ops = ["BT", "/F1 12 Tf"]
     prev_x = prev_y = 0.0
     for x, y, s in items:
         ops.append(f"{x - prev_x:.1f} {y - prev_y:.1f} Td")
-        if hex_strings:
-            ops.append(f"<{s.encode('utf-8').hex()}> Tj")
-        else:
-            ops.append(f"({_pdf_escape(s)}) Tj")
+        ops.append(f"{show(s)} Tj")
         prev_x, prev_y = x, y
     ops.append("ET")
     return "\n".join(ops).encode("latin-1")
+
+
+# CID glyph-index shift for the synthetic Type0 font: gid = ord(char) +
+# 0x100. DELIBERATELY non-identity so a lazy "Identity-H == UTF-16BE"
+# decoder produces garbage — only a kernel that actually reads the
+# ToUnicode CMap round-trips the text.
+_CID_SHIFT = 0x100
+
+
+def _cid_hex(s: str) -> str:
+    return "".join(f"{ord(c) + _CID_SHIFT:04x}" for c in s)
+
+
+def _tounicode_cmap(chars: set[str]) -> bytes:
+    """ToUnicode CMap for the shifted synthetic CID font: one bfrange covers
+    printable ASCII, bfchar entries (chunked ≤100, per spec) cover the rest."""
+    extra = sorted(c for c in chars if not (0x20 <= ord(c) <= 0x7E))
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /SynthToUni def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <ffff>",
+        "endcodespacerange",
+        "1 beginbfrange",
+        f"<{0x20 + _CID_SHIFT:04x}> <{0x7e + _CID_SHIFT:04x}> <0020>",
+        "endbfrange",
+    ]
+    for i in range(0, len(extra), 100):
+        chunk = extra[i : i + 100]
+        lines.append(f"{len(chunk)} beginbfchar")
+        for c in chunk:
+            lines.append(f"<{ord(c) + _CID_SHIFT:04x}> <{ord(c):04x}>")
+        lines.append("endbfchar")
+    lines += [
+        "endcmap",
+        "CMap currentdict /CMap defineresource pop",
+        "end",
+        "end",
+    ]
+    return "\n".join(lines).encode("latin-1")
 
 
 def make_pdf(
     pages: list[list[tuple[float, float, str]]],
     streams_per_page: int = 1,
     hex_strings: bool = False,
+    font: str = "simple",
+    encrypt: str | None = None,
 ) -> bytes:
     """Minimal valid single-xref PDF (latin-1-encodable text only).
 
@@ -139,7 +182,21 @@ def make_pdf(
     content streams referenced via the ARRAY form ``/Contents [a 0 R b 0 R]``
     (each stream self-contained BT..ET); ``hex_strings`` shows text with
     ``<hex> Tj`` instead of literal strings — the two real-world PDF shapes
-    the round-1 kernel was blind to."""
+    the round-1 kernel was blind to.
+
+    ``font`` picks the real-world font shape:
+      * 'simple'   — Type1 /Helvetica, codes are bytes (round-1 shape)
+      * 'cid'      — Type0 /Identity-H composite font whose show-text bytes
+                     are SHIFTED glyph indices (gid = ord+0x100) with a
+                     /ToUnicode CMap (bfrange + bfchar) — decodable only by
+                     actually reading the CMap
+      * 'cid_noto' — same Type0 shape but NO /ToUnicode: the bytes are
+                     provably glyph indices with no map (the honesty case —
+                     a text-first parser must yield empty, never mojibake)
+
+    ``encrypt`` ∈ {None, 'rc4-40', 'rc4-128'}: standard-security-handler
+    encryption with an owner password only — the EMPTY user password opens
+    the document (the dominant "encrypted" shape in real crawls)."""
     objs: list[bytes] = []
     n_pages = len(pages)
     k = max(1, streams_per_page)
@@ -149,6 +206,14 @@ def make_pdf(
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
+    if font == "cid":
+        show = lambda s: f"<{_cid_hex(s)}>"  # noqa: E731
+    elif font == "cid_noto":
+        show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
+    elif hex_strings:
+        show = lambda s: f"<{s.encode('utf-8').hex()}>"  # noqa: E731
+    else:
+        show = lambda s: f"({_pdf_escape(s)})"  # noqa: E731
     font_ref = 3 + per_page * n_pages
     for i, items in enumerate(pages):
         refs = [4 + per_page * i + j for j in range(k)]
@@ -166,14 +231,69 @@ def make_pdf(
         # split items round-robin-free: contiguous chunks keep y-order
         chunk = max(1, (len(items) + k - 1) // k)
         for j in range(k):
-            stream = _page_stream(
-                items[j * chunk : (j + 1) * chunk], hex_strings
-            )
+            stream = _page_stream(items[j * chunk : (j + 1) * chunk], show)
             objs.append(
                 b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(stream), stream)
             )
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if font in ("cid", "cid_noto"):
+        desc_ref = font_ref + 1
+        tount = f" /ToUnicode {font_ref + 2} 0 R" if font == "cid" else ""
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+                f" /Encoding /Identity-H /DescendantFonts [{desc_ref} 0 R]"
+                f"{tount} >>"
+            ).encode()
+        )
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        if font == "cid":
+            chars = {c for page in pages for _, _, s in page for c in s}
+            cmap = _tounicode_cmap(chars)
+            objs.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(cmap), cmap)
+            )
+    else:
+        objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    trailer_extra = b""
+    if encrypt is not None:
+        from pbx_ds_ocr_server_spark.kernels import pdf_crypt as _pc
+
+        r, bits = (2, 40) if encrypt == "rc4-40" else (3, 128)
+        v = 1 if bits == 40 else 2
+        file_id = hashlib.md5(
+            b"pbx-synth-id:" + repr(pages).encode("utf-8", "replace")
+        ).digest()
+        o = _pc.compute_o(b"owner-secret", b"", r, bits)
+        p = -44
+        key = _pc.file_key(b"", o, p, file_id, bits, r)
+        u = _pc.compute_u(key, file_id, r)
+        import re as _re
+
+        for idx, body in enumerate(objs):
+            m = _re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, _re.DOTALL)
+            if m:
+                enc = _pc.rc4(
+                    _pc.object_key(key, idx + 1, 0), m.group(1)
+                )
+                objs[idx] = body[: m.start(1)] + enc + body[m.end(1) :]
+        enc_num = len(objs) + 1
+        objs.append(
+            (
+                f"<< /Filter /Standard /V {v} /R {r} /Length {bits}"
+                f" /P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
+            ).encode()
+        )
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R"
+            f" /ID [<{file_id.hex()}> <{file_id.hex()}>]"
+        ).encode()
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -185,8 +305,8 @@ def make_pdf(
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, trailer_extra, xref_at)
     )
     return bytes(out)
 
@@ -308,6 +428,9 @@ CLASSES = (
     "png",          # 11  (magic-only degenerate: no metadata -> noop)
     "png_text",     # 12  (tEXt Title + iTXt Description)
     "jpeg_com",     # 13  (COM comment segment)
+    "pdf_cid",      # 14  (Type0/Identity-H + ToUnicode CMap, shifted gids)
+    "pdf_encrypted_rc4",  # 15  (owner-locked RC4; empty user pwd opens)
+    "pdf_cid_noto",       # 16  (Type0/Identity-H, NO ToUnicode -> honest empty)
 )
 
 # weights: mostly HTML, some PDFs, few degenerates/rasters
@@ -319,6 +442,7 @@ _CLASS_TABLE = (
     + ["pdf"] * 3
     + ["pdf_multistream"] * 2
     + ["empty", "bad_pdf", "png", "png_text", "jpeg_com"]
+    + ["pdf_cid", "pdf_encrypted_rc4", "pdf_cid_noto"]
 )
 
 
@@ -375,6 +499,27 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         expected = "\n\n".join(
             "\n\n".join(line for _, _, line in page) for page in pages if page
         )
+    elif cls == "pdf_cid":
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf(pages, font="cid")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_encrypted_rc4":
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(text, n_pages)
+        enc = "rc4-40" if _h(f"enc:{doc_id}") % 2 == 0 else "rc4-128"
+        payload = make_pdf(pages, encrypt=enc)
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_cid_noto":
+        # glyph-indexed with no ToUnicode: the honest outcome is EMPTY text
+        # with status succeeded_empty — never mojibake-as-success
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        payload = make_pdf(pdf_pages_for(text, n_pages), font="cid_noto")
+        expected = None
     elif cls == "empty":
         payload = b""
         expected = None

@@ -28,6 +28,17 @@ import zlib
 from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pbx_ds_ocr_server_spark.kernels.html_extract import PageResult, Span
 from pbx_ds_ocr_server_spark.kernels.page_ranges import parse_page_ranges
+from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
+    empty_password_key,
+    object_key,
+    rc4,
+)
+from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+    DEFAULT_FONT,
+    FontDecoder,
+    parse_differences,
+    parse_tounicode,
+)
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
@@ -65,6 +76,11 @@ _ESC = {
 
 def _decode_pdf_string(raw: bytes) -> str:
     """Decode a PDF literal string body (between parens) incl. escapes."""
+    return _literal_string_bytes(raw).decode("utf-8", errors="replace")
+
+
+def _literal_string_bytes(raw: bytes) -> bytes:
+    """Resolve a literal string body's escapes → raw bytes (no charset)."""
     out = bytearray()
     i = 0
     n = len(raw)
@@ -93,23 +109,30 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("utf-8", errors="replace")
+    return bytes(out)
 
 
-def _tok_text(tok: bytes) -> str:
-    """Decode a string token — literal ``(...)`` or hex ``<...>`` form."""
+def _tok_raw(tok: bytes) -> bytes:
+    """Raw bytes of a string token — literal ``(...)`` or hex ``<...>``.
+    These are FONT CODES, not text: a font decoder turns them into text."""
     if tok.startswith(b"("):
-        return _decode_pdf_string(tok[1:-1])
+        return _literal_string_bytes(tok[1:-1])
     if tok.startswith(b"<"):
         hx = _HEX_WS_RE.sub(b"", tok[1:-1])
         if len(hx) % 2:  # odd digit count: spec pads with trailing 0
             hx += b"0"
         try:
-            raw = bytes.fromhex(hx.decode("ascii"))
+            return bytes.fromhex(hx.decode("ascii"))
         except ValueError:
-            return ""
-        return raw.decode("utf-8", errors="replace")
-    return ""
+            return b""
+    return b""
+
+
+def _tok_text(tok: bytes) -> str:
+    """Decode a string token with the default simple-font byte mapping
+    (utf-8-with-replacement — the pre-font-layer behavior, kept for
+    callers outside the interpreter)."""
+    return _tok_raw(tok).decode("utf-8", errors="replace")
 
 
 def _is_string_tok(tok: bytes) -> bool:
@@ -179,12 +202,18 @@ def _page_object_ids(objects: dict[int, bytes]) -> list[int]:
     return page_ids
 
 
-def pdf_page_count(payload: bytes) -> int | None:
-    """None on parse failure (mirrors /root/reference/app/utils/pdf.py:12-23)."""
+def pdf_page_count(
+    payload: bytes, objects: dict[int, bytes] | None = None
+) -> int | None:
+    """None on parse failure (mirrors /root/reference/app/utils/pdf.py:12-23).
+    Pass pre-parsed ``objects`` to avoid re-scanning the payload (the extract
+    operator parses once and reuses for count + extraction)."""
     if not payload or not payload.startswith(b"%PDF-"):
         return None
     try:
-        pages = _page_object_ids(_parse_objects(payload))
+        pages = _page_object_ids(
+            _parse_objects(payload) if objects is None else objects
+        )
     except Exception:
         return None
     return len(pages) if pages else None
@@ -294,16 +323,22 @@ def _apply_filters(body: bytes, data: bytes) -> tuple[bytes, bool]:
     return data, True
 
 
-def _stream_data(body: bytes) -> tuple[bytes, bool]:
+def _stream_data(
+    body: bytes, obj_id: int | None = None, decrypt=None
+) -> tuple[bytes, bool]:
     """Decode one object's stream → (data, had_raw). ``had_raw`` is True
     when a non-empty raw stream existed, even if decoding failed — the
     signal that separates a genuinely blank page from a parser blind spot
-    (unsupported filter, undecodable data)."""
+    (unsupported filter, undecodable data). ``decrypt(obj_id, raw)`` runs
+    BEFORE the /Filter chain (the spec's order: encryption wraps the
+    filtered bytes)."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return b"", False
     data = sm.group(1)
     had_raw = bool(data)
+    if decrypt is not None and obj_id is not None:
+        data = decrypt(obj_id, data)
     decoded, ok = _apply_filters(body, data)
     if not ok:
         return b"", had_raw
@@ -311,7 +346,10 @@ def _stream_data(body: bytes) -> tuple[bytes, bool]:
 
 
 def _content_stream(
-    objects: dict[int, bytes], page_body: bytes
+    objects: dict[int, bytes],
+    page_body: bytes,
+    page_oid: int | None = None,
+    decrypt=None,
 ) -> tuple[bytes, bool]:
     """Page body → (concatenated decoded content, had_raw_content).
 
@@ -325,14 +363,17 @@ def _content_stream(
         parts: list[bytes] = []
         had_any = False
         for rm in _REF_RE.finditer(am.group(1)):
-            data, had = _stream_data(objects.get(int(rm.group(1)), b""))
+            oid = int(rm.group(1))
+            data, had = _stream_data(objects.get(oid, b""), oid, decrypt)
             had_any = had_any or had
             if data:
                 parts.append(data)
         return b"\n".join(parts), had_any
     m = _CONTENTS_RE.search(page_body)
-    body = objects.get(int(m.group(1)), b"") if m else page_body
-    return _stream_data(body)
+    if m:
+        oid = int(m.group(1))
+        return _stream_data(objects.get(oid, b""), oid, decrypt)
+    return _stream_data(page_body, page_oid, decrypt)
 
 
 # inline images: BI <dict> ID <binary...> EI — the binary body is raw
@@ -357,10 +398,27 @@ def _strip_inline_images(stream: bytes) -> bytes:
     return _INLINE_IMG_RE.sub(repl, stream)
 
 
-def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
-    """Interpret text-showing operators → [(x, y, text)] in stream order."""
+def _text_items(
+    stream: bytes, fonts: dict[bytes, "FontDecoder"] | None = None
+) -> tuple[list[tuple[float, float, str]], bool]:
+    """Interpret text-showing operators → ([(x, y, text)] in stream order,
+    lost). ``fonts`` maps resource names (no slash) to decoders; the ``Tf``
+    operator switches the active decoder. ``lost=True`` when any show op
+    carried codes the active font could not decode honestly (CID with no
+    ToUnicode, unmapped codes) — the caller surfaces the page as
+    ``succeeded_empty`` instead of emitting mojibake as a success."""
     if b"BI" in stream:
         stream = _strip_inline_images(stream)
+    fonts = fonts or {}
+    cur = DEFAULT_FONT
+    lost = False
+
+    def show(tok: bytes) -> str:
+        nonlocal lost
+        s, lost_one = cur.decode(_tok_raw(tok))
+        lost = lost or lost_one
+        return s
+
     items: list[tuple[float, float, str]] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (for T*)
@@ -416,6 +474,10 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
                     leading = float(stack[-1])
                 except ValueError:
                     pass
+        elif op == b"Tf":
+            # /F1 12 Tf — switch the active font decoder
+            if len(stack) >= 2 and stack[-2].startswith(b"/"):
+                cur = fonts.get(stack[-2][1:], DEFAULT_FONT)
         elif op in (b"Tj", b"'", b'"'):
             # ' and " move to the next line first; " additionally carries
             # (aw ac) word/char spacing operands BEFORE the string — the
@@ -424,12 +486,12 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
                 ly -= leading
                 x, y = lx, ly
             if stack and _is_string_tok(stack[-1]):
-                s = _tok_text(stack[-1])
+                s = show(stack[-1])
                 if s:
                     items.append((x, y, s))
         elif op == b"TJ":
             if in_array is not None:
-                s = "".join(_tok_text(t) for t in in_array)
+                s = "".join(show(t) for t in in_array)
                 if s:
                     items.append((x, y, s))
             in_array = None
@@ -438,7 +500,7 @@ def _text_items(stream: bytes) -> list[tuple[float, float, str]]:
             leading = 0.0
         in_array = None
         stack = []
-    return items
+    return items, lost
 
 
 _DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
@@ -450,9 +512,219 @@ _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 def pdf_is_encrypted(payload: bytes) -> bool:
     """True when a trailer carries an /Encrypt reference. The reference
     opens encrypted docs leniently via PyMuPDF (dsocr_model.py:376-390);
-    without a decryption backend the extract operator surfaces these as a
-    typed rejection instead of empty text."""
+    the analog here is :func:`pdf_decryptor` (empty-user-password RC4, the
+    dominant crawl case); anything it can't open stays a typed rejection."""
     return bool(_ENCRYPT_RE.search(payload))
+
+
+# ------------------------------------------------------------- decryption
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_ID_LIT_RE = re.compile(rb"/ID\s*\[\s*\(((?:[^()\\]|\\.)*)\)")
+_STD_FILTER_RE = re.compile(rb"/Filter\s*/Standard\b")
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """Raw bytes of a string-valued dict entry (/O, /U): literal or hex."""
+    m = re.search(
+        rb"/" + key + rb"\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)",
+        body,
+        re.DOTALL,
+    )
+    return _tok_raw(m.group(1)) if m else None
+
+
+def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
+    """Empty-user-password decryptor, or None.
+
+    Handles the dominant crawl case: standard security handler, /V 1-2
+    (RC4-40/128), /R 2-3, owner-password-only — the empty USER password
+    opens the document, exactly like every PDF viewer does silently (and
+    like PyMuPDF's lenient open gives the reference,
+    ``/root/reference/app/services/dsocr_model.py:376-390``). The derived
+    file key is VERIFIED against /U (ISO 32000-1 Algorithm 6) before use;
+    /V ≥ 4 crypt filters, AES, or a real user password → None, and the
+    caller keeps the typed rejection.
+
+    Returns ``decrypt(obj_num, raw) -> raw``. Generation numbers are
+    assumed 0 (the crawl norm; incremental-update gens would need the xref,
+    which this scan-based parser deliberately skips)."""
+    em = None
+    for m in _ENCRYPT_REF_RE.finditer(payload):
+        em = m  # last trailer wins (incremental updates append)
+    if em is None:
+        return None
+    if objects is None:
+        objects = _parse_objects(payload)
+    body = objects.get(int(em.group(1)))
+    if body is None or not _STD_FILTER_RE.search(body):
+        return None
+
+    def iget(k: bytes, default: int | None = None) -> int | None:
+        mm = re.search(rb"/" + k + rb"\s+(-?\d+)", body)
+        return int(mm.group(1)) if mm else default
+
+    v = iget(b"V", 0)
+    r = iget(b"R", 2)
+    p = iget(b"P")
+    length = 40 if v == 1 else iget(b"Length", 40)
+    if v not in (1, 2) or r not in (2, 3) or p is None:
+        return None
+    o = _dict_string(body, b"O")
+    u = _dict_string(body, b"U")
+    if not o or not u:
+        return None
+    id0 = b""
+    idm = None
+    for m2 in _ID_HEX_RE.finditer(payload):
+        idm = m2
+    if idm is not None:
+        hx = _HEX_WS_RE.sub(b"", idm.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            id0 = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            id0 = b""
+    else:
+        for m2 in _ID_LIT_RE.finditer(payload):
+            idm = m2
+        if idm is not None:
+            id0 = _literal_string_bytes(idm.group(1))
+    key = empty_password_key(o, u, p, id0, length, r)
+    if key is None:
+        return None
+
+    def decrypt(obj_num: int, data: bytes, _key=key) -> bytes:
+        return rc4(object_key(_key, obj_num, 0), data)
+
+    return decrypt
+
+
+def pdf_decrypt_available(payload: bytes) -> bool:
+    """True when the document is encrypted AND the empty user password
+    opens it (so extraction can proceed instead of a typed rejection)."""
+    return pdf_is_encrypted(payload) and pdf_decryptor(payload) is not None
+
+
+# ---------------------------------------------------------- font resolution
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_NAME_REF_RE = re.compile(rb"/([A-Za-z0-9.#_-]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_IDENTITY_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+
+
+def _dict_at(data: bytes, start: int) -> bytes | None:
+    """Balanced ``<< ... >>`` slice starting at ``start`` (which must point
+    at '<<'), or None when unbalanced."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+            continue
+        i += 1
+    return None
+
+
+def _inline_dict_after(data: bytes, key: bytes) -> bytes | None:
+    """The ``<< ... >>`` immediately following ``/key`` (inline dict value)."""
+    i = data.find(key)
+    if i < 0:
+        return None
+    j = data.find(b"<<", i)
+    if j < 0 or data[i + len(key) : j].strip():
+        return None  # something other than whitespace between key and dict
+    return _dict_at(data, j)
+
+
+def _font_decoder(
+    objects: dict[int, bytes], body: bytes, decrypt=None
+) -> FontDecoder:
+    """Classify one font object → decoder. Order of precedence:
+    /ToUnicode CMap (exact) → provable glyph-indexing with no map
+    (Type0 / Identity-H → all text lost, honest empty) → /Differences +
+    AGL → the default simple-font byte path."""
+    tm = _TOUNICODE_RE.search(body)
+    if tm:
+        oid = int(tm.group(1))
+        data, _ = _stream_data(objects.get(oid, b""), oid, decrypt)
+        if data:
+            cmap, width = parse_tounicode(data)
+            if cmap:
+                return FontDecoder("cmap", cmap=cmap, width=width)
+    if _TYPE0_RE.search(body) or _IDENTITY_RE.search(body):
+        return FontDecoder("cid_unknown")
+    enc_body = None
+    em = _ENC_REF_RE.search(body)
+    if em:
+        enc_body = objects.get(int(em.group(1)))
+    else:
+        enc_body = _inline_dict_after(body, b"/Encoding")
+    if enc_body:
+        diffs = parse_differences(enc_body)
+        if diffs:
+            return FontDecoder("differences", diffs=diffs)
+    return DEFAULT_FONT
+
+
+def _page_fonts(
+    objects: dict[int, bytes],
+    page_body: bytes,
+    decrypt=None,
+    cache: dict[int, FontDecoder] | None = None,
+) -> dict[bytes, FontDecoder]:
+    """Font name → decoder for one page's /Resources (inline dict or ref;
+    falls back to a /Pages-level /Resources — the inheritance rule)."""
+    res = None
+    rm = _RES_REF_RE.search(page_body)
+    if rm:
+        res = objects.get(int(rm.group(1)), b"")
+    else:
+        res = _inline_dict_after(page_body, b"/Resources")
+    if res is None:
+        for body in objects.values():
+            if _TYPE_PAGES_RE.search(body):
+                rm = _RES_REF_RE.search(body)
+                if rm:
+                    res = objects.get(int(rm.group(1)), b"")
+                    break
+                res = _inline_dict_after(body, b"/Resources")
+                if res is not None:
+                    break
+    if not res:
+        return {}
+    fm = _FONT_REF_RE.search(res)
+    if fm:
+        fdict = objects.get(int(fm.group(1)), b"")
+    else:
+        fdict = _inline_dict_after(res, b"/Font") or b""
+    out: dict[bytes, FontDecoder] = {}
+    for m in _NAME_REF_RE.finditer(fdict):
+        oid = int(m.group(2))
+        fbody = objects.get(oid)
+        if fbody is None:
+            continue
+        if cache is not None and oid in cache:
+            out[m.group(1)] = cache[oid]
+            continue
+        dec = _font_decoder(objects, fbody, decrypt)
+        if cache is not None:
+            cache[oid] = dec
+        out[m.group(1)] = dec
+    return out
 
 
 def pdf_title(payload: bytes) -> str | None:
@@ -493,15 +765,28 @@ def extract_pdf(
 
 
 def extract_pdf_detailed(
-    payload: bytes, cfg: ExtractConfig = DEFAULT_CONFIG
+    payload: bytes,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    objects: dict[int, bytes] | None = None,
 ) -> list[tuple[PageResult, bool]]:
     """Like :func:`extract_pdf` but each page carries an ``unparsed`` flag:
     True when the page HAD non-empty content-stream bytes yet produced zero
-    text — the 'parser blind spot' signal (unsupported filter/encoding),
+    text (unsupported filter/encoding) OR when any show op on the page
+    carried font codes the kernel could not decode honestly (CID with no
+    usable ToUnicode, unmapped codes) — the 'parser blind spot' signal,
     distinct from a genuinely blank page. The extract operator maps it to
-    status ``succeeded_empty`` so lineage never reports a silent miss as a
-    clean success."""
-    objects = _parse_objects(payload)
+    status ``succeeded_empty`` so lineage never reports a silent miss (or
+    mojibake) as a clean success.
+
+    Encrypted documents are opened transparently when the empty user
+    password works (:func:`pdf_decryptor` — RC4-40/128 standard handler);
+    otherwise streams stay undecodable and the caller's typed rejection
+    applies."""
+    if objects is None:
+        objects = _parse_objects(payload)
+    decrypt = (
+        pdf_decryptor(payload, objects) if pdf_is_encrypted(payload) else None
+    )
     page_ids = _page_object_ids(objects)
     total = len(page_ids)
     if total == 0:
@@ -509,10 +794,13 @@ def extract_pdf_detailed(
     wanted = parse_page_ranges(cfg.page_ranges, total)
     results: list[tuple[PageResult, bool]] = []
     sep_bytes = len(cfg.page_separator.encode("utf-8"))
+    font_cache: dict[int, FontDecoder] = {}
     for page_index in wanted:
-        body = objects.get(page_ids[page_index - 1], b"")
-        stream, had_raw = _content_stream(objects, body)
-        items = _text_items(stream)
+        page_oid = page_ids[page_index - 1]
+        body = objects.get(page_oid, b"")
+        stream, had_raw = _content_stream(objects, body, page_oid, decrypt)
+        fonts = _page_fonts(objects, body, decrypt, font_cache)
+        items, lost = _text_items(stream, fonts)
         # reading-order sort: visual top-to-bottom (descending y), then x
         items.sort(key=lambda it: (-round(it[1], 1), round(it[0], 1)))
         spans: list[Span] = []
@@ -555,7 +843,7 @@ def extract_pdf_detailed(
                     text=cfg.page_separator.join(parts),
                     spans=spans,
                 ),
-                had_raw and not parts,
+                (had_raw and not parts) or lost,
             )
         )
     return results

@@ -42,7 +42,9 @@ from pbx_ds_ocr_server_spark.kernels import (
     pdf_page_count,
 )
 from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+    _parse_objects,
     extract_pdf_detailed,
+    pdf_decrypt_available,
     pdf_is_encrypted,
     pdf_title,
 )
@@ -96,24 +98,30 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
                      error=f"payload {len(payload)}b > {cfg.max_bytes}b")]
     try:
         if ctype == "pdf":
-            n = pdf_page_count(payload)  # F2 (app/utils/pdf.py:12-23)
+            objects = _parse_objects(payload)  # parsed ONCE: count + extract
+            n = pdf_page_count(payload, objects)  # F2 (app/utils/pdf.py:12-23)
             if n is None:
                 return [dict(base, status=ST_REJ_UNPARSEABLE,
                              error="pdf page count failed")]
             if n > cfg.max_pages:  # app/config.py:63
                 return [dict(base, n_pages=n, status=ST_REJ_PAGES,
                              error=f"{n} pages > {cfg.max_pages}")]
-            pages = extract_pdf_detailed(payload, cfg)
+            pages = extract_pdf_detailed(payload, cfg, objects=objects)
             title = pdf_title(payload)
             if (
                 pages
                 and all(not p.text for p, _u in pages)
                 and pdf_is_encrypted(payload)
+                and not pdf_decrypt_available(payload)
             ):
-                # encrypted content streams: typed rejection, not empty text
+                # undecryptable content streams (real user password, AES,
+                # crypt filters): typed rejection, not empty text. RC4
+                # owner-locked docs decrypt with the empty user password
+                # inside the kernel and never reach this branch.
                 return [dict(base, n_pages=n, title=title,
                              status=ST_REJ_UNPARSEABLE,
-                             error="pdf encrypted (no decryption backend)")]
+                             error="pdf encrypted (empty-user-password"
+                                   " decryption not applicable)")]
             # per-page: a page with non-empty content bytes but zero text is
             # succeeded_empty (parser blind spot), never a silent success;
             # doc-level min(status) keeps 'succeeded' if any page has text
@@ -260,10 +268,15 @@ def assemble_layout_json(
     pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Page rows → (url, layout_json) in the reference's layout.json shape:
-    ``{"pages": [{"page_index": N, "res": {...}}]}`` accumulated in
-    processing order (``/root/reference/app/services/dsocr_model.py:217-243``,
-    append at :234). ``res`` carries the page text and spans — the analog of
-    the model's raw per-page output dict."""
+    ``{"pages": [{"page_index": N, "res": {...}, "markdown": {...}}]}``
+    accumulated in processing order
+    (``/root/reference/app/services/dsocr_model.py:217-243``, append at
+    :234). ``res`` carries the page text and spans — the analog of the
+    model's raw per-page output dict. ``markdown`` mirrors the sync
+    response's per-page envelope ``{"text", "isStart", "isEnd"}``
+    (``/root/reference/app/api/v1/infer.py:110-120``): the flags mark the
+    first/last page in PROCESSING order (the reference's continuation
+    markers for stitching per-page markdown into one document)."""
     agg = pages.filter(F.col("page_index") > 0).groupBy("url").agg(
         F.array_sort(
             F.collect_list(
@@ -283,7 +296,16 @@ def assemble_layout_json(
     return agg.select(
         "url",
         F.to_json(
-            F.struct(F.expr("transform(parts, p -> p.page)").alias("pages"))
+            F.struct(
+                F.expr(
+                    "transform(parts, (p, i) -> struct("
+                    "p.page.page_index as page_index,"
+                    "p.page.res as res,"
+                    "struct(p.page.res.text as text,"
+                    "       i = 0 as isStart,"
+                    "       i = size(parts) - 1 as isEnd) as markdown))"
+                ).alias("pages")
+            )
         ).alias("layout_json"),
     )
 

@@ -156,12 +156,24 @@ def run_extract_job(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     n_buckets: int = 8,
     fail_after: int | None = None,
+    concurrency: int = 2,
 ) -> JobResult:
     """Resumable extraction: input table → ``output_dir/data/bucket=K/``.
 
     ``fail_after=k`` aborts after k buckets (crash injection for tests).
     Re-running with the same ``output_dir`` resumes from the manifest.
-    """
+
+    ``concurrency`` bucket jobs run at once (default 2) from one session —
+    Spark schedules their stages fairly across the executors, so a
+    straggler bucket no longer idles the whole cluster tail while the next
+    bucket waits (round-2 verdict task #7). Durability is unchanged: each
+    bucket writes its OWN directory (concurrent-safe), the tiny lineage
+    append and the manifest update are serialized under a lock, and the
+    manifest is still marked only AFTER that bucket's data+lineage are
+    durable, so a crash mid-run never double-writes on resume."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(output_dir, exist_ok=True)
     staging = os.path.join(output_dir, "staging")
@@ -173,12 +185,14 @@ def run_extract_job(
     stage_input(input_df, staging, n_buckets)
     done = manifest.completed()
     todo = [b for b in range(n_buckets) if b not in done]
+    if fail_after is not None:
+        todo = todo[:fail_after]
     buckets_done: list[int] = []
     docs_out = 0
+    lock = threading.Lock()
 
-    for i, bucket in enumerate(todo):
-        if fail_after is not None and i >= fail_after:
-            break
+    def process(bucket: int) -> None:
+        nonlocal docs_out
         b0 = time.time()
         src = spark.read.parquet(staging).filter(F.col("bucket") == bucket)
         # staging already co-located this bucket; no extra salting shuffle
@@ -194,7 +208,6 @@ def run_extract_job(
             .collect()
         }
         n_urls = sum(counts.values())
-        docs_out += n_urls
         lineage_row = [
             (
                 run_id,
@@ -211,12 +224,22 @@ def run_extract_job(
                 cfg.html_backend,  # U2: which kernel produced this bucket
             )
         ]
-        spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(lineage_dir)
-        # manifest AFTER data+lineage are durable (write-then-status ordering)
-        manifest.mark(bucket, n_buckets, run_id)
-        buckets_done.append(bucket)
+        # lineage appends share ONE directory: Hadoop's output committer
+        # uses a shared _temporary dir per target, so concurrent appends
+        # into the same path are not safe — serialize the (tiny) append and
+        # the manifest write; the heavy per-bucket work above is concurrent
+        with lock:
+            spark.createDataFrame(
+                lineage_row, LINEAGE_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(lineage_dir)
+            # manifest AFTER data+lineage are durable (write-then-status)
+            manifest.mark(bucket, n_buckets, run_id)
+            buckets_done.append(bucket)
+            docs_out += n_urls
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+            list(pool.map(process, todo))  # re-raises the first failure
 
     wall = time.time() - t0
     res = JobResult(
@@ -250,9 +273,17 @@ def write_table(
     ``bucket(url, N)`` partition transforms replace the manual
     ``partitionBy(bucket)`` copy, and snapshot expiry replaces manifest
     bookkeeping. The runtime jar is not present in this sandbox, so the
-    Iceberg branch raises a clear RuntimeError here; on a real cluster add
-    ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and a
-    catalog config and the same call works unchanged."""
+    Iceberg branch raises a clear RuntimeError here; on a real cluster the
+    same call works unchanged with:
+
+        spark-submit \\
+          --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\
+          --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.lake.type=hadoop \\
+          --conf spark.sql.catalog.lake.warehouse=hdfs:///warehouse ...
+
+    (pick the runtime matching your Spark minor version; then
+    ``write_table(df, "lake.db.pages", fmt="iceberg")``)."""
     if fmt == "parquet":
         df.write.mode(mode).parquet(target)
         return
@@ -269,8 +300,10 @@ def write_table(
             raise RuntimeError(
                 "Iceberg write failed — if the message below is about an "
                 "unknown catalog/table provider, add the "
-                "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
-                f"config. Underlying error: {exc}"
+                "iceberg-spark-runtime jar (e.g. --packages org.apache."
+                "iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0) and a "
+                "spark.sql.catalog.<name> config; see write_table's "
+                f"docstring for the full recipe. Underlying error: {exc}"
             ) from exc
         return
     raise ValueError(f"unknown sink format: {fmt!r}")

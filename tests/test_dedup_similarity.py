@@ -146,6 +146,15 @@ def test_layout_json_shape(spark, corpus):
         idxs = [p["page_index"] for p in doc["pages"]]
         assert idxs == sorted(idxs) and idxs[0] == 1
         assert all("res" in p and "text" in p["res"] for p in doc["pages"])
+        # sync-response markdown envelope parity (infer.py:110-120):
+        # per-page {"text", "isStart", "isEnd"}; flags mark the first/last
+        # page in processing order
+        for i, p in enumerate(doc["pages"]):
+            md = p["markdown"]
+            assert set(md) == {"text", "isStart", "isEnd"}
+            assert md["text"] == p["res"]["text"]
+            assert md["isStart"] == (i == 0)
+            assert md["isEnd"] == (i == len(doc["pages"]) - 1)
 
 
 def test_embedding_neardup_lsh_matches_brute_force(spark):

@@ -363,3 +363,156 @@ def test_inline_image_false_positive_in_strings_preserved():
     assert extract_pdf(_one_page_pdf(content))[0].text == (
         "BI\n\nreal ID text\n\nEI trailer"
     )
+
+
+# ------------------------------------------------- fonts: ToUnicode / CID
+def test_cid_tounicode_round_trip():
+    # the synthetic CID font uses SHIFTED glyph ids (gid = ord+0x100): only
+    # a kernel that actually reads the ToUnicode CMap recovers the text —
+    # an "Identity-H is UTF-16BE" shortcut produces garbage
+    text = ("the quick brown Fox: jumps, over 42 lazy dogs! " * 3).strip()
+    pages = pdf_pages_for(text, 2)
+    pdf = make_pdf(pages, font="cid")
+    want = ["\n\n".join(line for _, _, line in pg) for pg in pages]
+    assert [p.text for p in extract_pdf(pdf)] == want
+
+
+def test_cid_tounicode_covers_bfchar_accents():
+    pages = pdf_pages_for("accents café naïve Zürich stay intact", 1)
+    pdf = make_pdf(pages, font="cid")
+    want = ["\n\n".join(line for _, _, line in pg) for pg in pages]
+    assert [p.text for p in extract_pdf(pdf)] == want  # bfchar entries used
+
+
+def test_cid_without_tounicode_is_honest_empty():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    pdf = make_pdf(pdf_pages_for("words that must never appear", 2), font="cid_noto")
+    res = extract_pdf_detailed(pdf)
+    assert [p.text for p, _ in res] == ["", ""]
+    assert all(unparsed for _, unparsed in res)  # -> succeeded_empty upstream
+
+
+def test_parse_tounicode_bfrange_array_form():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        b"1 beginbfrange <0005> <0007> [<0041> <0062> <0043>] endbfrange\n"
+        b"1 beginbfchar <0010> <00e90010> endbfchar\n"
+    )
+    m, width = parse_tounicode(cmap)
+    assert width == 2
+    assert m[5] == "A" and m[6] == "b" and m[7] == "C"
+    # multi-unit UTF-16BE destination decodes as a string
+    assert m[0x10] == "é"
+
+
+def test_parse_tounicode_scalar_bfrange_increments_last_unit():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import parse_tounicode
+
+    cmap = b"1 beginbfrange <0100> <0103> <0061> endbfrange"
+    m, width = parse_tounicode(cmap)
+    assert [m[0x100 + i] for i in range(4)] == ["a", "b", "c", "d"]
+    assert width == 2  # no codespacerange -> Identity-H default
+
+
+def test_differences_encoding_decodes_via_glyph_names():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    # simple font remapping code 65('A') -> eacute; 'a' stays ASCII fallback
+    stream = b"BT /F1 12 Tf 72 700 Td (Aa) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /F"
+        b" /Encoding << /Differences [65 /eacute] >> >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "éa"
+    assert res[0][1] is False  # fully decoded: not a blind spot
+
+
+def test_differences_unknown_glyph_flags_lost():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    stream = b"BT /F1 12 Tf 72 700 Td (A) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /F"
+        b" /Encoding << /Differences [65 /Zcaronfancy] >> >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == ""
+    assert res[0][1] is True  # unknown glyph name -> honest blind spot
+
+
+def test_glyph_name_rules():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import glyph_to_unicode
+
+    assert glyph_to_unicode("A") == "A"
+    assert glyph_to_unicode("seven") == "7"
+    assert glyph_to_unicode("adieresis") == "ä"
+    assert glyph_to_unicode("uni00E9") == "é"
+    assert glyph_to_unicode("uni00480065") == "He"
+    assert glyph_to_unicode("u1F600") == "\U0001f600"
+    assert glyph_to_unicode("madeupname") is None
+
+
+# -------------------------------------------------- encryption (RC4, std)
+def test_rc4_encrypted_round_trip_matches_plain():
+    text = ("the quick brown fox jumps over the lazy dog " * 4).strip()
+    pages = pdf_pages_for(text, 3)
+    plain = [p.text for p in extract_pdf(make_pdf(pages))]
+    for enc in ("rc4-40", "rc4-128"):
+        got = [p.text for p in extract_pdf(make_pdf(pages, encrypt=enc))]
+        assert got == plain, enc
+
+
+def test_rc4_wrong_user_password_stays_undecryptable():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        pdf_decrypt_available,
+    )
+
+    pdf = make_pdf(pdf_pages_for("secret words", 1), encrypt="rc4-128")
+    # corrupt /U so the empty-user-password check must fail
+    import re
+
+    m = re.search(rb"/U <([0-9a-f]+)>", pdf)
+    u = m.group(1)
+    flipped = (b"0" if u[:1] != b"0" else b"1") + u[1:]
+    broken = pdf[: m.start(1)] + flipped + pdf[m.end(1):]
+    assert pdf_decrypt_available(pdf)
+    assert not pdf_decrypt_available(broken)
+    assert [p.text for p in extract_pdf(broken)] == [""]
+
+
+def test_rc4_crypt_primitives_self_consistent():
+    from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
+        compute_o, compute_u, empty_password_key, file_key, object_key, rc4,
+    )
+
+    assert rc4(b"Key", rc4(b"Key", b"Plaintext")) == b"Plaintext"
+    # the classic published RC4 test vector
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    for r, bits in ((2, 40), (3, 128)):
+        o = compute_o(b"owner", b"", r, bits)
+        fid = b"\x01" * 16
+        key = file_key(b"", o, -44, fid, bits, r)
+        u = compute_u(key, fid, r)
+        assert empty_password_key(o, u, -44, fid, bits, r) == key
+        assert empty_password_key(o, b"\x00" * 32, -44, fid, bits, r) is None
+        assert len(object_key(key, 7, 0)) == min(len(key) + 5, 16)
