@@ -182,6 +182,37 @@ def _status_counts_sql() -> str:
     """
 
 
+def _token_counts_cjk_sql() -> str:
+    """Mirror of functions/text.token_count_cjk over the same deterministic
+    mixed-script injection the Spark query applies (doc_id < 50 gets CJK
+    prepended/appended under doc_id+2000000)."""
+    from pbx_ds_ocr_server_spark.functions.text import CJK_CLASS
+
+    norm_rest = r"regexp_replace(trim(rest), '\s+', ' ', 'g')"
+    toks = (
+        f"(CASE WHEN {norm_rest} = '' THEN 0"
+        f" ELSE len(string_split({norm_rest}, ' ')) END)"
+    )
+    return f"""
+        WITH docs_cjk AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id,
+                   '中文 开头 ' || text || ' 的是不了在我有和' AS text
+            FROM documents WHERE doc_id < 50
+        ),
+        parts AS (
+            SELECT doc_id,
+                   length(text)
+                   - length(regexp_replace(text, '{CJK_CLASS}', '', 'g'))
+                       AS n_cjk,
+                   regexp_replace(text, '{CJK_CLASS}', ' ', 'g') AS rest
+            FROM docs_cjk
+        )
+        SELECT doc_id, CAST(n_cjk + {toks} AS BIGINT) AS n_tokens FROM parts
+    """
+
+
 def _lsh_bucket_sql(n_planes: int = 8, dims: int = 64) -> str:
     terms = []
     for p in range(n_planes):
@@ -276,6 +307,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", token_count("text").alias("n_tokens")
     )
+
+    def token_counts_cjk(spark, sf):
+        # the test tables carry no CJK text, so the query injects a
+        # deterministic mixed-script variant for doc_id < 50 (mirrored in
+        # the oracle, like the dedup queries' dup-injection) — otherwise
+        # the CJK branch would be hash-checked but never exercised
+        from pbx_ds_ocr_server_spark.functions.text import token_count_cjk
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        injected = docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.concat(
+                F.lit("中文 开头 "), F.col("text"), F.lit(" 的是不了在我有和")
+            ).alias("text"),
+        )
+        return docs.unionByName(injected).select(
+            "doc_id", token_count_cjk("text").alias("n_tokens")
+        )
+
+    q["token_counts_cjk"] = token_counts_cjk
     q["lang_id"] = lambda spark, sf: lang_id_table(
         _docs(spark, sf).select("doc_id", "text")
     )
@@ -1013,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_markdown": markdown_sql,
         "extract_status_counts": _status_counts_sql(),
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
+        "token_counts_cjk": _token_counts_cjk_sql(),
         "lang_id": f"""
             SELECT doc_id, CASE
               WHEN {votes['en']} > 0 AND {votes['en']} >= greatest({votes['de']}, {votes['es']}, {votes['fr']}, {votes['zh']}) THEN 'en'

@@ -115,6 +115,27 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(norm_text(col)))
 
 
+# CJK script ranges (Han, Hiragana+Katakana, Hangul syllables) — literal
+# characters so the SAME class string works in Java regex (Spark) and RE2
+# (DuckDB oracle). Keep in sync with the SQL mirror in __spark_entry__.py.
+CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+
+
+def token_count_cjk(col: Column | str) -> Column:
+    """Script-aware token count for mixed CJK/Latin text.
+
+    Whitespace tokenization undercounts CJK catastrophically (no spaces —
+    a 500-character Chinese document is ONE whitespace token). Rule: every
+    CJK character (Han / kana / Hangul) is one token; the remaining text
+    tokenizes on whitespace as usual. The standard web-corpus heuristic
+    (CCNet/mC4 use the same char-as-token convention for CJK budgeting);
+    deterministic, pure-column, and exactly mirrorable in ANSI SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_cjk = F.length(c) - F.length(F.regexp_replace(c, CJK_CLASS, ""))
+    rest = F.regexp_replace(c, CJK_CLASS, " ")
+    return (n_cjk + token_count(rest)).cast("bigint")
+
+
 def lang_id_table(df, id_col: str = "doc_id", text_col: str = "text"):
     """(id, lang_pred) via explode + 5 conditional sums — same result as the
     ``lang_id`` column expression (same votes, same tie-break chain) but in

@@ -108,3 +108,47 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
+    """WARC sink: (url, warc_ts, html) rows → one WARC file per partition
+    under ``out_dir`` (per-record gzip members by default — the real
+    Common-Crawl layout read_warc understands).
+
+    The inverse of :func:`read_warc`: lets a pipeline EXPORT a curated
+    subset back into the crawl interchange format (deterministic record ids
+    derived from the url hash — no uuids, no clock, so the round trip is
+    byte-stable). Per-partition imperative file I/O is the legitimate
+    mapPartitions case: WARC is a custom container no DataFrame writer
+    speaks; each task writes its own file (no committer races), sized by
+    the caller's partitioning (repartition(N) for ~even files, the real
+    ~1 GB-per-WARC practice). Paths must be visible to executors (local
+    dir in local mode, shared FS on a cluster). Returns the file count."""
+    import os
+
+    from pbx_ds_ocr_server_spark.corpus import make_warc
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+
+    def dump(pid: int, it):
+        rows = [
+            {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html)}
+            for r in it
+        ]
+        if not rows:
+            return iter(())
+        data = make_warc(rows, gzip_members=gzip_members)
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic, like the manifest writes
+        return iter((path,))
+
+    written = (
+        df.select("url", "warc_ts", "html")
+        .rdd.mapPartitionsWithIndex(dump)
+        .count()
+    )
+    return written

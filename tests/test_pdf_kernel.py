@@ -365,6 +365,30 @@ def test_inline_image_false_positive_in_strings_preserved():
     )
 
 
+def test_xref_stream_trailer_dict_is_found():
+    """PDF 1.5+ xref-stream layout: there is NO 'trailer' keyword — /Root,
+    /Info (and /Encrypt when present) live in the /Type /XRef stream
+    object's dict. The scan-based parser must still resolve the Info title
+    and extract text."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+
+    content = b"BT /F1 12 Tf 72 700 Td (xref stream doc) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Title (Xref Title) >>\nendobj\n"
+        b"6 0 obj\n<< /Type /XRef /Size 7 /Root 1 0 R /Info 5 0 R"
+        b" /W [1 2 1] /Length 0 >>\nstream\n\nendstream\nendobj\n"
+        b"startxref\n0\n%%EOF\n"
+    )
+    assert extract_pdf(pdf)[0].text == "xref stream doc"
+    assert pdf_title(pdf) == "Xref Title"
+
+
 # ------------------------------------------------- fonts: ToUnicode / CID
 def test_cid_tounicode_round_trip():
     # the synthetic CID font uses SHIFTED glyph ids (gid = ord+0x100): only

@@ -48,6 +48,25 @@ def test_truncated_warc_no_crash():
     assert parse_warc(b"") == []
 
 
+def test_write_warc_round_trip(spark, warc_rows, tmp_path):
+    """write_warc is the inverse of read_warc: export → re-read must give
+    byte-identical payloads per url (both gzip-member and plain layouts)."""
+    from pbx_ds_ocr_server_spark.sources.warc import write_warc
+
+    src = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"])) for r in warc_rows],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(3)
+    for gz in (True, False):
+        out = str(tmp_path / f"sink_{gz}")
+        n_files = write_warc(src, out, gzip_members=gz)
+        assert 1 <= n_files <= 3
+        back = read_warc(spark, out + "/*")
+        got = {r.url: bytes(r.html) for r in back.collect()}
+        want = {r["url"]: r["html"] for r in warc_rows}
+        assert got == want
+
+
 def test_spark_read_and_extract_byte_identity(spark, warc_rows, tmp_path):
     half = len(warc_rows) // 2
     (tmp_path / "a.warc").write_bytes(make_warc(warc_rows[:half]))
