@@ -327,6 +327,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["token_counts_cjk"] = token_counts_cjk
+
+    def nfc_norm(spark, sf):
+        # decomposed-form injection (doc_id < 50 under +3000000): 'e'+U+0301
+        # and 'A'+U+030A compose to precomposed chars under NFC — without
+        # the injection the normalizer would be hash-checked on ASCII only
+        from pbx_ds_ocr_server_spark.functions.text import nfc_normalize
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        injected = docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+            F.concat(
+                F.lit("Café Ångström "), F.col("text")
+            ).alias("text"),
+        )
+        return docs.unionByName(injected).select(
+            "doc_id", nfc_normalize()("text").alias("text_nfc")
+        )
+
+    q["nfc_norm"] = nfc_norm
     q["lang_id"] = lambda spark, sf: lang_id_table(
         _docs(spark, sf).select("doc_id", "text")
     )
@@ -1065,6 +1084,17 @@ def oracle_sql() -> dict[str, str]:
         "extract_status_counts": _status_counts_sql(),
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
         "token_counts_cjk": _token_counts_cjk_sql(),
+        "nfc_norm": """
+            WITH docs_nfc AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000 AS doc_id,
+                       'Cafe' || chr(769) || ' A' || chr(778) || 'ngstro'
+                       || chr(776) || 'm ' || text AS text
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id, nfc_normalize(text) AS text_nfc FROM docs_nfc
+        """,
         "lang_id": f"""
             SELECT doc_id, CASE
               WHEN {votes['en']} > 0 AND {votes['en']} >= greatest({votes['de']}, {votes['es']}, {votes['fr']}, {votes['zh']}) THEN 'en'

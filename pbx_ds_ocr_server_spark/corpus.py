@@ -175,6 +175,7 @@ def make_pdf(
     hex_strings: bool = False,
     font: str = "simple",
     encrypt: str | None = None,
+    title: str | None = None,
 ) -> bytes:
     """Minimal valid single-xref PDF (latin-1-encodable text only).
 
@@ -262,6 +263,15 @@ def make_pdf(
         objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     trailer_extra = b""
+    info_idx = None
+    info_raw = b""
+    if title is not None:
+        # UTF-16BE with BOM as a hex string — the common real-world shape
+        # for non-ASCII titles (exercises the text-string decode rule)
+        info_raw = b"\xfe\xff" + title.encode("utf-16-be")
+        info_idx = len(objs)
+        objs.append(b"<< /Title <" + info_raw.hex().encode() + b"> >>")
+        trailer_extra += f" /Info {info_idx + 1} 0 R".encode()
     if encrypt is not None:
         from pbx_ds_ocr_server_spark.kernels import pdf_crypt as _pc
 
@@ -283,6 +293,10 @@ def make_pdf(
                     _pc.object_key(key, idx + 1, 0), m.group(1)
                 )
                 objs[idx] = body[: m.start(1)] + enc + body[m.end(1) :]
+        if info_idx is not None:
+            # strings are encrypted with the same per-object key as streams
+            enc_t = _pc.rc4(_pc.object_key(key, info_idx + 1, 0), info_raw)
+            objs[info_idx] = b"<< /Title <" + enc_t.hex().encode() + b"> >>"
         enc_num = len(objs) + 1
         objs.append(
             (
@@ -290,7 +304,7 @@ def make_pdf(
                 f" /P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
             ).encode()
         )
-        trailer_extra = (
+        trailer_extra += (
             f" /Encrypt {enc_num} 0 R"
             f" /ID [<{file_id.hex()}> <{file_id.hex()}>]"
         ).encode()

@@ -13,6 +13,7 @@ and document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -262,6 +263,27 @@ def simhash16(col: Column | str) -> Column:
         bit = F.when((n > 0) & (ones * 2 > n), F.lit(1)).otherwise(F.lit(0))
         total = total + bit.cast("bigint") * F.lit(1 << b).cast("bigint")
     return total
+
+
+# ------------------------------------------------- unicode normalization
+def nfc_normalize():
+    """Arrow-batched NFC normalizer (canonical composition) — the standard
+    pre-tokenization pass: decomposed sequences ('e' + COMBINING ACUTE) and
+    their composed forms ('é') must fingerprint/dedup identically. Spark has
+    no built-in unicode normalizer, so this is one of the few places a
+    (vectorized, Arrow) Python UDF is the right tool; DuckDB's
+    ``nfc_normalize`` is the exact oracle mirror (same UCD tables)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc
 
 
 # ----------------------------------------------------------- PII scrubbing

@@ -504,9 +504,22 @@ def _text_items(
 
 
 _DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
-_INFO_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+# /Title value: literal string OR hex string (hex + UTF-16BE is the common
+# real-world shape for non-ASCII titles)
+_INFO_TITLE_RE = re.compile(
+    rb"/Title\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)", re.DOTALL
+)
 _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def _text_string(raw: bytes) -> str:
+    """Decode a PDF *text string* (ISO 32000-1 §7.9.2.2): UTF-16BE when it
+    carries the BOM, else the byte path (utf-8 with replacement — close to
+    PDFDocEncoding for the printable range and identical for ASCII)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("utf-8", errors="replace")
 
 
 def pdf_is_encrypted(payload: bytes) -> bool:
@@ -731,10 +744,26 @@ def pdf_title(payload: bytes) -> str | None:
     """Document title from the trailer's Info dictionary.
 
     Resolves ``/Info N 0 R`` (the LAST occurrence wins — incremental
-    updates append a new trailer) and reads ``/Title (...)`` from that
-    object's body only, so a /Title in an outline, annotation or content
-    stream cannot shadow the real document title. Falls back to a
-    whole-payload scan only when no /Info reference resolves."""
+    updates append a new trailer) and reads ``/Title`` from that object's
+    body only, so a /Title in an outline, annotation or content stream
+    cannot shadow the real document title. Falls back to a whole-payload
+    scan only when no /Info reference resolves. Handles both string forms
+    (literal and hex), UTF-16BE text strings (BOM-prefixed — the common
+    shape for non-ASCII titles), and decrypts the title when the document
+    is encrypted and the empty user password opens it (strings are
+    encrypted with the same per-object key as streams)."""
+    decrypt = pdf_decryptor(payload) if pdf_is_encrypted(payload) else None
+
+    def _title_from(body: bytes, obj_num: int | None) -> str | None:
+        m = _INFO_TITLE_RE.search(body)
+        if not m:
+            return None
+        raw = _tok_raw(m.group(1))
+        if decrypt is not None and obj_num is not None:
+            raw = decrypt(obj_num, raw)
+        t = " ".join(_text_string(raw).split())
+        return t or None
+
     info_obj: int | None = None
     for im in _INFO_REF_RE.finditer(payload):
         info_obj = int(im.group(1))
@@ -745,13 +774,12 @@ def pdf_title(payload: bytes) -> str | None:
             re.DOTALL,
         )
         if om:
-            m = _INFO_TITLE_RE.search(om.group(1))
-            t = " ".join(_decode_pdf_string(m.group(1)).split()) if m else ""
-            return t or None
+            return _title_from(om.group(1), info_obj)
     m = _INFO_TITLE_RE.search(payload)
     if not m:
         return None
-    t = " ".join(_decode_pdf_string(m.group(1)).split())
+    raw = _tok_raw(m.group(1))
+    t = " ".join(_text_string(raw).split())
     return t or None
 
 

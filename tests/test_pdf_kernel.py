@@ -524,6 +524,19 @@ def test_rc4_wrong_user_password_stays_undecryptable():
     assert [p.text for p in extract_pdf(broken)] == [""]
 
 
+def test_title_utf16_hex_and_encrypted():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+
+    pages = pdf_pages_for("body text", 1)
+    # hex-form UTF-16BE title with BOM (the common non-ASCII shape)
+    t = "Ünïcode Tïtle — test"
+    assert pdf_title(make_pdf(pages, title=t)) == t
+    # encrypted doc: the title string is RC4-encrypted with the same
+    # per-object key as streams; empty-user-password open must decrypt it
+    assert pdf_title(make_pdf(pages, title=t, encrypt="rc4-128")) == t
+    assert pdf_title(make_pdf(pages, title=t, encrypt="rc4-40")) == t
+
+
 def test_rc4_crypt_primitives_self_consistent():
     from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
         compute_o, compute_u, empty_password_key, file_key, object_key, rc4,
