@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle, like the dedup queries' dup-injection) — otherwise
         # the CJK branch would be hash-checked but never exercised
         from pbx_ds_ocr_server_spark.functions.text import token_count_cjk
+        from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
 
         docs = _docs(spark, sf).select("doc_id", "text")
         injected = docs.filter(F.col("doc_id") < 50).select(
@@ -322,7 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("中文 开头 "), F.col("text"), F.lit(" 的是不了在我有和")
             ).alias("text"),
         )
-        return docs.unionByName(injected).select(
+        # fan the narrow frame out: driver parquet is single-row-group (ONE
+        # scan partition) and three regex passes per row is per-row-heavy
+        return ensure_min_partitions(docs.unionByName(injected)).select(
             "doc_id", token_count_cjk("text").alias("n_tokens")
         )
 
@@ -341,7 +344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("Café Ångström "), F.col("text")
             ).alias("text"),
         )
-        return docs.unionByName(injected).select(
+        # fan out: single-row-group scan + per-row Python (Arrow UDF) would
+        # otherwise run the whole normalization on one core
+        from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+        return ensure_min_partitions(docs.unionByName(injected)).select(
             "doc_id", nfc_normalize()("text").alias("text_nfc")
         )
 

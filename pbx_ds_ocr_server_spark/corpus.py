@@ -576,37 +576,37 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
     }
 
 
-def make_warc(rows: list[dict], gzip_members: bool = False) -> bytes:
-    """Serialize corpus rows into WARC/1.0 response records (optionally one
-    gzip member per record, the real Common-Crawl layout). Deterministic —
-    no uuids, no clock: the record id derives from the url hash."""
+def warc_record_bytes(row: dict, gzip_member: bool = False) -> bytes:
+    """ONE corpus row → one serialized WARC/1.0 response record (optionally
+    its own gzip member — the real Common-Crawl layout). Deterministic —
+    no uuids, no clock: the record id derives from the url hash. The
+    per-record granularity is what lets the WARC sink stream rows to disk
+    in O(one record) memory."""
     import gzip as _gzip
 
-    out = bytearray()
-    for r in rows:
-        body = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Length: " + str(len(r["html"])).encode() + b"\r\n\r\n"
-            + r["html"]
-        )
-        ts = r["warc_ts"]
-        warc_date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-        rec_id = f"<urn:pbx:{_h('warcid:' + r['url']):016x}>"
-        header = (
-            "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
-            f"WARC-Target-URI: {r['url']}\r\n"
-            f"WARC-Date: {warc_date}\r\n"
-            f"WARC-Record-ID: {rec_id}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode("latin-1")
-        record = header + body + b"\r\n\r\n"
-        if gzip_members:
-            out += _gzip.compress(record, mtime=0)
-        else:
-            out += record
-    return bytes(out)
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: " + str(len(row["html"])).encode() + b"\r\n\r\n"
+        + row["html"]
+    )
+    warc_date = row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+    rec_id = f"<urn:pbx:{_h('warcid:' + row['url']):016x}>"
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {row['url']}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Record-ID: {rec_id}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1")
+    record = header + body + b"\r\n\r\n"
+    return _gzip.compress(record, mtime=0) if gzip_member else record
+
+
+def make_warc(rows: list[dict], gzip_members: bool = False) -> bytes:
+    """Serialize corpus rows into one WARC byte string (test fixture)."""
+    return b"".join(warc_record_bytes(r, gzip_members) for r in rows)
 
 
 def wrapped_docs_df(spark, documents_path: str, mode: str):

@@ -504,11 +504,6 @@ def _text_items(
 
 
 _DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
-# /Title value: literal string OR hex string (hex + UTF-16BE is the common
-# real-world shape for non-ASCII titles)
-_INFO_TITLE_RE = re.compile(
-    rb"/Title\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)", re.DOTALL
-)
 _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 
@@ -614,10 +609,15 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     return decrypt
 
 
-def pdf_decrypt_available(payload: bytes) -> bool:
+def pdf_decrypt_available(
+    payload: bytes, objects: dict[int, bytes] | None = None
+) -> bool:
     """True when the document is encrypted AND the empty user password
     opens it (so extraction can proceed instead of a typed rejection)."""
-    return pdf_is_encrypted(payload) and pdf_decryptor(payload) is not None
+    return (
+        pdf_is_encrypted(payload)
+        and pdf_decryptor(payload, objects) is not None
+    )
 
 
 # ---------------------------------------------------------- font resolution
@@ -670,15 +670,22 @@ def _font_decoder(
     /ToUnicode CMap (exact) → provable glyph-indexing with no map
     (Type0 / Identity-H → all text lost, honest empty) → /Differences +
     AGL → the default simple-font byte path."""
+    is_composite = bool(_TYPE0_RE.search(body) or _IDENTITY_RE.search(body))
     tm = _TOUNICODE_RE.search(body)
     if tm:
         oid = int(tm.group(1))
         data, _ = _stream_data(objects.get(oid, b""), oid, decrypt)
         if data:
-            cmap, width = parse_tounicode(data)
+            # when the CMap omits codespacerange, the code width follows
+            # the FONT type: 2-byte codes for composite (Type0/Identity-H)
+            # fonts, 1-byte for simple fonts — defaulting simple fonts to
+            # 2 would pair up their byte codes and miss every lookup
+            cmap, width = parse_tounicode(
+                data, default_width=2 if is_composite else 1
+            )
             if cmap:
                 return FontDecoder("cmap", cmap=cmap, width=width)
-    if _TYPE0_RE.search(body) or _IDENTITY_RE.search(body):
+    if is_composite:
         return FontDecoder("cid_unknown")
     enc_body = None
     em = _ENC_REF_RE.search(body)
@@ -693,30 +700,40 @@ def _font_decoder(
     return DEFAULT_FONT
 
 
+def _inherited_resources(objects: dict[int, bytes]) -> bytes | None:
+    """Page-TREE-level /Resources (the inheritance rule): the first /Pages
+    node carrying /Resources wins — a heuristic standing in for a full
+    /Parent-chain walk, exact for the overwhelmingly common single-root
+    layout. Resolve ONCE per document (the result is page-independent):
+    per-page rescans of every object were O(pages × objects)."""
+    for body in objects.values():
+        if _TYPE_PAGES_RE.search(body):
+            rm = _RES_REF_RE.search(body)
+            if rm:
+                return objects.get(int(rm.group(1)), b"")
+            r = _inline_dict_after(body, b"/Resources")
+            if r is not None:
+                return r
+    return None
+
+
 def _page_fonts(
     objects: dict[int, bytes],
     page_body: bytes,
     decrypt=None,
     cache: dict[int, FontDecoder] | None = None,
+    inherited_fn=None,
 ) -> dict[bytes, FontDecoder]:
     """Font name → decoder for one page's /Resources (inline dict or ref;
-    falls back to a /Pages-level /Resources — the inheritance rule)."""
+    ``inherited_fn()`` supplies the lazily-resolved doc-level fallback)."""
     res = None
     rm = _RES_REF_RE.search(page_body)
     if rm:
         res = objects.get(int(rm.group(1)), b"")
     else:
         res = _inline_dict_after(page_body, b"/Resources")
-    if res is None:
-        for body in objects.values():
-            if _TYPE_PAGES_RE.search(body):
-                rm = _RES_REF_RE.search(body)
-                if rm:
-                    res = objects.get(int(rm.group(1)), b"")
-                    break
-                res = _inline_dict_after(body, b"/Resources")
-                if res is not None:
-                    break
+    if res is None and inherited_fn is not None:
+        res = inherited_fn()
     if not res:
         return {}
     fm = _FONT_REF_RE.search(res)
@@ -740,7 +757,9 @@ def _page_fonts(
     return out
 
 
-def pdf_title(payload: bytes) -> str | None:
+def pdf_title(
+    payload: bytes, objects: dict[int, bytes] | None = None
+) -> str | None:
     """Document title from the trailer's Info dictionary.
 
     Resolves ``/Info N 0 R`` (the LAST occurrence wins — incremental
@@ -748,17 +767,20 @@ def pdf_title(payload: bytes) -> str | None:
     body only, so a /Title in an outline, annotation or content stream
     cannot shadow the real document title. Falls back to a whole-payload
     scan only when no /Info reference resolves. Handles both string forms
-    (literal and hex), UTF-16BE text strings (BOM-prefixed — the common
-    shape for non-ASCII titles), and decrypts the title when the document
-    is encrypted and the empty user password opens it (strings are
-    encrypted with the same per-object key as streams)."""
-    decrypt = pdf_decryptor(payload) if pdf_is_encrypted(payload) else None
+    (literal and hex — via the same ``_dict_string`` grammar the /O and /U
+    entries use), UTF-16BE text strings (BOM-prefixed — the common shape
+    for non-ASCII titles), and decrypts the title when the document is
+    encrypted and the empty user password opens it (strings are encrypted
+    with the same per-object key as streams). Pass pre-parsed ``objects``
+    to avoid re-scanning the payload (the extract operator parses once)."""
+    decrypt = (
+        pdf_decryptor(payload, objects) if pdf_is_encrypted(payload) else None
+    )
 
     def _title_from(body: bytes, obj_num: int | None) -> str | None:
-        m = _INFO_TITLE_RE.search(body)
-        if not m:
+        raw = _dict_string(body, b"Title")
+        if raw is None:
             return None
-        raw = _tok_raw(m.group(1))
         if decrypt is not None and obj_num is not None:
             raw = decrypt(obj_num, raw)
         t = " ".join(_text_string(raw).split())
@@ -768,19 +790,17 @@ def pdf_title(payload: bytes) -> str | None:
     for im in _INFO_REF_RE.finditer(payload):
         info_obj = int(im.group(1))
     if info_obj is not None:
-        om = re.search(
-            rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj" % info_obj,
-            payload,
-            re.DOTALL,
-        )
-        if om:
-            return _title_from(om.group(1), info_obj)
-    m = _INFO_TITLE_RE.search(payload)
-    if not m:
-        return None
-    raw = _tok_raw(m.group(1))
-    t = " ".join(_text_string(raw).split())
-    return t or None
+        body = (objects or {}).get(info_obj)
+        if body is None:
+            om = re.search(
+                rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj" % info_obj,
+                payload,
+                re.DOTALL,
+            )
+            body = om.group(1) if om else None
+        if body is not None:
+            return _title_from(body, info_obj)
+    return _title_from(payload, None)
 
 
 def extract_pdf(
@@ -823,11 +843,18 @@ def extract_pdf_detailed(
     results: list[tuple[PageResult, bool]] = []
     sep_bytes = len(cfg.page_separator.encode("utf-8"))
     font_cache: dict[int, FontDecoder] = {}
+    inherited_cell: list = []  # lazily-resolved doc-level /Resources
+
+    def inherited_fn():
+        if not inherited_cell:
+            inherited_cell.append(_inherited_resources(objects))
+        return inherited_cell[0]
+
     for page_index in wanted:
         page_oid = page_ids[page_index - 1]
         body = objects.get(page_oid, b"")
         stream, had_raw = _content_stream(objects, body, page_oid, decrypt)
-        fonts = _page_fonts(objects, body, decrypt, font_cache)
+        fonts = _page_fonts(objects, body, decrypt, font_cache, inherited_fn)
         items, lost = _text_items(stream, fonts)
         # reading-order sort: visual top-to-bottom (descending y), then x
         items.sort(key=lambda it: (-round(it[1], 1), round(it[0], 1)))

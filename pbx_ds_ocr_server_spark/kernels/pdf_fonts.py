@@ -108,14 +108,26 @@ def _utf16be(hx: bytes) -> str:
     return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
 
 
-def parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+# a bfrange wider than 16 bits of codes is structurally bogus (codes are
+# byte sequences; ranges may not cross the low-byte boundary per spec) —
+# cap instead of materializing millions of entries from a corrupt CMap
+_MAX_BFRANGE = 0x10000
+
+
+def parse_tounicode(
+    data: bytes, default_width: int = 2
+) -> tuple[dict[int, str], int]:
     """CMap stream bytes → ({glyph code → text}, code byte-width).
 
     Width comes from the first codespacerange's low bound (``<00>`` → 1,
-    ``<0000>`` → 2); defaults to 2 (the Identity-H norm) when absent.
-    bfrange scalar destinations increment the LAST UTF-16 code unit, per
-    spec; array destinations map positionally."""
-    width = 2
+    ``<0000>`` → 2); when the CMap omits codespacerange (nonconforming but
+    seen in the wild) ``default_width`` applies — callers pass 2 for Type0
+    fonts (the Identity-H norm) and 1 for simple fonts, whose show-string
+    codes are single bytes. bfrange scalar destinations increment the LAST
+    UTF-16 code unit, per spec (skipping increments that would leave the
+    Unicode range or land in surrogates — corrupt-CMap hardening);
+    array destinations map positionally."""
+    width = default_width
     m = _CSR_RE.search(data)
     if m:
         toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
@@ -137,7 +149,7 @@ def parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
                 i += 1
                 continue
             lo = int(lo_t[1:-1], 16)
-            hi = int(hi_t[1:-1], 16)
+            hi = min(int(hi_t[1:-1], 16), lo + _MAX_BFRANGE - 1)
             if third == b"[":
                 j = i + 3
                 k = 0
@@ -151,8 +163,15 @@ def parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
                 dst_hex = third[1:-1]
                 base = _utf16be(dst_hex)
                 for k in range(hi - lo + 1):
-                    if base:
-                        cmap[lo + k] = base[:-1] + chr(ord(base[-1]) + k)
+                    if not base:
+                        continue
+                    cp = ord(base[-1]) + k
+                    # corrupt destinations can walk past U+10FFFF or into
+                    # the surrogate block — skip those codes (they stay
+                    # unmapped -> lost) instead of crashing the document
+                    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                        continue
+                    cmap[lo + k] = base[:-1] + chr(cp)
                 i += 3
     return cmap, width
 

@@ -64,6 +64,9 @@ PAGES_SCHEMA = (
 # JobStatus analog (/root/reference/app/schemas.py:10-16) + rejection reasons
 ST_OK = "succeeded"
 ST_EMPTY = "succeeded_empty"  # page HAD content bytes but parsing got no text
+ST_PARTIAL = "succeeded_partial"  # page emitted SOME text but undecodable
+#   font codes lost part of it — the text is real but incomplete; consumers
+#   filtering status='succeeded' see only fully-decoded pages
 ST_NOOP = "succeeded_noop"
 ST_FAILED = "failed"
 ST_REJ_SIZE = "rejected_size"
@@ -107,12 +110,12 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
                 return [dict(base, n_pages=n, status=ST_REJ_PAGES,
                              error=f"{n} pages > {cfg.max_pages}")]
             pages = extract_pdf_detailed(payload, cfg, objects=objects)
-            title = pdf_title(payload)
+            title = pdf_title(payload, objects)
             if (
                 pages
                 and all(not p.text for p, _u in pages)
                 and pdf_is_encrypted(payload)
-                and not pdf_decrypt_available(payload)
+                and not pdf_decrypt_available(payload, objects)
             ):
                 # undecryptable content streams (real user password, AES,
                 # crypt filters): typed rejection, not empty text. RC4
@@ -122,13 +125,19 @@ def _extract_one(url: str, payload: bytes, cfg: ExtractConfig) -> list[dict]:
                              status=ST_REJ_UNPARSEABLE,
                              error="pdf encrypted (empty-user-password"
                                    " decryption not applicable)")]
-            # per-page: a page with non-empty content bytes but zero text is
-            # succeeded_empty (parser blind spot), never a silent success;
-            # doc-level min(status) keeps 'succeeded' if any page has text
+            # per-page honesty: a blind-spot page (unsupported filter,
+            # undecodable font codes) is never a silent success — with NO
+            # text it is succeeded_empty; with PARTIAL text (some fonts
+            # decoded, some lost) it is succeeded_partial, so the emitted
+            # text is never mislabeled as complete AND a non-empty page is
+            # never mislabeled as empty. Doc-level min(status) keeps
+            # 'succeeded' if any page fully decoded.
             return [
                 dict(base, n_pages=n, seq=i, page_index=p.page_index,
                      page_text=p.text, spans=_span_dicts(p.spans),
-                     title=title, status=ST_EMPTY if unparsed else ST_OK)
+                     title=title,
+                     status=ST_OK if not unparsed
+                     else (ST_PARTIAL if p.text else ST_EMPTY))
                 for i, (p, unparsed) in enumerate(pages)
             ] or [dict(base, n_pages=n, title=title, status=ST_OK)]
         if ctype in ("png", "jpeg"):

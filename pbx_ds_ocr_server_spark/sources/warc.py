@@ -120,29 +120,46 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
     derived from the url hash — no uuids, no clock, so the round trip is
     byte-stable). Per-partition imperative file I/O is the legitimate
     mapPartitions case: WARC is a custom container no DataFrame writer
-    speaks; each task writes its own file (no committer races), sized by
-    the caller's partitioning (repartition(N) for ~even files, the real
-    ~1 GB-per-WARC practice). Paths must be visible to executors (local
-    dir in local mode, shared FS on a cluster). Returns the file count."""
+    speaks; each task writes its own file (no committer races), STREAMING
+    one record at a time so peak memory is O(one record) even at the real
+    ~1 GB-per-WARC file sizing. File sizes follow the input partitioning —
+    size it UPSTREAM, before the payload column is attached (the job
+    runner's bucketed staging write); repartitioning a frame that already
+    carries `html` shuffles the raw payload bytes (~3× slowdown, see
+    CLAUDE.md). Paths must be visible to executors (local dir in local
+    mode, shared FS on a cluster). Returns the file count."""
     import os
 
-    from pbx_ds_ocr_server_spark.corpus import make_warc
+    from pbx_ds_ocr_server_spark.corpus import warc_record_bytes
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if gzip_members else ".warc"
 
     def dump(pid: int, it):
-        rows = [
-            {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html)}
-            for r in it
-        ]
-        if not rows:
-            return iter(())
-        data = make_warc(rows, gzip_members=gzip_members)
         path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
         tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
+        wrote = False
+        f = None
+        try:
+            for r in it:
+                if f is None:
+                    f = open(tmp, "wb")
+                f.write(
+                    warc_record_bytes(
+                        {
+                            "url": r.url,
+                            "warc_ts": r.warc_ts,
+                            "html": bytes(r.html),
+                        },
+                        gzip_member=gzip_members,
+                    )
+                )
+                wrote = True
+        finally:
+            if f is not None:
+                f.close()
+        if not wrote:
+            return iter(())
         os.replace(tmp, path)  # atomic, like the manifest writes
         return iter((path,))
 

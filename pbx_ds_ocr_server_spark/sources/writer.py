@@ -106,8 +106,11 @@ def stage_input(
     reusing the old layout (a resume at a smaller n_buckets would otherwise
     never extract buckets >= n_buckets yet mark the run complete). A marker
     with no recorded count (runs staged before the count was recorded) is
-    treated as 'unknown': accepted with a warning and rewritten with the
-    requested count, so pre-existing runs stay resumable."""
+    NOT taken on the caller's word — the true count is derived from the
+    staged ``bucket=K`` directory layout itself, verified against the
+    request, and the marker is rewritten; mismatches still raise (trusting
+    the argument here would silently drop buckets >= n_buckets on resume —
+    the exact hazard the marker exists to prevent)."""
     import warnings
 
     marker = os.path.join(staging_dir, "_STAGED")
@@ -115,16 +118,29 @@ def stage_input(
         with open(marker, encoding="utf-8") as f:
             raw = f.read().strip()
         if not raw:
+            # legacy marker: recover the count from the layout, never from
+            # the argument (max bucket id + 1 — hash bucketing over any
+            # non-trivial input populates the top bucket)
+            staged_n = (
+                max(
+                    (
+                        int(d.split("=", 1)[1])
+                        for d in os.listdir(staging_dir)
+                        if d.startswith("bucket=")
+                    ),
+                    default=-1,
+                )
+                + 1
+            )
             warnings.warn(
                 f"staging marker at {marker} records no bucket count"
-                " (legacy run); accepting the existing layout and recording"
-                f" n_buckets={n_buckets} — verify it matches the original"
-                " staging call",
+                f" (legacy run); derived n_buckets={staged_n} from the"
+                " staged bucket=K layout and recorded it",
                 stacklevel=2,
             )
             with open(marker, "w", encoding="utf-8") as f:
-                f.write(str(n_buckets))
-            return
+                f.write(str(staged_n))
+            raw = str(staged_n)
         if int(raw) != n_buckets:
             raise ValueError(
                 f"staging at {staging_dir} was written with n_buckets="
@@ -213,7 +229,9 @@ def run_extract_job(
                 run_id,
                 bucket,
                 n_urls,
-                counts.get("succeeded", 0) + counts.get("succeeded_empty", 0),
+                counts.get("succeeded", 0)
+                + counts.get("succeeded_empty", 0)
+                + counts.get("succeeded_partial", 0),
                 counts.get("succeeded_noop", 0),
                 sum(v for k, v in counts.items() if k.startswith("rejected")),
                 counts.get("failed", 0),

@@ -126,6 +126,23 @@ def test_legacy_empty_staging_marker_resumes_with_warning(spark, corpus, tmp_pat
     assert len(res.buckets_done) == 3  # resumed, not re-staged
 
 
+def test_legacy_marker_with_wrong_n_buckets_still_raises(spark, corpus, tmp_path):
+    """The legacy path derives the TRUE count from the bucket=K layout and
+    must NOT trust the caller's argument — resuming an 8-bucket staging
+    with n_buckets=4 would silently drop half the corpus (round-3 review
+    finding)."""
+    import os
+    import warnings
+
+    out = str(tmp_path / "legacy_bad")
+    run_extract_job(spark, corpus, out, run_id="r1", n_buckets=8, fail_after=1)
+    open(os.path.join(out, "staging", "_STAGED"), "w").close()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="n_buckets"):
+            run_extract_job(spark, corpus, out, run_id="r2", n_buckets=4)
+
+
 def test_write_table_parquet_and_iceberg_seam(spark, tmp_path):
     from pbx_ds_ocr_server_spark.sources.writer import write_table
 

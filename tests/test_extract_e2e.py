@@ -197,6 +197,35 @@ def test_encrypted_pdf_is_typed_rejection(spark):
     assert "encrypted" in row.error
 
 
+def test_mixed_fonts_with_lost_codes_is_succeeded_partial(spark):
+    """A page where one font decodes and another provably loses text must
+    surface as succeeded_partial — the emitted text is real but incomplete,
+    so it is neither a silent 'succeeded' nor a text-carrying
+    'succeeded_empty' (round-3 review finding)."""
+    stream = (
+        b"BT /F1 12 Tf 72 700 Td (readable) Tj"
+        b" /F2 12 Tf 0 -20 Td <0041> Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /H >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /C"
+        b" /Encoding /Identity-H >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    row = extract(
+        spark.createDataFrame([("pdf://mixed", pdf)], "url string, html binary")
+    ).first()
+    assert row.status == "succeeded_partial"
+    assert row.text == "readable"  # the decoded part still flows through
+
+
 def test_pure_cjk_pdf_class_still_succeeds(spark):
     # latin-1 filtering of pure-CJK text must fall back to placeholder text
     # so pdf-class docs never silently become succeeded_empty (the status

@@ -484,6 +484,55 @@ def test_differences_unknown_glyph_flags_lost():
     assert res[0][1] is True  # unknown glyph name -> honest blind spot
 
 
+def test_parse_tounicode_survives_corrupt_destinations():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        _MAX_BFRANGE,
+        parse_tounicode,
+    )
+
+    # scalar destination at U+10FFFF: the k=1 increment would leave Unicode
+    # — must stay unmapped (-> lost), never raise chr() ValueError
+    m, _ = parse_tounicode(
+        b"1 beginbfrange <0000> <0001> <DBFFDFFF> endbfrange"
+    )
+    assert m[0] == "\U0010ffff" and 1 not in m
+    # absurd range width: capped, not millions of dict entries
+    m, _ = parse_tounicode(
+        b"1 beginbfrange <00000000> <ffffffff> <0041> endbfrange"
+    )
+    assert 0 < len(m) <= _MAX_BFRANGE
+    # increments landing in the surrogate block are skipped
+    m, _ = parse_tounicode(b"1 beginbfrange <0000> <0002> <D7FF> endbfrange")
+    assert m[0] == "퟿" and 1 not in m and 2 not in m
+
+
+def test_simple_font_tounicode_without_codespacerange_uses_1byte_codes():
+    """A simple (non-Type0) font whose ToUnicode CMap omits codespacerange
+    must decode 1-byte codes — a 2-byte default would pair them up and lose
+    everything (round-3 review finding)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    stream = b"BT /F1 12 Tf 72 700 Td (AB) Tj ET"
+    cmap = b"2 beginbfchar <41> <0058> <42> <0059> endbfchar"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /F"
+        b" /ToUnicode 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "XY"
+    assert res[0][1] is False
+
+
 def test_glyph_name_rules():
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import glyph_to_unicode
 

@@ -84,3 +84,50 @@ def test_runlength_decode_never_crashes(payload):
     from pbx_ds_ocr_server_spark.kernels.pdf_extract import _runlength_decode
 
     _runlength_decode(payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=800))
+def test_parse_tounicode_never_crashes(payload):
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import parse_tounicode
+
+    cmap, width = parse_tounicode(payload)
+    assert width in (1, 2) or width > 0
+    assert all(isinstance(v, str) for v in cmap.values())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=800))
+def test_parse_differences_never_crashes(payload):
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import parse_differences
+
+    d = parse_differences(payload)
+    assert d is None or isinstance(d, dict)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=800))
+def test_font_decoders_never_crash(payload):
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import FontDecoder
+
+    for dec in (
+        FontDecoder("default"),
+        FontDecoder("cid_unknown"),
+        FontDecoder("cmap", cmap={65: "A"}, width=2),
+        FontDecoder("differences", diffs={65: "A", 66: None}),
+    ):
+        s, lost = dec.decode(payload)
+        assert isinstance(s, str) and isinstance(lost, bool)
+
+
+@settings(max_examples=75, deadline=None)
+@given(st.binary(min_size=0, max_size=1500))
+def test_pdf_decryptor_never_crashes_on_garbage(payload):
+    """pdf_decryptor must be a total function of bytes: random payloads
+    (possibly containing /Encrypt-shaped fragments) either yield None or a
+    working decryptor, never an exception."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_decryptor
+
+    d = pdf_decryptor(b"%PDF-1.4\n" + payload + b"\n/Encrypt 1 0 R\n%%EOF")
+    if d is not None:
+        d(1, b"some bytes")
