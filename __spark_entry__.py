@@ -182,6 +182,47 @@ def _status_counts_sql() -> str:
     """
 
 
+# exactly 10 words — one full paragraph chunk, so injecting it shifts the
+# original text by a whole chunk and leaves all other chunk boundaries
+# aligned (both the Spark query and the oracle depend on this)
+_BOILER_PARA = "subscribe to our newsletter and follow us on social media"
+
+
+def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
+    """Mirror of operators/dedup.paragraph_dedup over the same even-doc_id
+    boilerplate injection the Spark query applies."""
+    norm = r"regexp_replace(trim(text), '\s+', ' ', 'g')"
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '{_BOILER_PARA} ' || text ELSE text END AS text
+            FROM documents
+        ),
+        w AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM inj),
+        p AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(
+                       list_slice(ws, (i-1)*{wpp}+1, i*{wpp}), ' ') AS para
+            FROM w, UNNEST(generate_series(1,
+                greatest(CAST(ceil(len(ws)/{wpp}.0) AS INT), 1))) AS t(i)
+        ),
+        hot AS (
+            SELECT md5(para) AS h FROM p
+            GROUP BY 1 HAVING count(DISTINCT doc_id) > {max_doc_freq}
+        ),
+        keep AS (
+            SELECT * FROM p WHERE md5(para) NOT IN (SELECT h FROM hot)
+        ),
+        reb AS (
+            SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text_dedup
+            FROM keep GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(reb.text_dedup, '') AS text_dedup
+        FROM documents d LEFT JOIN reb USING (doc_id)
+    """
+
+
 def _token_counts_cjk_sql() -> str:
     """Mirror of functions/text.token_count_cjk over the same deterministic
     mixed-script injection the Spark query applies (doc_id < 50 gets CJK
@@ -662,6 +703,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_near_transitive"] = dedup_near_transitive
 
+    def paragraph_dedup_q(spark, sf):
+        # CCNet-style boilerplate pass: a 10-word "subscribe" block is
+        # injected into every even doc_id (mirrored in the oracle); its
+        # paragraph hash lands in ~half the corpus -> dropped everywhere,
+        # while each doc's own content paragraphs (doc-freq 1) survive
+        from pbx_ds_ocr_server_spark.operators.dedup import paragraph_dedup
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        injected = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(_BOILER_PARA + " "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return paragraph_dedup(injected)
+
+    q["paragraph_dedup"] = paragraph_dedup_q
+
     # --- grouping-set / set-operation coverage ---
     def events_rollup(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1091,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_status_counts": _status_counts_sql(),
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
         "token_counts_cjk": _token_counts_cjk_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
         "nfc_norm": """
             WITH docs_nfc AS (
                 SELECT doc_id, text FROM documents

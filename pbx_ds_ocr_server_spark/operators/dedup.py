@@ -197,6 +197,65 @@ def jaccard_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_para: int = 10,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document paragraph dedup (the CCNet-style boilerplate pass):
+    split each document into paragraphs, drop every paragraph whose hash
+    appears in MORE than ``max_doc_freq`` distinct documents (cookie
+    banners, nav footers, "subscribe" blocks — the text that survives
+    per-document dedup because every copy lives in a different doc), and
+    reassemble the survivors in original order → (id, text_dedup).
+
+    Paragraphs here are fixed ``words_per_para``-word chunks of the
+    normalized text (the synthetic corpus carries no newlines; a real
+    pipeline splits on '\\n' — swap the chunk expression, the plan shape is
+    identical). Plan: explode → one hash aggregate for document frequency
+    (map-side combined) → hash anti-join on the paragraph hash (the hot set
+    is tiny — AQE broadcasts it) → per-doc ordered reassembly. Every
+    shuffle keys on (hash) or (id): AQE-skew-splittable, no all-pairs
+    anywhere, ~3 narrow shuffles at any corpus size."""
+    wpp = int(words_per_para)
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", words(text_col).alias("ws"))
+    chunk_expr = (
+        f"transform(sequence(1, greatest(cast(ceil(size(ws)/{wpp}.0) as int),"
+        f" 1)), i -> concat_ws(' ', slice(ws, (i-1)*{wpp}+1, {wpp})))"
+    )
+    paras = base.select(
+        "id", F.posexplode(F.expr(chunk_expr)).alias("pos", "para")
+    ).withColumn("h", F.md5("para"))
+    hot = (
+        paras.groupBy("h")
+        .agg(F.countDistinct("id").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("h")
+    )
+    keep = paras.join(hot, "h", "left_anti")
+    rebuilt = keep.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, para))),"
+                " p -> p.para)"
+            ),
+        ).alias("text_dedup")
+    )
+    return (
+        base.select("id")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -288,6 +288,29 @@ def test_dedup_near_transitive_folds_hub_components(spark):
     assert transitive == [1]
 
 
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    """The injected 10-word boilerplate chunk lives in both docs (doc-freq
+    2 > 1) and must vanish; each doc's own content (doc-freq 1) survives,
+    reassembled in original order."""
+    from pbx_ds_ocr_server_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter and follow us on social media"
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} {a}"), (2, f"{boiler} {b}"), (3, "unique short doc")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.text_dedup for r in paragraph_dedup(docs).collect()}
+    assert got == {1: a, 2: b, 3: "unique short doc"}
+    # a doc made ENTIRELY of boilerplate collapses to empty, not a dropped row
+    docs2 = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, "solo")], "doc_id bigint, text string"
+    )
+    got2 = {r.doc_id: r.text_dedup for r in paragraph_dedup(docs2).collect()}
+    assert got2 == {1: "", 2: "", 3: "solo"}
+
+
 def test_simhash_hamming_banding_is_complete_for_radius_3(spark):
     # brute-force ground truth over the 64-bit signatures vs banded pairs
     from pbx_ds_ocr_server_spark.functions.text import simhash_bands_table
