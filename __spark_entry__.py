@@ -722,6 +722,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["paragraph_dedup"] = paragraph_dedup_q
 
+    def chunk_documents_q(spark, sf):
+        from pbx_ds_ocr_server_spark.functions.text import chunk_documents
+
+        return chunk_documents(
+            _docs(spark, sf).select("doc_id", "text"), window=64, stride=48
+        )
+
+    q["chunk_documents"] = chunk_documents_q
+
     # --- grouping-set / set-operation coverage ---
     def events_rollup(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1152,6 +1161,16 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
         "token_counts_cjk": _token_counts_cjk_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
+        "chunk_documents": f"""
+            WITH w AS (SELECT doc_id, string_split({NORM}, ' ') AS ws
+                       FROM documents)
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   array_to_string(list_slice(ws, k*48+1, k*48+64), ' ')
+                       AS chunk
+            FROM w, UNNEST(generate_series(0,
+                CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT))) AS t(k)
+        """,
         "nfc_norm": """
             WITH docs_nfc AS (
                 SELECT doc_id, text FROM documents

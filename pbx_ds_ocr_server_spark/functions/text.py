@@ -383,6 +383,42 @@ def stratified_sample(df, k: int, group_col: str = "lang",
     )
 
 
+# ------------------------------------------------------ document chunking
+def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = 64, stride: int = 48):
+    """Fixed-window document chunking with overlap — the standard prep for
+    context-bounded consumers (pretraining sequence packing, RAG indexing):
+    (id, chunk_id, n_words, chunk) where chunk k covers words
+    [k·stride, k·stride + window). ``stride < window`` gives overlapping
+    windows so no span longer than (window − stride) words is ever split
+    across a chunk boundary without appearing whole in some chunk.
+
+    Pure relational: one transform + posexplode; the only shuffle is
+    whatever the consumer adds. Mirrors 1:1 into ANSI SQL."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", words(text_col).alias("ws"))
+    # number of chunks: 1 + ceil(max(n - window, 0) / stride) — the last
+    # chunk is the first one whose window reaches the end of the doc
+    chunk_expr = (
+        f"transform(sequence(0, cast(ceil(greatest(size(ws) - {window}, 0)"
+        f" / {stride}.0) as int)),"
+        f" k -> concat_ws(' ', slice(ws, k*{stride}+1, {window})))"
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.posexplode(F.expr(chunk_expr)).alias("chunk_id", "chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "n_words",
+        "chunk",
+    )
+
+
 # ----------------------------------------------------------- TF-IDF terms
 def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3):

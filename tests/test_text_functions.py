@@ -28,6 +28,34 @@ def test_token_count_cjk_counts_chars_as_tokens(spark):
     assert _counts(spark, texts, token_count) == [2, 1, 3, 1, 2, 0, 0]
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from pbx_ds_ocr_server_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, "short doc")],
+                               "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents(df, window=10, stride=7).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 25 words, window 10, stride 7 -> chunks at 0,7,14,21 (last
+    # window reaches the end; ceil((25-10)/7) = 3 -> 4 chunks)
+    c1 = by_doc[1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert all(r.n_words == 25 for r in c1)
+    ws = text.split(" ")
+    for k, r in enumerate(c1):
+        assert r.chunk == " ".join(ws[k * 7 : k * 7 + 10])
+    # every consecutive pair overlaps by window - stride = 3 words
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk.split(" ")[7:] == b.chunk.split(" ")[:3]
+    # short doc: single chunk carrying the whole text
+    assert [(r.chunk_id, r.chunk) for r in by_doc[2]] == [(0, "short doc")]
+
+
 def test_token_count_cjk_equals_whitespace_on_latin(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     diff = docs.select(
