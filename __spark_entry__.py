@@ -731,6 +731,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_documents"] = chunk_documents_q
 
+    def sequence_pack_q(spark, sf):
+        # 16 buckets at sf0.01 keeps several docs per (bucket, pack) so the
+        # cumulative-fill rule is actually exercised
+        from pbx_ds_ocr_server_spark.functions.text import sequence_pack
+
+        return sequence_pack(
+            _docs(spark, sf).select("doc_id", "text"),
+            budget=512,
+            n_buckets=16,
+        )
+
+    q["sequence_pack"] = sequence_pack_q
+
     # --- grouping-set / set-operation coverage ---
     def events_rollup(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -1170,6 +1183,22 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk
             FROM w, UNNEST(generate_series(0,
                 CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT))) AS t(k)
+        """,
+        "sequence_pack": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 4)) AS BIGINT) % 16 AS bucket,
+                       CAST({TOKENS} AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 512.0) AS BIGINT) AS pack_id,
+                   n_tokens
+            FROM t
         """,
         "nfc_norm": """
             WITH docs_nfc AS (

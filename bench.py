@@ -186,15 +186,20 @@ HEADLINE = [
     "extract_boiler",
     "extract_markdown",
     "token_counts",
+    "token_counts_cjk",
     "lang_id",
     "quality_scores",
     "simhash",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "paragraph_dedup",
     "embedding_neardup_pairs",
     "ann_brute_top5",
     "ann_lsh_histogram",
     "multimodal_meta",
+    "nfc_norm",
+    "chunk_documents",
+    "sequence_pack",
     "tpch_q1",
     "top_orders_per_customer",
     "events_hourly",

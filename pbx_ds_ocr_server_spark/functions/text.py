@@ -419,6 +419,49 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Assign documents to fixed-token-budget training sequences ("packs"):
+    (id, bucket, pack_id, n_tokens) where all docs sharing (bucket,
+    pack_id) concatenate into one ~``budget``-token sequence.
+
+    Packing is BUCKET-LOCAL: docs are hash-assigned to ``n_buckets``
+    deterministic md5 buckets and packed contiguously (by id) within each —
+    exactly how real pipelines pack per-worker, and the scale story: the
+    running-total window partitions on ``bucket`` (n_buckets reducers, each
+    seeing corpus/n_buckets rows), never a single global sort. Raise
+    ``n_buckets`` with corpus size. A document whose tokens straddle a
+    boundary joins the pack its FIRST token falls in (packs may overflow by
+    one doc's tail — the standard contiguous-fill rule; oversized docs
+    should be chunked first, see :func:`chunk_documents`).
+
+    Deterministic and engine-mirrorable: bucket = md5 prefix (the same
+    order statistic hash_sample uses), pack_id = floor(preceding-tokens /
+    budget) over the (bucket, id) order."""
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        bucket.alias("bucket"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        ).cast("bigint"),
+    ).select(F.col("id").alias(id_col), "bucket", "pack_id", "n_tokens")
+
+
 # ----------------------------------------------------------- TF-IDF terms
 def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3):

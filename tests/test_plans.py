@@ -98,6 +98,37 @@ def test_stratified_sample_prefilter_runs_before_window_exchange(spark):
     assert plan.index("conv(", exch) > exch  # filter is upstream of the shuffle
 
 
+def test_sequence_pack_window_partitions_on_bucket_not_global(spark):
+    """sequence_pack's running-total window must hash-partition on the md5
+    bucket — a global-order window would funnel the whole corpus through
+    ONE reducer (the trap this operator exists to avoid)."""
+    from pbx_ds_ocr_server_spark.functions.text import sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        sequence_pack(docs, budget=512, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning(bucket" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_paragraph_dedup_plan_is_bucketed_joins_only(spark):
+    from pbx_ds_ocr_server_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        paragraph_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_narrow_fanout_never_touches_payload_column(spark, corpus, tmp_path_factory):
     """ensure_min_partitions consumers must not pull the html payload into
     their exchange: the extraction plan's only repartition carries (doc_id,

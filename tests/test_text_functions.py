@@ -56,6 +56,43 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert [(r.chunk_id, r.chunk) for r in by_doc[2]] == [(0, "short doc")]
 
 
+def test_sequence_pack_fills_budget_contiguously(spark):
+    from pbx_ds_ocr_server_spark.functions.text import sequence_pack
+
+    # one bucket so the fill order is just doc_id order; docs of 6 tokens
+    # against a budget of 10: preceding sums 0,6,12,18,24 -> packs 0,0,1,1,2
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(5)], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        sequence_pack(docs, budget=10, n_buckets=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.pack_id for r in rows] == [0, 0, 1, 1, 2]
+    assert all(r.bucket == 0 and r.n_tokens == 6 for r in rows)
+
+
+def test_sequence_pack_invariants_on_real_docs(spark):
+    from pbx_ds_ocr_server_spark.functions.text import sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sequence_pack(docs, budget=512, n_buckets=8).collect()
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) > 1  # hash bucketing actually spreads
+    for bucket, rs in by_bucket.items():
+        # pack ids are non-decreasing in fill order and start at 0
+        packs = [r.pack_id for r in rs]
+        assert packs[0] == 0 and packs == sorted(packs)
+        # each doc's pack is floor(preceding tokens / budget) — the
+        # contiguous-fill rule, verified independently of the window
+        run = 0
+        for r in rs:
+            assert r.pack_id == run // 512, (bucket, r.doc_id)
+            run += r.n_tokens
+
+
 def test_token_count_cjk_equals_whitespace_on_latin(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     diff = docs.select(
