@@ -195,9 +195,11 @@ def make_pdf(
                      provably glyph indices with no map (the honesty case —
                      a text-first parser must yield empty, never mojibake)
 
-    ``encrypt`` ∈ {None, 'rc4-40', 'rc4-128'}: standard-security-handler
-    encryption with an owner password only — the EMPTY user password opens
-    the document (the dominant "encrypted" shape in real crawls)."""
+    ``encrypt`` ∈ {None, 'rc4-40', 'rc4-128', 'aes-128'}: standard-security-
+    handler encryption with an owner password only — the EMPTY user
+    password opens the document (the dominant "encrypted" shape in real
+    crawls). 'aes-128' writes the /V 4 /R 4 crypt-filter form
+    (/StdCF /CFM /AESV2 — the PDF 1.6+ shape)."""
     objs: list[bytes] = []
     n_pages = len(pages)
     k = max(1, streams_per_page)
@@ -275,8 +277,12 @@ def make_pdf(
     if encrypt is not None:
         from pbx_ds_ocr_server_spark.kernels import pdf_crypt as _pc
 
-        r, bits = (2, 40) if encrypt == "rc4-40" else (3, 128)
-        v = 1 if bits == 40 else 2
+        aes = encrypt == "aes-128"
+        if aes:
+            r, bits, v = 4, 128, 4
+        else:
+            r, bits = (2, 40) if encrypt == "rc4-40" else (3, 128)
+            v = 1 if bits == 40 else 2
         file_id = hashlib.md5(
             b"pbx-synth-id:" + repr(pages).encode("utf-8", "replace")
         ).digest()
@@ -284,23 +290,41 @@ def make_pdf(
         p = -44
         key = _pc.file_key(b"", o, p, file_id, bits, r)
         u = _pc.compute_u(key, file_id, r)
+
+        def enc_bytes(obj_num: int, raw: bytes) -> bytes:
+            if aes:
+                iv = hashlib.md5(b"synth-iv:%d" % obj_num).digest()
+                return _pc.aes128_cbc_encrypt(
+                    _pc.object_key_aes(key, obj_num, 0), raw, iv
+                )
+            return _pc.rc4(_pc.object_key(key, obj_num, 0), raw)
+
         import re as _re
 
         for idx, body in enumerate(objs):
             m = _re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, _re.DOTALL)
             if m:
-                enc = _pc.rc4(
-                    _pc.object_key(key, idx + 1, 0), m.group(1)
+                enc = enc_bytes(idx + 1, m.group(1))
+                body = body[: m.start(1)] + enc + body[m.end(1) :]
+                # AES grows the stream (IV + PKCS#7 pad): keep /Length true
+                body = _re.sub(
+                    rb"/Length \d+", b"/Length %d" % len(enc), body, count=1
                 )
-                objs[idx] = body[: m.start(1)] + enc + body[m.end(1) :]
+                objs[idx] = body
         if info_idx is not None:
             # strings are encrypted with the same per-object key as streams
-            enc_t = _pc.rc4(_pc.object_key(key, info_idx + 1, 0), info_raw)
+            enc_t = enc_bytes(info_idx + 1, info_raw)
             objs[info_idx] = b"<< /Title <" + enc_t.hex().encode() + b"> >>"
         enc_num = len(objs) + 1
+        cf = (
+            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+            " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            if aes
+            else ""
+        )
         objs.append(
             (
-                f"<< /Filter /Standard /V {v} /R {r} /Length {bits}"
+                f"<< /Filter /Standard /V {v} /R {r} /Length {bits}{cf}"
                 f" /P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
             ).encode()
         )

@@ -53,16 +53,21 @@ def _padded(pwd: bytes) -> bytes:
 
 def file_key(
     user_pwd: bytes, o_entry: bytes, p: int, file_id: bytes,
-    length_bits: int, r: int,
+    length_bits: int, r: int, encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key from a user password."""
+    """Algorithm 2: the file encryption key from a user password. For
+    revision 4 handlers with /EncryptMetadata false, four 0xFF bytes join
+    the digest input (step f)."""
     n = length_bits // 8 if r >= 3 else 5
-    h = hashlib.md5(
+    md = hashlib.md5(
         _padded(user_pwd)
         + o_entry[:32]
         + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + file_id
-    ).digest()
+    )
+    if r >= 4 and not encrypt_metadata:
+        md.update(b"\xff\xff\xff\xff")
+    h = md.digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -105,14 +110,177 @@ def object_key(key: bytes, obj_num: int, gen_num: int) -> bytes:
     return h[: min(len(key) + 5, 16)]
 
 
+# ------------------------------------------------------------- AES-128-CBC
+# Pure-Python AES (FIPS-197) for the /V 4 /CFM /AESV2 handler — the modern
+# encrypted-PDF shape (PDF 1.6+). No crypto library exists in this sandbox;
+# streams are small (KBs), so a table-driven pure implementation is fine.
+# The S-box is GENERATED from its definition (multiplicative inverse in
+# GF(2^8) + affine transform) rather than transcribed, and the module's
+# tests pin the FIPS-197 known-answer vector.
+
+
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+def _make_sbox() -> list[int]:
+    # multiplicative inverses via exponentiation tables (x^254 = x^-1)
+    sbox = [0] * 256
+    for x in range(256):
+        inv = 0
+        if x:
+            inv = x
+            for _ in range(253):  # x^254
+                inv = _gf_mul(inv, x)
+        res = 0
+        for i in range(8):
+            bit = (
+                (inv >> i)
+                ^ (inv >> ((i + 4) % 8))
+                ^ (inv >> ((i + 5) % 8))
+                ^ (inv >> ((i + 6) % 8))
+                ^ (inv >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            res |= bit << i
+        sbox[x] = res
+    return sbox
+
+
+_SBOX = _make_sbox()
+_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule → 11 round keys of 16 bytes each."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _add_rk(s: list[int], rk: list[int]) -> list[int]:
+    return [a ^ b for a, b in zip(s, rk)]
+
+
+# state is the 16-byte block in FIPS column-major order: s[r + 4c] is
+# handled implicitly by indexing block bytes directly (byte i = row i%4,
+# col i//4)
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def _mix_columns(s: list[int], inv: bool) -> list[int]:
+    out = [0] * 16
+    m = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
+    for c in range(4):
+        col = s[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[4 * c + r] = (
+                _gf_mul(col[0], m[(0 - r) % 4])
+                ^ _gf_mul(col[1], m[(1 - r) % 4])
+                ^ _gf_mul(col[2], m[(2 - r) % 4])
+                ^ _gf_mul(col[3], m[(3 - r) % 4])
+            )
+    return out
+
+
+def _aes_encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = _add_rk(list(block), rks[0])
+    for rnd in range(1, 10):
+        s = [_SBOX[b] for b in s]
+        s = [s[_SHIFT[i]] for i in range(16)]
+        s = _mix_columns(s, inv=False)
+        s = _add_rk(s, rks[rnd])
+    s = [_SBOX[b] for b in s]
+    s = [s[_SHIFT[i]] for i in range(16)]
+    return bytes(_add_rk(s, rks[10]))
+
+
+def _aes_decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = _add_rk(list(block), rks[10])
+    for rnd in range(9, 0, -1):
+        s = [s[_INV_SHIFT[i]] for i in range(16)]
+        s = [_INV_SBOX[b] for b in s]
+        s = _add_rk(s, rks[rnd])
+        s = _mix_columns(s, inv=True)
+    s = [s[_INV_SHIFT[i]] for i in range(16)]
+    s = [_INV_SBOX[b] for b in s]
+    return bytes(_add_rk(s, rks[0]))
+
+
+def aes128_cbc_encrypt(key: bytes, plain: bytes, iv: bytes) -> bytes:
+    """IV || CBC ciphertext with PKCS#7 padding — the PDF AESV2 layout."""
+    rks = _expand_key(key)
+    pad = 16 - len(plain) % 16
+    plain = plain + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(plain), 16):
+        block = bytes(a ^ b for a, b in zip(plain[i : i + 16], prev))
+        prev = _aes_encrypt_block(rks, block)
+        out += prev
+    return bytes(out)
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream layout: first 16 bytes are the IV, the rest is
+    CBC ciphertext with PKCS#7 padding. Malformed input → b'' (the caller
+    surfaces the page as a blind spot, never a crash)."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rks = _expand_key(key)
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        block = ct[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rks, block), prev)
+        )
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        return b""
+    return bytes(out[:-pad])
+
+
+def object_key_aes(key: bytes, obj_num: int, gen_num: int) -> bytes:
+    """Algorithm 1 for AESV2: the per-object md5 salt gains the constant
+    'sAlT' suffix (ISO 32000-1 §7.6.2 step b)."""
+    h = hashlib.md5(
+        key
+        + (obj_num & 0xFFFFFFFF).to_bytes(4, "little")[:3]
+        + (gen_num & 0xFFFFFFFF).to_bytes(4, "little")[:2]
+        + b"sAlT"
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
 def empty_password_key(
     o_entry: bytes, u_entry: bytes, p: int, file_id: bytes,
-    length_bits: int, r: int,
+    length_bits: int, r: int, encrypt_metadata: bool = True,
 ) -> bytes | None:
     """Derive the file key for the EMPTY user password and verify it against
     /U (Algorithm 6). Returns the key, or None when the document really needs
     a user password (then the caller keeps the typed rejection)."""
-    key = file_key(b"", o_entry, p, file_id, length_bits, r)
+    key = file_key(b"", o_entry, p, file_id, length_bits, r, encrypt_metadata)
     expect = compute_u(key, file_id, r)
     got = u_entry[:16] if r >= 3 else u_entry[:32]
     want = expect[:16] if r >= 3 else expect[:32]

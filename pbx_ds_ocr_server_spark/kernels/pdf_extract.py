@@ -29,8 +29,10 @@ from pbx_ds_ocr_server_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pbx_ds_ocr_server_spark.kernels.html_extract import PageResult, Span
 from pbx_ds_ocr_server_spark.kernels.page_ranges import parse_page_ranges
 from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
+    aes128_cbc_decrypt,
     empty_password_key,
     object_key,
+    object_key_aes,
     rc4,
 )
 from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
@@ -545,14 +547,15 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
 def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     """Empty-user-password decryptor, or None.
 
-    Handles the dominant crawl case: standard security handler, /V 1-2
-    (RC4-40/128), /R 2-3, owner-password-only — the empty USER password
-    opens the document, exactly like every PDF viewer does silently (and
-    like PyMuPDF's lenient open gives the reference,
-    ``/root/reference/app/services/dsocr_model.py:376-390``). The derived
-    file key is VERIFIED against /U (ISO 32000-1 Algorithm 6) before use;
-    /V ≥ 4 crypt filters, AES, or a real user password → None, and the
-    caller keeps the typed rejection.
+    Handles the dominant crawl cases: standard security handler with
+    /V 1-2 (RC4-40/128, /R 2-3) and /V 4 /R 4 crypt filters whose /StdCF
+    is /CFM /AESV2 (AES-128-CBC, PDF 1.6+) or /V2 (RC4) — owner-password-
+    only documents that the empty USER password opens, exactly like every
+    PDF viewer does silently (and like PyMuPDF's lenient open gives the
+    reference, ``/root/reference/app/services/dsocr_model.py:376-390``).
+    The derived file key is VERIFIED against /U (ISO 32000-1 Algorithm 6)
+    before use; /V 5 (AES-256), unknown crypt filters, or a real user
+    password → None, and the caller keeps the typed rejection.
 
     Returns ``decrypt(obj_num, raw) -> raw``. Generation numbers are
     assumed 0 (the crawl norm; incremental-update gens would need the xref,
@@ -576,8 +579,17 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     r = iget(b"R", 2)
     p = iget(b"P")
     length = 40 if v == 1 else iget(b"Length", 40)
-    if v not in (1, 2) or r not in (2, 3) or p is None:
+    if v not in (1, 2, 4) or r not in (2, 3, 4) or p is None:
         return None
+    cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
+    if v == 4:
+        # crypt-filter dispatch: only the default /StdCF stream/string
+        # filter is supported (the norm); /CFM names the cipher
+        cm = re.search(rb"/CFM\s*/(AESV2|V2)\b", body)
+        if cm is None:
+            return None
+        cfm = b"AES" if cm.group(1) == b"AESV2" else b"RC4"
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false\b", body)
     o = _dict_string(body, b"O")
     u = _dict_string(body, b"U")
     if not o or not u:
@@ -599,12 +611,19 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
             idm = m2
         if idm is not None:
             id0 = _literal_string_bytes(idm.group(1))
-    key = empty_password_key(o, u, p, id0, length, r)
+    key = empty_password_key(o, u, p, id0, length, r, encrypt_metadata)
     if key is None:
         return None
 
-    def decrypt(obj_num: int, data: bytes, _key=key) -> bytes:
-        return rc4(object_key(_key, obj_num, 0), data)
+    if cfm == b"AES":
+
+        def decrypt(obj_num: int, data: bytes, _key=key) -> bytes:
+            return aes128_cbc_decrypt(object_key_aes(_key, obj_num, 0), data)
+
+    else:
+
+        def decrypt(obj_num: int, data: bytes, _key=key) -> bytes:
+            return rc4(object_key(_key, obj_num, 0), data)
 
     return decrypt
 

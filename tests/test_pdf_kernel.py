@@ -546,13 +546,38 @@ def test_glyph_name_rules():
 
 
 # -------------------------------------------------- encryption (RC4, std)
-def test_rc4_encrypted_round_trip_matches_plain():
+def test_encrypted_round_trips_match_plain():
     text = ("the quick brown fox jumps over the lazy dog " * 4).strip()
     pages = pdf_pages_for(text, 3)
     plain = [p.text for p in extract_pdf(make_pdf(pages))]
-    for enc in ("rc4-40", "rc4-128"):
+    # rc4-40/128 = /V 1-2 legacy; aes-128 = /V 4 /R 4 /CFM /AESV2 (PDF 1.6+)
+    for enc in ("rc4-40", "rc4-128", "aes-128"):
         got = [p.text for p in extract_pdf(make_pdf(pages, encrypt=enc))]
         assert got == plain, enc
+
+
+def test_aes_primitives_fips197_known_answer():
+    from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _expand_key,
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+    )
+
+    # FIPS-197 appendix C.1 vector — pins the generated S-box and the whole
+    # round structure
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _aes_encrypt_block(_expand_key(key), pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_decrypt_block(_expand_key(key), ct) == pt
+    # CBC layout round trip + malformed-input hardening
+    k = b"0123456789abcdef"
+    data = aes128_cbc_encrypt(k, b"hello pdf world", b"\x01" * 16)
+    assert aes128_cbc_decrypt(k, data) == b"hello pdf world"
+    assert aes128_cbc_decrypt(k, b"short") == b""
+    assert aes128_cbc_decrypt(k, b"x" * 33) == b""  # not a block multiple
 
 
 def test_rc4_wrong_user_password_stays_undecryptable():
@@ -584,6 +609,7 @@ def test_title_utf16_hex_and_encrypted():
     # per-object key as streams; empty-user-password open must decrypt it
     assert pdf_title(make_pdf(pages, title=t, encrypt="rc4-128")) == t
     assert pdf_title(make_pdf(pages, title=t, encrypt="rc4-40")) == t
+    assert pdf_title(make_pdf(pages, title=t, encrypt="aes-128")) == t
 
 
 def test_rc4_crypt_primitives_self_consistent():
