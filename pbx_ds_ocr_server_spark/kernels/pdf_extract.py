@@ -719,18 +719,48 @@ def _font_decoder(
     return DEFAULT_FONT
 
 
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
+def _own_resources(objects: dict[int, bytes], body: bytes) -> bytes | None:
+    rm = _RES_REF_RE.search(body)
+    if rm:
+        return objects.get(int(rm.group(1)), b"")
+    return _inline_dict_after(body, b"/Resources")
+
+
+def _resources_for_page(
+    objects: dict[int, bytes], page_body: bytes
+) -> bytes | None:
+    """The /Resources governing a page, per the EXACT inheritance rule
+    (ISO 32000-1 §7.7.3.4): the page's own entry, else the nearest
+    ancestor's, walking the /Parent chain (cycle-guarded). In a nested page
+    tree the correct ANCESTOR wins — not whatever /Pages node happens to
+    appear first in file order."""
+    body: bytes | None = page_body
+    seen: set[int] = set()
+    while body is not None:
+        res = _own_resources(objects, body)
+        if res is not None:
+            return res
+        pm = _PARENT_RE.search(body)
+        if pm is None:
+            return None
+        oid = int(pm.group(1))
+        if oid in seen:
+            return None  # corrupt self-referential tree
+        seen.add(oid)
+        body = objects.get(oid)
+    return None
+
+
 def _inherited_resources(objects: dict[int, bytes]) -> bytes | None:
-    """Page-TREE-level /Resources (the inheritance rule): the first /Pages
-    node carrying /Resources wins — a heuristic standing in for a full
-    /Parent-chain walk, exact for the overwhelmingly common single-root
-    layout. Resolve ONCE per document (the result is page-independent):
-    per-page rescans of every object were O(pages × objects)."""
+    """Last-ditch doc-level fallback for BROKEN files whose pages carry no
+    /Parent chain: the first /Pages node with /Resources. Resolved once per
+    document (page-independent)."""
     for body in objects.values():
         if _TYPE_PAGES_RE.search(body):
-            rm = _RES_REF_RE.search(body)
-            if rm:
-                return objects.get(int(rm.group(1)), b"")
-            r = _inline_dict_after(body, b"/Resources")
+            r = _own_resources(objects, body)
             if r is not None:
                 return r
     return None
@@ -743,14 +773,10 @@ def _page_fonts(
     cache: dict[int, FontDecoder] | None = None,
     inherited_fn=None,
 ) -> dict[bytes, FontDecoder]:
-    """Font name → decoder for one page's /Resources (inline dict or ref;
-    ``inherited_fn()`` supplies the lazily-resolved doc-level fallback)."""
-    res = None
-    rm = _RES_REF_RE.search(page_body)
-    if rm:
-        res = objects.get(int(rm.group(1)), b"")
-    else:
-        res = _inline_dict_after(page_body, b"/Resources")
+    """Font name → decoder for one page's governing /Resources (own entry
+    or nearest /Parent-chain ancestor; ``inherited_fn()`` supplies the
+    lazily-resolved doc-level fallback for files with no usable chain)."""
+    res = _resources_for_page(objects, page_body)
     if res is None and inherited_fn is not None:
         res = inherited_fn()
     if not res:

@@ -545,6 +545,37 @@ def test_glyph_name_rules():
     assert glyph_to_unicode("madeupname") is None
 
 
+def test_resource_inheritance_follows_parent_chain_not_file_order():
+    """Nested page tree: the ROOT /Pages (first in file order) carries a
+    glyph-indexed font that would LOSE the text; the page's actual parent
+    carries the correct simple font. The /Parent chain must win over
+    file-order heuristics (round-3 review finding)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import extract_pdf_detailed
+
+    stream = b"BT /F1 12 Tf 72 700 Td (inherited ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        # root Pages: WRONG font (Type0/Identity-H, no ToUnicode)
+        b"2 0 obj\n<< /Type /Pages /Kids [6 0 R] /Count 1"
+        b" /Resources << /Font << /F1 8 0 R >> >> >>\nendobj\n"
+        # page: no own /Resources, parent is the INTERMEDIATE node
+        b"3 0 obj\n<< /Type /Page /Parent 6 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        # intermediate Pages: the CORRECT font for this page
+        b"6 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [3 0 R] /Count 1"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"8 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Bad"
+        b" /Encoding /Identity-H >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "inherited ok"
+    assert res[0][1] is False
+
+
 # -------------------------------------------------- encryption (RC4, std)
 def test_encrypted_round_trips_match_plain():
     text = ("the quick brown fox jumps over the lazy dog " * 4).strip()
