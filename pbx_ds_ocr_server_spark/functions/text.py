@@ -397,6 +397,12 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
     whatever the consumer adds. Mirrors 1:1 into ANSI SQL."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) would silently drop"
+            " the words between consecutive windows from every document —"
+            " the no-lost-span guarantee requires stride <= window"
+        )
     base = ensure_min_partitions(
         df.select(F.col(id_col).alias("id"), F.col(text_col))
     ).select("id", words(text_col).alias("ws"))
@@ -444,7 +450,12 @@ def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
         .cast("bigint") % n_buckets
     )
-    base = df.select(
+    # fan the narrow frame out BEFORE the per-row text work (token_count is
+    # regex+split over the full text; a single-row-group scan would run it
+    # all on one core)
+    base = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("id"),
         bucket.alias("bucket"),
         token_count(text_col).alias("n_tokens"),

@@ -583,12 +583,27 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
         return None
     cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
     if v == 4:
-        # crypt-filter dispatch: only the default /StdCF stream/string
-        # filter is supported (the norm); /CFM names the cipher
-        cm = re.search(rb"/CFM\s*/(AESV2|V2)\b", body)
+        # crypt-filter dispatch: streams/strings must actually NAME the
+        # default /StdCF filter (when /StmF is absent or /Identity the
+        # streams are NOT encrypted per spec — no decryptor is the correct
+        # answer, extraction reads them as plaintext), and /CFM must be
+        # read from the /StdCF entry itself, not whichever /CFM appears
+        # first in a multi-filter dict
+        sm_ = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", body)
+        if sm_ is None or sm_.group(1) != b"StdCF":
+            return None
+        stdcf = _inline_dict_after(body, b"/StdCF")
+        if stdcf is None:
+            return None
+        cm = re.search(rb"/CFM\s*/(AESV2|V2)\b", stdcf)
         if cm is None:
             return None
         cfm = b"AES" if cm.group(1) == b"AESV2" else b"RC4"
+        # the V4 key length is NOT the first /Length in the dict (the CF
+        # entry carries its own /Length in BYTES, and key order is
+        # arbitrary in real files): AESV2 and the V4 handler key are
+        # 128-bit by definition — pin it
+        length = 128
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false\b", body)
     o = _dict_string(body, b"O")
     u = _dict_string(body, b"U")

@@ -242,6 +242,18 @@ def assemble_documents(
             ),
         ).otherwise(F.expr(f"cast(array() as array<{SPAN_STRUCT}>)")),
     )
+    # doc status: the BEST page wins among the success tiers (a doc with
+    # any fully-decoded page is 'succeeded'; else any partial — which HAS
+    # text — beats 'empty'), while rejections/failures dominate everything.
+    # A plain string min() would sort 'succeeded_empty' before
+    # 'succeeded_partial' and mislabel text-carrying docs as empty.
+    status_rank = (
+        F.when(F.col("status") == ST_OK, 0)
+        .when(F.col("status") == ST_PARTIAL, 1)
+        .when(F.col("status") == ST_EMPTY, 2)
+        .when(F.col("status") == ST_NOOP, 3)
+        .otherwise(-1)  # rejected_* / failed dominate
+    )
     agg = rebased.groupBy("url").agg(
         F.array_sort(
             F.collect_list(
@@ -256,9 +268,11 @@ def assemble_documents(
         F.max("n_pages").alias("n_pages"),
         F.max("title").alias("title"),
         F.max("content_type").alias("content_type"),
-        F.min("status").alias("status"),  # any rejection/failure dominates
+        F.min(
+            F.struct(status_rank.alias("r"), F.col("status").alias("s"))
+        ).alias("st"),
         F.max("error").alias("error"),
-    )
+    ).withColumn("status", F.col("st.s")).drop("st")
     return agg.select(
         "url",
         F.concat_ws(sep, F.expr("transform(parts, p -> p.page_text)")).alias(

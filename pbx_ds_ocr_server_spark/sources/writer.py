@@ -118,10 +118,13 @@ def stage_input(
         with open(marker, encoding="utf-8") as f:
             raw = f.read().strip()
         if not raw:
-            # legacy marker: recover the count from the layout, never from
-            # the argument (max bucket id + 1 — hash bucketing over any
-            # non-trivial input populates the top bucket)
-            staged_n = (
+            # legacy marker: recover a LOWER BOUND on the count from the
+            # layout (max bucket id + 1; top buckets CAN be empty on small
+            # inputs). derived > requested proves a mismatch → raise
+            # BEFORE touching the marker; derived <= requested is
+            # consistent with the request (empty top buckets lose
+            # nothing), so record the REQUESTED count.
+            derived = (
                 max(
                     (
                         int(d.split("=", 1)[1])
@@ -132,15 +135,23 @@ def stage_input(
                 )
                 + 1
             )
+            if derived > n_buckets:
+                raise ValueError(
+                    f"staging at {staging_dir} has bucket dirs up to"
+                    f" {derived - 1} but n_buckets={n_buckets} was"
+                    " requested; use the original bucket count or re-stage"
+                    " into a fresh output_dir"
+                )
             warnings.warn(
                 f"staging marker at {marker} records no bucket count"
-                f" (legacy run); derived n_buckets={staged_n} from the"
-                " staged bucket=K layout and recorded it",
+                f" (legacy run); layout shows ≥{derived} buckets, which is"
+                f" consistent with the requested n_buckets={n_buckets} —"
+                " recording it",
                 stacklevel=2,
             )
             with open(marker, "w", encoding="utf-8") as f:
-                f.write(str(staged_n))
-            raw = str(staged_n)
+                f.write(str(n_buckets))
+            raw = str(n_buckets)
         if int(raw) != n_buckets:
             raise ValueError(
                 f"staging at {staging_dir} was written with n_buckets="

@@ -126,6 +126,26 @@ def test_legacy_empty_staging_marker_resumes_with_warning(spark, corpus, tmp_pat
     assert len(res.buckets_done) == 3  # resumed, not re-staged
 
 
+def test_legacy_marker_tolerates_empty_top_buckets(spark, corpus, tmp_path):
+    """Layout-derived counts are a LOWER bound (top hash buckets can be
+    empty on small inputs): a legacy resume with the true original count
+    must not be bricked when bucket=N-1 happens to be missing (round-3
+    review finding)."""
+    import os
+    import shutil
+    import warnings
+
+    out = str(tmp_path / "legacy_gap")
+    run_extract_job(spark, corpus, out, run_id="r1", n_buckets=4, fail_after=1)
+    shutil.rmtree(os.path.join(out, "staging", "bucket=3"), ignore_errors=True)
+    open(os.path.join(out, "staging", "_STAGED"), "w").close()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = run_extract_job(spark, corpus, out, run_id="r2", n_buckets=4)
+    assert any("legacy" in str(x.message) for x in w)
+    assert len(res.buckets_done) == 3  # resumed with the original count
+
+
 def test_legacy_marker_with_wrong_n_buckets_still_raises(spark, corpus, tmp_path):
     """The legacy path derives the TRUE count from the bucket=K layout and
     must NOT trust the caller's argument — resuming an 8-bucket staging

@@ -226,6 +226,40 @@ def test_mixed_fonts_with_lost_codes_is_succeeded_partial(spark):
     assert row.text == "readable"  # the decoded part still flows through
 
 
+def test_partial_beats_empty_at_doc_level(spark):
+    """Page 1 decodes SOME text (partial), page 2 loses everything (empty):
+    the document carries real text, so its status must be
+    succeeded_partial — a string min() would pick succeeded_empty and
+    mislabel a text-carrying doc as empty (round-3 review finding)."""
+    s1 = (
+        b"BT /F1 12 Tf 72 700 Td (kept) Tj"
+        b" /F2 12 Tf 0 -20 Td <0041> Tj ET"
+    )
+    s2 = b"BT /F2 12 Tf 72 700 Td <0042> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(s1)).encode()
+        + b" >>\nstream\n" + s1 + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /H >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 8 0 R"
+        b" /Resources << /Font << /F2 7 0 R >> >> >>\nendobj\n"
+        b"7 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /C"
+        b" /Encoding /Identity-H >>\nendobj\n"
+        b"8 0 obj\n<< /Length " + str(len(s2)).encode()
+        + b" >>\nstream\n" + s2 + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    row = extract(
+        spark.createDataFrame([("pdf://pe", pdf)], "url string, html binary")
+    ).first()
+    assert row.status == "succeeded_partial"
+    assert row.text == "kept"
+
+
 def test_pure_cjk_pdf_class_still_succeeds(spark):
     # latin-1 filtering of pure-CJK text must fall back to placeholder text
     # so pdf-class docs never silently become succeeded_empty (the status

@@ -643,6 +643,55 @@ def test_title_utf16_hex_and_encrypted():
     assert pdf_title(make_pdf(pages, title=t, encrypt="aes-128")) == t
 
 
+def test_aesv2_key_length_pinned_regardless_of_length_entry_order():
+    """Real V4 dicts order keys arbitrarily and may omit the top-level
+    /Length (the CF entry carries its own, in BYTES): the AESV2 key is
+    128-bit by definition and must not be derived from whichever /Length
+    the regex finds first (round-3 review finding)."""
+    import re
+
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        pdf_decrypt_available,
+    )
+
+    pdf = make_pdf(pdf_pages_for("aes body text", 1), encrypt="aes-128")
+    # strip the top-level /Length 128 — the CF's /Length 16 remains
+    stripped = re.sub(rb"/Length 128 ", b"", pdf, count=1)
+    assert stripped != pdf
+    assert pdf_decrypt_available(stripped)
+    assert [p.text for p in extract_pdf(stripped)] == [
+        p.text for p in extract_pdf(make_pdf(pdf_pages_for("aes body text", 1)))
+    ]
+
+
+def test_identity_stream_filter_means_plaintext_streams():
+    """/StmF /Identity (or absent) = streams are NOT encrypted per spec:
+    no decryptor must be returned, and the plaintext streams extract as-is
+    — 'decrypting' them would destroy the text (round-3 review finding)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+        pdf_decryptor,
+    )
+
+    stream = b"BT /F1 12 Tf 72 700 Td (plain despite encrypt dict) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4"
+        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        b" /StmF /Identity /StrF /Identity"
+        b" /P -44 /O <00> /U <00> >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n"
+    )
+    assert pdf_decryptor(pdf) is None
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "plain despite encrypt dict"
+
+
 def test_rc4_crypt_primitives_self_consistent():
     from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
         compute_o, compute_u, empty_password_key, file_key, object_key, rc4,

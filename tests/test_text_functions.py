@@ -56,6 +56,16 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert [(r.chunk_id, r.chunk) for r in by_doc[2]] == [(0, "short doc")]
 
 
+def test_chunk_documents_rejects_lossy_stride(spark):
+    import pytest
+
+    from pbx_ds_ocr_server_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window=10, stride=20)
+
+
 def test_sequence_pack_fills_budget_contiguously(spark):
     from pbx_ds_ocr_server_spark.functions.text import sequence_pack
 
