@@ -195,11 +195,12 @@ def make_pdf(
                      provably glyph indices with no map (the honesty case —
                      a text-first parser must yield empty, never mojibake)
 
-    ``encrypt`` ∈ {None, 'rc4-40', 'rc4-128', 'aes-128'}: standard-security-
-    handler encryption with an owner password only — the EMPTY user
-    password opens the document (the dominant "encrypted" shape in real
-    crawls). 'aes-128' writes the /V 4 /R 4 crypt-filter form
-    (/StdCF /CFM /AESV2 — the PDF 1.6+ shape)."""
+    ``encrypt`` ∈ {None, 'rc4-40', 'rc4-128', 'aes-128', 'aes-256'}:
+    standard-security-handler encryption with an owner password only — the
+    EMPTY user password opens the document (the dominant "encrypted" shape
+    in real crawls). 'aes-128' writes the /V 4 /R 4 crypt-filter form
+    (/StdCF /CFM /AESV2, PDF 1.6+); 'aes-256' the /V 5 /R 6 /CFM /AESV3
+    form (PDF 2.0: Algorithm 2.B password KDF, file key wrapped in /UE)."""
     objs: list[bytes] = []
     n_pages = len(pages)
     k = max(1, streams_per_page)
@@ -277,21 +278,36 @@ def make_pdf(
     if encrypt is not None:
         from pbx_ds_ocr_server_spark.kernels import pdf_crypt as _pc
 
-        aes = encrypt == "aes-128"
-        if aes:
-            r, bits, v = 4, 128, 4
-        else:
-            r, bits = (2, 40) if encrypt == "rc4-40" else (3, 128)
-            v = 1 if bits == 40 else 2
+        aes = encrypt in ("aes-128", "aes-256")
+        aes256 = encrypt == "aes-256"
         file_id = hashlib.md5(
             b"pbx-synth-id:" + repr(pages).encode("utf-8", "replace")
         ).digest()
-        o = _pc.compute_o(b"owner-secret", b"", r, bits)
         p = -44
-        key = _pc.file_key(b"", o, p, file_id, bits, r)
-        u = _pc.compute_u(key, file_id, r)
+        if aes256:
+            v, r, bits = 5, 6, 256
+            key = hashlib.sha256(b"pbx-synth-key:" + file_id).digest()
+            vs = hashlib.md5(file_id + b":vs").digest()[:8]
+            ks = hashlib.md5(file_id + b":ks").digest()[:8]
+            u, ue = _pc.r6_make_u_ue(key, b"", vs, ks)
+            ovs = hashlib.md5(file_id + b":ovs").digest()[:8]
+            oks = hashlib.md5(file_id + b":oks").digest()[:8]
+            o, oe = _pc.r6_make_u_ue(key, b"owner-secret", ovs, oks, udata=u)
+        else:
+            if aes:
+                r, bits, v = 4, 128, 4
+            else:
+                r, bits = (2, 40) if encrypt == "rc4-40" else (3, 128)
+                v = 1 if bits == 40 else 2
+            o = _pc.compute_o(b"owner-secret", b"", r, bits)
+            key = _pc.file_key(b"", o, p, file_id, bits, r)
+            u = _pc.compute_u(key, file_id, r)
+            ue = oe = b""
 
         def enc_bytes(obj_num: int, raw: bytes) -> bytes:
+            if aes256:
+                iv = hashlib.md5(b"synth-iv:%d" % obj_num).digest()
+                return _pc.aes128_cbc_encrypt(key, raw, iv)  # 32-byte key
             if aes:
                 iv = hashlib.md5(b"synth-iv:%d" % obj_num).digest()
                 return _pc.aes128_cbc_encrypt(
@@ -316,16 +332,25 @@ def make_pdf(
             enc_t = enc_bytes(info_idx + 1, info_raw)
             objs[info_idx] = b"<< /Title <" + enc_t.hex().encode() + b"> >>"
         enc_num = len(objs) + 1
-        cf = (
-            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
-            " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-            if aes
-            else ""
-        )
+        if aes256:
+            cf = (
+                " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                " /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+            extra = f" /UE <{ue.hex()}> /OE <{oe.hex()}> /EncryptMetadata true"
+        elif aes:
+            cf = (
+                " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+            extra = ""
+        else:
+            cf = ""
+            extra = ""
         objs.append(
             (
                 f"<< /Filter /Standard /V {v} /R {r} /Length {bits}{cf}"
-                f" /P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
+                f" /P {p} /O <{o.hex()}> /U <{u.hex()}>{extra} >>"
             ).encode()
         )
         trailer_extra += (

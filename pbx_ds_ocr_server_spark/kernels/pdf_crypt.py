@@ -163,16 +163,23 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule → 11 round keys of 16 bytes each."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule (FIPS-197 §5.2) for 128- or 256-bit keys →
+    Nr+1 round keys of 16 bytes each (Nr = Nk + 6)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]  # the AES-256 extra SubWord step
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _add_rk(s: list[int], rk: list[int]) -> list[int]:
@@ -186,36 +193,42 @@ _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
+# precomputed GF(2^8) multiplication tables for the MixColumns
+# coefficients — the per-block hot spot (the 2.B KDF encrypts ~24k blocks
+# per derivation; bit-loop _gf_mul there dominated the whole kernel)
+_MUL = {c: [_gf_mul(x, c) for x in range(256)] for c in (1, 2, 3, 9, 11, 13, 14)}
+
+
 def _mix_columns(s: list[int], inv: bool) -> list[int]:
     out = [0] * 16
     m = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
-    for c in range(4):
-        col = s[4 * c : 4 * c + 4]
-        for r in range(4):
-            out[4 * c + r] = (
-                _gf_mul(col[0], m[(0 - r) % 4])
-                ^ _gf_mul(col[1], m[(1 - r) % 4])
-                ^ _gf_mul(col[2], m[(2 - r) % 4])
-                ^ _gf_mul(col[3], m[(3 - r) % 4])
-            )
+    t0, t1, t2, t3 = (_MUL[m[0]], _MUL[m[1]], _MUL[m[2]], _MUL[m[3]])
+    for c in range(0, 16, 4):
+        a, b, d, e = s[c], s[c + 1], s[c + 2], s[c + 3]
+        out[c] = t0[a] ^ t1[b] ^ t2[d] ^ t3[e]
+        out[c + 1] = t3[a] ^ t0[b] ^ t1[d] ^ t2[e]
+        out[c + 2] = t2[a] ^ t3[b] ^ t0[d] ^ t1[e]
+        out[c + 3] = t1[a] ^ t2[b] ^ t3[d] ^ t0[e]
     return out
 
 
 def _aes_encrypt_block(rks: list[list[int]], block: bytes) -> bytes:
+    nr = len(rks) - 1
     s = _add_rk(list(block), rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[b] for b in s]
         s = [s[_SHIFT[i]] for i in range(16)]
         s = _mix_columns(s, inv=False)
         s = _add_rk(s, rks[rnd])
     s = [_SBOX[b] for b in s]
     s = [s[_SHIFT[i]] for i in range(16)]
-    return bytes(_add_rk(s, rks[10]))
+    return bytes(_add_rk(s, rks[nr]))
 
 
 def _aes_decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
-    s = _add_rk(list(block), rks[10])
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    s = _add_rk(list(block), rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         s = [s[_INV_SHIFT[i]] for i in range(16)]
         s = [_INV_SBOX[b] for b in s]
         s = _add_rk(s, rks[rnd])
@@ -225,40 +238,97 @@ def _aes_decrypt_block(rks: list[list[int]], block: bytes) -> bytes:
     return bytes(_add_rk(s, rks[0]))
 
 
-def aes128_cbc_encrypt(key: bytes, plain: bytes, iv: bytes) -> bytes:
-    """IV || CBC ciphertext with PKCS#7 padding — the PDF AESV2 layout."""
+def _cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """CBC without padding (data must be a block multiple)."""
     rks = _expand_key(key)
-    pad = 16 - len(plain) % 16
-    plain = plain + bytes([pad]) * pad
-    out = bytearray(iv)
+    out = bytearray()
     prev = iv
-    for i in range(0, len(plain), 16):
-        block = bytes(a ^ b for a, b in zip(plain[i : i + 16], prev))
-        prev = _aes_encrypt_block(rks, block)
-        out += prev
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        if encrypt:
+            prev = _aes_encrypt_block(
+                rks, bytes(a ^ b for a, b in zip(block, prev))
+            )
+            out += prev
+        else:
+            out += bytes(
+                a ^ b for a, b in zip(_aes_decrypt_block(rks, block), prev)
+            )
+            prev = block
     return bytes(out)
 
 
+def aes128_cbc_encrypt(key: bytes, plain: bytes, iv: bytes) -> bytes:
+    """IV || CBC ciphertext with PKCS#7 padding — the PDF AESV2/AESV3
+    stream layout (works for 16- or 32-byte keys; the name keeps the
+    original AESV2 call sites readable)."""
+    pad = 16 - len(plain) % 16
+    return iv + _cbc_raw(key, iv, plain + bytes([pad]) * pad, encrypt=True)
+
+
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout: first 16 bytes are the IV, the rest is
-    CBC ciphertext with PKCS#7 padding. Malformed input → b'' (the caller
-    surfaces the page as a blind spot, never a crash)."""
+    """PDF AESV2/AESV3 stream layout: first 16 bytes are the IV, the rest
+    is CBC ciphertext with PKCS#7 padding. Malformed input → b'' (the
+    caller surfaces the page as a blind spot, never a crash)."""
     if len(data) < 32 or len(data) % 16:
         return b""
-    rks = _expand_key(key)
-    iv, ct = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ct), 16):
-        block = ct[i : i + 16]
-        out += bytes(
-            a ^ b for a, b in zip(_aes_decrypt_block(rks, block), prev)
-        )
-        prev = block
+    out = bytearray(_cbc_raw(key, data[:16], data[16:], encrypt=False))
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         return b""
     return bytes(out[:-pad])
+
+
+# --------------------------------------------- revision 6 (AES-256, PDF 2.0)
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the revision-6 password KDF. Iterative
+    SHA-256/384/512 selected by an AES-CBC mixing step; runs ≥64 rounds and
+    stops when the last mix byte ≤ round − 32. Memoized: the KDF is a pure
+    function of its byte inputs and deliberately slow (that IS the KDF's
+    job), and one document derives the same (password, salt) several times
+    (availability check, extraction, title)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_raw(k[:16], k[16:32], k1, encrypt=True)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def r6_make_u_ue(
+    file_key: bytes, password: bytes, vsalt: bytes, ksalt: bytes,
+    udata: bytes = b"",
+) -> tuple[bytes, bytes]:
+    """Algorithm 8 (writer side): the 48-byte /U (or /O when ``udata`` is
+    the /U string) and the 32-byte /UE (or /OE) wrapping ``file_key``."""
+    u = hash_2b(password, vsalt, udata) + vsalt + ksalt
+    ik = hash_2b(password, ksalt, udata)
+    ue = _cbc_raw(ik, b"\x00" * 16, file_key, encrypt=True)
+    return u, ue
+
+
+def r6_verify_and_key(
+    u_entry: bytes, ue_entry: bytes, password: bytes = b""
+) -> bytes | None:
+    """Algorithms 2.A/8 (reader side): validate ``password`` against the
+    48-byte /U and unwrap the 32-byte file key from /UE. None when the
+    password (here: the empty user password) does not open the file."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    uhash, vsalt, ksalt = u_entry[:32], u_entry[32:40], u_entry[40:48]
+    if hash_2b(password, vsalt) != uhash:
+        return None
+    ik = hash_2b(password, ksalt)
+    return _cbc_raw(ik, b"\x00" * 16, ue_entry[:32], encrypt=False)
 
 
 def object_key_aes(key: bytes, obj_num: int, gen_num: int) -> bytes:

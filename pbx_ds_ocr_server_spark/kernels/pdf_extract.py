@@ -33,6 +33,7 @@ from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
     empty_password_key,
     object_key,
     object_key_aes,
+    r6_verify_and_key,
     rc4,
 )
 from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
@@ -548,14 +549,16 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     """Empty-user-password decryptor, or None.
 
     Handles the dominant crawl cases: standard security handler with
-    /V 1-2 (RC4-40/128, /R 2-3) and /V 4 /R 4 crypt filters whose /StdCF
-    is /CFM /AESV2 (AES-128-CBC, PDF 1.6+) or /V2 (RC4) — owner-password-
-    only documents that the empty USER password opens, exactly like every
-    PDF viewer does silently (and like PyMuPDF's lenient open gives the
+    /V 1-2 (RC4-40/128, /R 2-3), /V 4 /R 4 crypt filters whose /StdCF is
+    /CFM /AESV2 (AES-128-CBC, PDF 1.6+) or /V2 (RC4), and /V 5 /R 6
+    /CFM /AESV3 (AES-256, PDF 2.0 — key recovered from /UE after the
+    Algorithm 2.B empty-password validation) — owner-password-only
+    documents that the empty USER password opens, exactly like every PDF
+    viewer does silently (and like PyMuPDF's lenient open gives the
     reference, ``/root/reference/app/services/dsocr_model.py:376-390``).
-    The derived file key is VERIFIED against /U (ISO 32000-1 Algorithm 6)
-    before use; /V 5 (AES-256), unknown crypt filters, or a real user
-    password → None, and the caller keeps the typed rejection.
+    The derived file key is VERIFIED against /U before use (Algorithm 6
+    for R ≤ 4, Algorithm 2.A for R 6); unknown crypt filters or a real
+    user password → None, and the caller keeps the typed rejection.
 
     Returns ``decrypt(obj_num, raw) -> raw``. Generation numbers are
     assumed 0 (the crawl norm; incremental-update gens would need the xref,
@@ -579,8 +582,30 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     r = iget(b"R", 2)
     p = iget(b"P")
     length = 40 if v == 1 else iget(b"Length", 40)
-    if v not in (1, 2, 4) or r not in (2, 3, 4) or p is None:
+    if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 6) or p is None:
         return None
+    if v == 5:
+        if r != 6:
+            return None
+        sm5 = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", body)
+        if sm5 is None or sm5.group(1) != b"StdCF":
+            return None
+        stdcf5 = _inline_dict_after(body, b"/StdCF")
+        if stdcf5 is None or not re.search(rb"/CFM\s*/AESV3\b", stdcf5):
+            return None
+        u5 = _dict_string(body, b"U")
+        ue5 = _dict_string(body, b"UE")
+        if not u5 or not ue5:
+            return None
+        key5 = r6_verify_and_key(u5, ue5)
+        if key5 is None:
+            return None
+
+        def decrypt5(obj_num: int, data: bytes, _key=key5) -> bytes:
+            # R6 uses the 32-byte file key directly (no per-object salt)
+            return aes128_cbc_decrypt(_key, data)
+
+        return decrypt5
     cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
     if v == 4:
         # crypt-filter dispatch: streams/strings must actually NAME the

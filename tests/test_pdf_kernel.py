@@ -581,8 +581,9 @@ def test_encrypted_round_trips_match_plain():
     text = ("the quick brown fox jumps over the lazy dog " * 4).strip()
     pages = pdf_pages_for(text, 3)
     plain = [p.text for p in extract_pdf(make_pdf(pages))]
-    # rc4-40/128 = /V 1-2 legacy; aes-128 = /V 4 /R 4 /CFM /AESV2 (PDF 1.6+)
-    for enc in ("rc4-40", "rc4-128", "aes-128"):
+    # rc4-40/128 = /V 1-2 legacy; aes-128 = /V 4 /R 4 /CFM /AESV2
+    # (PDF 1.6+); aes-256 = /V 5 /R 6 /CFM /AESV3 (PDF 2.0)
+    for enc in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         got = [p.text for p in extract_pdf(make_pdf(pages, encrypt=enc))]
         assert got == plain, enc
 
@@ -603,6 +604,14 @@ def test_aes_primitives_fips197_known_answer():
     ct = _aes_encrypt_block(_expand_key(key), pt)
     assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
     assert _aes_decrypt_block(_expand_key(key), ct) == pt
+    # appendix C.3 (AES-256) — pins the Nk=8 key schedule + 14 rounds
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    ct256 = _aes_encrypt_block(_expand_key(k256), pt)
+    assert ct256.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_decrypt_block(_expand_key(k256), ct256) == pt
     # CBC layout round trip + malformed-input hardening
     k = b"0123456789abcdef"
     data = aes128_cbc_encrypt(k, b"hello pdf world", b"\x01" * 16)
@@ -641,6 +650,25 @@ def test_title_utf16_hex_and_encrypted():
     assert pdf_title(make_pdf(pages, title=t, encrypt="rc4-128")) == t
     assert pdf_title(make_pdf(pages, title=t, encrypt="rc4-40")) == t
     assert pdf_title(make_pdf(pages, title=t, encrypt="aes-128")) == t
+    assert pdf_title(make_pdf(pages, title=t, encrypt="aes-256")) == t
+
+
+def test_r6_password_kdf_and_key_unwrap():
+    from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
+        hash_2b,
+        r6_make_u_ue,
+        r6_verify_and_key,
+    )
+
+    fk = bytes(range(32))
+    u, ue = r6_make_u_ue(fk, b"", b"vsalt678", b"ksalt678")
+    assert len(u) == 48 and len(ue) == 32
+    assert r6_verify_and_key(u, ue) == fk
+    assert r6_verify_and_key(u, ue, b"not empty") is None
+    assert r6_verify_and_key(b"short", ue) is None
+    # the 2.B KDF is deterministic and password-sensitive
+    assert hash_2b(b"", b"salt5678") == hash_2b(b"", b"salt5678")
+    assert hash_2b(b"", b"salt5678") != hash_2b(b"x", b"salt5678")
 
 
 def test_aesv2_key_length_pinned_regardless_of_length_entry_order():
