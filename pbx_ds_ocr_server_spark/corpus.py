@@ -305,14 +305,11 @@ def make_pdf(
             ue = oe = b""
 
         def enc_bytes(obj_num: int, raw: bytes) -> bytes:
-            if aes256:
-                iv = hashlib.md5(b"synth-iv:%d" % obj_num).digest()
-                return _pc.aes128_cbc_encrypt(key, raw, iv)  # 32-byte key
             if aes:
+                # R6 uses the file key directly; R4 salts it per object
+                k = key if aes256 else _pc.object_key_aes(key, obj_num, 0)
                 iv = hashlib.md5(b"synth-iv:%d" % obj_num).digest()
-                return _pc.aes128_cbc_encrypt(
-                    _pc.object_key_aes(key, obj_num, 0), raw, iv
-                )
+                return _pc.aes128_cbc_encrypt(k, raw, iv)
             return _pc.rc4(_pc.object_key(key, obj_num, 0), raw)
 
         import re as _re
@@ -337,7 +334,20 @@ def make_pdf(
                 " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
                 " /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
             )
-            extra = f" /UE <{ue.hex()}> /OE <{oe.hex()}> /EncryptMetadata true"
+            # /Perms is REQUIRED for the V5 standard handler (ISO 32000-2):
+            # AES-256-ECB of [P as 4-byte LE | 0xFF*4 | 'T' | 'adb' | pad]
+            perms_block = (
+                (p & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xff"
+                + b"T"  # EncryptMetadata true
+                + b"adb"
+                + b"synt"  # bytes 12-15: arbitrary per spec
+            )
+            perms = _pc._aes_encrypt_block(_pc._expand_key(key), perms_block)
+            extra = (
+                f" /UE <{ue.hex()}> /OE <{oe.hex()}>"
+                f" /Perms <{perms.hex()}> /EncryptMetadata true"
+            )
         elif aes:
             cf = (
                 " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"

@@ -1,13 +1,26 @@
-"""PDF standard security handler (RC4, revisions 2-3) — empty user password.
+"""PDF standard security handler — empty-user-password decryption.
 
 The most common "encrypted" PDF in a web crawl is owner-password-only: the
 document opens for reading with the EMPTY user password and every viewer
 decrypts it silently (the reference gets this for free from PyMuPDF's lenient
 open, ``/root/reference/app/services/dsocr_model.py:376-390``). This module
-implements just that case from the published PDF 1.7 spec (ISO 32000-1 §7.6.3,
-Algorithms 2-5): derive the file key from the empty user password, verify it
-against /U, and hand back a per-object RC4 decryptor. Anything else (a real
-user password, /V ≥ 4 crypt filters, AES) stays a typed rejection upstream.
+implements the full revision matrix from the published specs:
+
+  * R 2-3 (/V 1-2): RC4-40/128 — ISO 32000-1 §7.6.3 Algorithms 2-6
+    (file-key derivation, /O and /U computation, per-object key salting);
+  * R 4 (/V 4): crypt filters — /CFM /AESV2 (AES-128-CBC, the extra
+    'sAlT' object-key suffix, the /EncryptMetadata derivation step) or
+    /CFM /V2 (RC4);
+  * R 6 (/V 5): AES-256, PDF 2.0 — ISO 32000-2 Algorithm 2.B password
+    KDF (iterative SHA-256/384/512 with AES-CBC mixing, memoized) and the
+    /UE file-key unwrap (Algorithms 2.A / 8).
+
+The AES core is pure Python (no crypto library in this environment): the
+S-box is GENERATED from its GF(2^8) definition, MixColumns is table-driven,
+and the FIPS-197 appendix C.1 (AES-128) and C.3 (AES-256) known-answer
+vectors are pinned in the tests. Everything the matrix does not cover
+(a real user password, unknown crypt filters) stays a typed rejection
+upstream in kernels/pdf_extract.pdf_decryptor.
 
 Pure functions of bytes — usable by both the parser (kernels/pdf_extract) and
 the synthetic corpus generator (corpus.make_pdf), which is how the pytest

@@ -584,87 +584,101 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     length = 40 if v == 1 else iget(b"Length", 40)
     if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 6) or p is None:
         return None
+    cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
+    stream_enc = string_enc = True  # V1/V2: everything is encrypted
+    if v in (4, 5):
+        # crypt-filter dispatch: /CFM must be read from the /StdCF entry
+        # INSIDE the /CF dict (never whichever /CFM or /StdCF byte sequence
+        # appears first — '/StmF /StdCF' routinely precedes /CF in real
+        # dicts), and streams/strings are each encrypted only when their
+        # OWN selector (/StmF / /StrF; default Identity = plaintext per
+        # spec) names /StdCF.
+        cf = _inline_dict_after(body, b"/CF")
+        stdcf = _inline_dict_after(cf, b"/StdCF") if cf else None
+        if stdcf is None:
+            return None
+        want = rb"/CFM\s*/(AESV3)\b" if v == 5 else rb"/CFM\s*/(AESV2|V2)\b"
+        cm = re.search(want, stdcf)
+        if cm is None:
+            return None
+        cfm = b"RC4" if cm.group(1) == b"V2" else b"AES"
+
+        def _selector(k: bytes) -> bytes:
+            m_ = re.search(rb"/" + k + rb"\s*/([A-Za-z0-9]+)", body)
+            return m_.group(1) if m_ else b"Identity"
+
+        stream_enc = _selector(b"StmF") == b"StdCF"
+        string_enc = _selector(b"StrF") == b"StdCF"
+        if not (stream_enc or string_enc):
+            return None  # everything is plaintext: nothing to decrypt
+        # the V4 key is NOT the first /Length in the dict (the CF entry
+        # carries its own /Length in BYTES, and key order is arbitrary):
+        # the V4 handler key is 128-bit by definition — pin it
+        length = 128
     if v == 5:
         if r != 6:
-            return None
-        sm5 = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", body)
-        if sm5 is None or sm5.group(1) != b"StdCF":
-            return None
-        stdcf5 = _inline_dict_after(body, b"/StdCF")
-        if stdcf5 is None or not re.search(rb"/CFM\s*/AESV3\b", stdcf5):
             return None
         u5 = _dict_string(body, b"U")
         ue5 = _dict_string(body, b"UE")
         if not u5 or not ue5:
             return None
-        key5 = r6_verify_and_key(u5, ue5)
-        if key5 is None:
+        key = r6_verify_and_key(u5, ue5)
+        if key is None:
             return None
 
-        def decrypt5(obj_num: int, data: bytes, _key=key5) -> bytes:
+        def cipher(obj_num: int, data: bytes, _key=key) -> bytes:
             # R6 uses the 32-byte file key directly (no per-object salt)
             return aes128_cbc_decrypt(_key, data)
 
-        return decrypt5
-    cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
-    if v == 4:
-        # crypt-filter dispatch: streams/strings must actually NAME the
-        # default /StdCF filter (when /StmF is absent or /Identity the
-        # streams are NOT encrypted per spec — no decryptor is the correct
-        # answer, extraction reads them as plaintext), and /CFM must be
-        # read from the /StdCF entry itself, not whichever /CFM appears
-        # first in a multi-filter dict
-        sm_ = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", body)
-        if sm_ is None or sm_.group(1) != b"StdCF":
-            return None
-        stdcf = _inline_dict_after(body, b"/StdCF")
-        if stdcf is None:
-            return None
-        cm = re.search(rb"/CFM\s*/(AESV2|V2)\b", stdcf)
-        if cm is None:
-            return None
-        cfm = b"AES" if cm.group(1) == b"AESV2" else b"RC4"
-        # the V4 key length is NOT the first /Length in the dict (the CF
-        # entry carries its own /Length in BYTES, and key order is
-        # arbitrary in real files): AESV2 and the V4 handler key are
-        # 128-bit by definition — pin it
-        length = 128
-    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false\b", body)
-    o = _dict_string(body, b"O")
-    u = _dict_string(body, b"U")
-    if not o or not u:
-        return None
-    id0 = b""
-    idm = None
-    for m2 in _ID_HEX_RE.finditer(payload):
-        idm = m2
-    if idm is not None:
-        hx = _HEX_WS_RE.sub(b"", idm.group(1))
-        if len(hx) % 2:
-            hx += b"0"
-        try:
-            id0 = bytes.fromhex(hx.decode("ascii"))
-        except ValueError:
-            id0 = b""
     else:
-        for m2 in _ID_LIT_RE.finditer(payload):
+        encrypt_metadata = not re.search(
+            rb"/EncryptMetadata\s+false\b", body
+        )
+        o = _dict_string(body, b"O")
+        u = _dict_string(body, b"U")
+        if not o or not u:
+            return None
+        id0 = b""
+        idm = None
+        for m2 in _ID_HEX_RE.finditer(payload):
             idm = m2
         if idm is not None:
-            id0 = _literal_string_bytes(idm.group(1))
-    key = empty_password_key(o, u, p, id0, length, r, encrypt_metadata)
-    if key is None:
-        return None
+            hx = _HEX_WS_RE.sub(b"", idm.group(1))
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                id0 = bytes.fromhex(hx.decode("ascii"))
+            except ValueError:
+                id0 = b""
+        else:
+            for m2 in _ID_LIT_RE.finditer(payload):
+                idm = m2
+            if idm is not None:
+                id0 = _literal_string_bytes(idm.group(1))
+        key = empty_password_key(o, u, p, id0, length, r, encrypt_metadata)
+        if key is None:
+            return None
 
-    if cfm == b"AES":
+        if cfm == b"AES":
 
-        def decrypt(obj_num: int, data: bytes, _key=key) -> bytes:
-            return aes128_cbc_decrypt(object_key_aes(_key, obj_num, 0), data)
+            def cipher(obj_num: int, data: bytes, _key=key) -> bytes:
+                return aes128_cbc_decrypt(
+                    object_key_aes(_key, obj_num, 0), data
+                )
 
-    else:
+        else:
 
-        def decrypt(obj_num: int, data: bytes, _key=key) -> bytes:
-            return rc4(object_key(_key, obj_num, 0), data)
+            def cipher(obj_num: int, data: bytes, _key=key) -> bytes:
+                return rc4(object_key(_key, obj_num, 0), data)
 
+    def _identity(obj_num: int, data: bytes) -> bytes:
+        return data
+
+    # the returned callable decrypts STREAMS (identity when /StmF is
+    # Identity — the stream bytes are plaintext); its `.for_strings`
+    # attribute decrypts STRING objects per /StrF (pdf_title uses it)
+    decrypt = cipher if stream_enc else _identity
+    decrypt.for_strings = cipher if string_enc else _identity
     return decrypt
 
 
@@ -711,15 +725,33 @@ def _dict_at(data: bytes, start: int) -> bytes | None:
     return None
 
 
+_NAME_CHARS = frozenset(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                        b"abcdefghijklmnopqrstuvwxyz0123456789.#_-")
+
+
 def _inline_dict_after(data: bytes, key: bytes) -> bytes | None:
-    """The ``<< ... >>`` immediately following ``/key`` (inline dict value)."""
-    i = data.find(key)
-    if i < 0:
-        return None
-    j = data.find(b"<<", i)
-    if j < 0 or data[i + len(key) : j].strip():
-        return None  # something other than whitespace between key and dict
-    return _dict_at(data, j)
+    """The ``<< ... >>`` immediately following ``/key`` (inline dict value).
+
+    Scans ALL occurrences of the key: dict key order is arbitrary in real
+    PDFs, so an earlier occurrence of the same name used as a VALUE (e.g.
+    ``/StmF /StdCF`` before ``/CF << /StdCF << ... >> >>``) must not make
+    the lookup fail. An occurrence only matches when the key is a complete
+    name (not a prefix of a longer one) and is followed by whitespace and
+    ``<<``."""
+    i = 0
+    n = len(data)
+    while True:
+        i = data.find(key, i)
+        if i < 0:
+            return None
+        end = i + len(key)
+        if end < n and data[end] in _NAME_CHARS:
+            i = end  # /StdCF matching inside /StdCF2 etc.
+            continue
+        j = data.find(b"<<", end)
+        if j >= 0 and not data[end:j].strip():
+            return _dict_at(data, j)
+        i = end
 
 
 def _font_decoder(
@@ -861,13 +893,16 @@ def pdf_title(
     decrypt = (
         pdf_decryptor(payload, objects) if pdf_is_encrypted(payload) else None
     )
+    # strings follow /StrF, not /StmF — a doc may encrypt streams but not
+    # strings (or vice versa)
+    str_decrypt = getattr(decrypt, "for_strings", decrypt)
 
     def _title_from(body: bytes, obj_num: int | None) -> str | None:
         raw = _dict_string(body, b"Title")
         if raw is None:
             return None
-        if decrypt is not None and obj_num is not None:
-            raw = decrypt(obj_num, raw)
+        if str_decrypt is not None and obj_num is not None:
+            raw = str_decrypt(obj_num, raw)
         t = " ".join(_text_string(raw).split())
         return t or None
 

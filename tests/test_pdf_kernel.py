@@ -720,6 +720,50 @@ def test_identity_stream_filter_means_plaintext_streams():
     assert res[0][0].text == "plain despite encrypt dict"
 
 
+def test_crypt_filter_dispatch_survives_dict_key_reordering():
+    """'/StmF /StdCF' before '/CF << /StdCF << ... >> >>' (PDF dict key
+    order is arbitrary) must not break the /StdCF lookup — a first-byte-
+    occurrence match would land on the /StmF VALUE (round-3 review
+    finding). Also pins /StrF-aware string dispatch: with /StrF /Identity,
+    strings pass through untouched while streams still decrypt."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_decryptor
+
+    pages = pdf_pages_for("dispatch test body", 1)
+    plain = [p.text for p in extract_pdf(make_pdf(pages))]
+    pdf = make_pdf(pages, encrypt="aes-128")
+    cf = (
+        b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16"
+        b" >> >> /StmF /StdCF /StrF /StdCF"
+    )
+    swapped = pdf.replace(
+        cf,
+        b" /StmF /StdCF /StrF /StdCF /CF << /StdCF << /CFM /AESV2"
+        b" /AuthEvent /DocOpen /Length 16 >> >>",
+    )
+    assert swapped != pdf
+    assert [p.text for p in extract_pdf(swapped)] == plain
+    # same for the V5 form
+    pdf5 = make_pdf(pages, encrypt="aes-256")
+    cf5 = (
+        b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32"
+        b" >> >> /StmF /StdCF /StrF /StdCF"
+    )
+    swapped5 = pdf5.replace(
+        cf5,
+        b" /StmF /StdCF /StrF /StdCF /CF << /StdCF << /CFM /AESV3"
+        b" /AuthEvent /DocOpen /Length 32 >> >>",
+    )
+    assert swapped5 != pdf5
+    assert [p.text for p in extract_pdf(swapped5)] == plain
+    # /StrF /Identity: strings are plaintext per spec — for_strings must be
+    # the identity while the stream decryptor stays a real cipher
+    ident_strings = pdf.replace(b"/StrF /StdCF", b"/StrF /Identity")
+    d = pdf_decryptor(ident_strings)
+    assert d is not None
+    assert d.for_strings(7, b"raw title bytes") == b"raw title bytes"
+    assert [p.text for p in extract_pdf(ident_strings)] == plain
+
+
 def test_rc4_crypt_primitives_self_consistent():
     from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
         compute_o, compute_u, empty_password_key, file_key, object_key, rc4,
