@@ -477,6 +477,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda spark, sf: lsh_candidate_pairs(
         minhash_signatures(_docs_u(spark, sf))
     )
+
+    def minhash_jaccard_est(spark, sf):
+        # signature-agreement Jaccard estimate for candidate pairs — the
+        # cheap verify tier that never re-reads the texts
+        from pbx_ds_ocr_server_spark.operators.dedup import (
+            minhash_jaccard_estimate,
+        )
+
+        return minhash_jaccard_estimate(_docs_u(spark, sf))
+
+    q["minhash_jaccard_est"] = minhash_jaccard_est
     q["ngram_jaccard_pairs"] = lambda spark, sf: jaccard_pairs(
         _docs_u(spark, sf), min_jaccard=0.8, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -1326,6 +1337,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": minhash_core.format(src="documents"),
         "minhash_lsh_pairs": lsh_pairs_sql,
+        "minhash_jaccard_est": f"""
+            WITH docs_u AS ({DOCS_U}),
+            sigs AS ({minhash_core.format(src='docs_u')}),
+            cand AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x
+                      JOIN sigs y
+                      ON x.s0 = y.s0 AND x.s1 = y.s1 AND x.doc_id < y.doc_id
+                    UNION ALL
+                    SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x
+                      JOIN sigs y
+                      ON x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+                )
+            )
+            SELECT c.a, c.b,
+                   round(((x.s0 = y.s0)::INT + (x.s1 = y.s1)::INT
+                        + (x.s2 = y.s2)::INT + (x.s3 = y.s3)::INT) / 4.0, 6)
+                       AS est_jaccard
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.a
+            JOIN sigs y ON y.doc_id = c.b
+        """,
         "ngram_jaccard_pairs": jaccard_sql,
         "embedding_neardup_pairs": neardup_sql,
         "simhash_hamming_pairs": f"""

@@ -197,6 +197,41 @@ def jaccard_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Jaccard ESTIMATE for LSH candidate pairs straight from the MinHash
+    signatures: matching components / k — the classic unbiased estimator
+    (P[min-hash agreement] = true Jaccard per component). The cheap middle
+    tier between candidate generation and exact verification: at web scale
+    you estimate from the (tiny) signatures first and run the shingle
+    self-join ONLY on pairs the estimate can't decide — the payload texts
+    are never touched here. → (a, b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k)
+    cand = lsh_candidate_pairs(sigs)
+    xa = sigs.select(
+        F.col("id").alias("a"),
+        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(k)],
+    )
+    yb = sigs.select(
+        F.col("id").alias("b"),
+        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        cand.join(xa, "a")
+        .join(yb, "b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
+        .select("a", "b", "est_jaccard")
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -80,6 +80,19 @@ def test_dedup_near_requires_explicit_shingle_cap(docs):
         dedup_near(docs, min_jaccard=0.5)
 
 
+def test_minhash_jaccard_estimate_semantics(docs):
+    from pbx_ds_ocr_server_spark.operators.dedup import minhash_jaccard_estimate
+
+    est = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_jaccard_estimate(docs).collect()
+    }
+    assert est[(1, 2)] == 1.0  # exact dups: all signature components agree
+    assert all(0.0 <= v <= 1.0 for v in est.values())
+    # estimates are quantized to multiples of 1/k (k=4 signature components)
+    assert all(round(v * 4) == v * 4 for v in est.values())
+
+
 def test_hot_shingle_guard_drops_only_recall(docs):
     pairs = jaccard_pairs(docs, min_jaccard=0.5, max_shingle_df=1)
     assert pairs.count() == 0  # every shared shingle is "hot" at df>1
