@@ -296,6 +296,11 @@ def make_pdf(
         else:
             if aes:
                 r, bits, v = 4, 128, 4
+            elif encrypt == "rc4-40-cf":
+                # 40-bit RC4 wrapped in a /V 4 crypt filter (/CFM /V2,
+                # /StdCF /Length 5 bytes) — a real-crawl shape where the
+                # key length lives in the CF entry, not the top-level dict
+                r, bits, v = 4, 40, 4
             else:
                 r, bits = (2, 40) if encrypt == "rc4-40" else (3, 128)
                 v = 1 if bits == 40 else 2
@@ -354,12 +359,23 @@ def make_pdf(
                 " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
             )
             extra = ""
+        elif encrypt == "rc4-40-cf":
+            cf = (
+                " /CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen"
+                " /Length 5 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+            extra = ""
         else:
             cf = ""
             extra = ""
+        # top-level /Length: for the rc4-40-cf shape deliberately write the
+        # (wrong) V4 default 128 — real producers do, and a parser that
+        # reads it instead of the /StdCF entry's /Length 5 derives a bad
+        # key and fails /U verification (the regression this shape pins)
+        top_len = 128 if encrypt == "rc4-40-cf" else bits
         objs.append(
             (
-                f"<< /Filter /Standard /V {v} /R {r} /Length {bits}{cf}"
+                f"<< /Filter /Standard /V {v} /R {r} /Length {top_len}{cf}"
                 f" /P {p} /O <{o.hex()}> /U <{u.hex()}>{extra} >>"
             ).encode()
         )
@@ -635,20 +651,50 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
     }
 
 
+_WARC_MIME = {
+    "pdf": b"application/pdf",
+    "png": b"image/png",
+    "jpeg": b"image/jpeg",
+    "html": b"text/html",
+    "empty": b"text/html",
+    "unknown": b"application/octet-stream",
+}
+
+
 def warc_record_bytes(row: dict, gzip_member: bool = False) -> bytes:
     """ONE corpus row → one serialized WARC/1.0 response record (optionally
     its own gzip member — the real Common-Crawl layout). Deterministic —
     no uuids, no clock: the record id derives from the url hash. The
     per-record granularity is what lets the WARC sink stream rows to disk
-    in O(one record) memory."""
+    in O(one record) memory.
+
+    The HTTP Content-Type comes from ``row['content_type']`` when the
+    caller provides one, else from the payload's magic bytes
+    (kernels/content_type) — a curated export containing PDF/PNG/JPEG
+    payloads must not mislabel them all text/html. A null ``warc_ts``
+    serializes as the epoch (a deterministic placeholder — WARC-Date is
+    mandatory in WARC/1.0)."""
     import gzip as _gzip
 
-    body = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-        b"Content-Length: " + str(len(row["html"])).encode() + b"\r\n\r\n"
-        + row["html"]
+    from pbx_ds_ocr_server_spark.kernels.content_type import (
+        detect_content_type,
     )
-    warc_date = row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    payload = row["html"] if row["html"] is not None else b""
+    ctype = row.get("content_type") or _WARC_MIME[detect_content_type(payload)]
+    if isinstance(ctype, str):
+        ctype = ctype.encode("latin-1")
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        + payload
+    )
+    ts = row.get("warc_ts")
+    warc_date = (
+        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if ts is not None
+        else "1970-01-01T00:00:00Z"
+    )
     rec_id = f"<urn:pbx:{_h('warcid:' + row['url']):016x}>"
     header = (
         "WARC/1.0\r\n"

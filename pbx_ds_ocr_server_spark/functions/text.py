@@ -325,7 +325,8 @@ def hash_sample(df, rate: float, key_col: str = "doc_id"):
 
 def stratified_sample(df, k: int, group_col: str = "lang",
                       key_col: str = "doc_id",
-                      pre_rate: float | str | None = "auto"):
+                      pre_rate: float | str | None = "auto",
+                      auto_max_groups: int = 65536):
     """Deterministic k-per-group sample: rank rows inside each group by
     md5(key) and keep the first k.
 
@@ -343,13 +344,24 @@ def stratified_sample(df, k: int, group_col: str = "lang",
     rate until it does (first try succeeds unless the md5 fractions of a
     group are pathologically clustered). Two map-side-combined scans of two
     narrow columns replace an all-data sort on ≤|groups| reducers — the
-    right trade at any scale where this operator matters. Pass a float to
-    pin the rate (caller guarantees adequacy), or ``None`` to disable the
-    prefilter (tiny frames / group_col with high cardinality)."""
+    right trade at any scale where this operator matters. The auto path
+    collects ONE ROW PER GROUP to the driver, so it first checks the
+    group cardinality with ``approx_count_distinct`` (a single-row agg)
+    and silently disables the prefilter above ``auto_max_groups`` — with
+    that many groups the window already has that many reducers and the
+    prefilter buys nothing, while collecting the group domain would be a
+    driver-memory hazard. Pass a float to pin the rate (caller guarantees
+    adequacy), or ``None`` to disable the prefilter (tiny frames)."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
     rate: float | None = None
+    if pre_rate == "auto":
+        approx_groups = df.agg(
+            F.approx_count_distinct(group_col).alias("g")
+        ).collect()[0]["g"]
+        if approx_groups > auto_max_groups:
+            pre_rate = None  # high-cardinality: window is already wide
     if pre_rate == "auto":
         counts = {
             r[0]: r[1]

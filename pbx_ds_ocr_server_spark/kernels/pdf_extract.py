@@ -611,10 +611,20 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
         string_enc = _selector(b"StrF") == b"StdCF"
         if not (stream_enc or string_enc):
             return None  # everything is plaintext: nothing to decrypt
-        # the V4 key is NOT the first /Length in the dict (the CF entry
-        # carries its own /Length in BYTES, and key order is arbitrary):
-        # the V4 handler key is 128-bit by definition — pin it
-        length = 128
+        # the V4 key length comes from the /StdCF entry's OWN /Length —
+        # never the first /Length in the outer dict (key order is
+        # arbitrary). Producers write it in BYTES (16) or BITS (128) —
+        # ISO 32000-1 Table 25 says bits, Acrobat writes bytes; values
+        # < 40 are unambiguously bytes (no 5-bit keys exist), so scale
+        # them ×8 the way pdf.js/mupdf do. /CFM /V2 with /Length 5 is a
+        # real-crawl 40-bit-RC4-in-a-crypt-filter shape. AESV2 keys are
+        # 128-bit by definition regardless of the recorded /Length.
+        if cfm == b"AES":
+            length = 128
+        else:
+            lm = re.search(rb"/Length\s+(\d+)", stdcf)
+            cf_len = int(lm.group(1)) if lm else 128
+            length = cf_len * 8 if cf_len < 40 else cf_len
     if v == 5:
         if r != 6:
             return None
@@ -676,9 +686,14 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
 
     # the returned callable decrypts STREAMS (identity when /StmF is
     # Identity — the stream bytes are plaintext); its `.for_strings`
-    # attribute decrypts STRING objects per /StrF (pdf_title uses it)
+    # attribute decrypts STRING objects per /StrF (pdf_title uses it),
+    # and `.strings_encrypted` records whether strings are ciphertext at
+    # all (so callers can distinguish "decrypt with a key" from "already
+    # plaintext" — a string with no object number is undecryptable in
+    # the former case but perfectly readable in the latter)
     decrypt = cipher if stream_enc else _identity
     decrypt.for_strings = cipher if string_enc else _identity
+    decrypt.strings_encrypted = string_enc
     return decrypt
 
 
@@ -890,18 +905,30 @@ def pdf_title(
     encrypted and the empty user password opens it (strings are encrypted
     with the same per-object key as streams). Pass pre-parsed ``objects``
     to avoid re-scanning the payload (the extract operator parses once)."""
-    decrypt = (
-        pdf_decryptor(payload, objects) if pdf_is_encrypted(payload) else None
-    )
+    encrypted = pdf_is_encrypted(payload)
+    decrypt = pdf_decryptor(payload, objects) if encrypted else None
+    if encrypted and decrypt is None:
+        # the document is encrypted and the empty user password does NOT
+        # open it (or the handler is unsupported): every /Title string is
+        # ciphertext — typed absence, never mojibake
+        return None
     # strings follow /StrF, not /StmF — a doc may encrypt streams but not
     # strings (or vice versa)
     str_decrypt = getattr(decrypt, "for_strings", decrypt)
+    strings_encrypted = decrypt is not None and getattr(
+        decrypt, "strings_encrypted", True
+    )
 
     def _title_from(body: bytes, obj_num: int | None) -> str | None:
         raw = _dict_string(body, b"Title")
         if raw is None:
             return None
-        if str_decrypt is not None and obj_num is not None:
+        if strings_encrypted:
+            if obj_num is None:
+                # whole-payload fallback scan: the string is ciphertext
+                # and there is no object number to derive its key from —
+                # return typed absence rather than decoding raw ciphertext
+                return None
             raw = str_decrypt(obj_num, raw)
         t = " ".join(_text_string(raw).split())
         return t or None

@@ -149,7 +149,10 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
                         {
                             "url": r.url,
                             "warc_ts": r.warc_ts,
-                            "html": bytes(r.html),
+                            # null payload → empty body (the row's url/ts
+                            # survive the export; a None would otherwise
+                            # fail the whole partition task)
+                            "html": bytes(r.html) if r.html is not None else b"",
                         },
                         gzip_member=gzip_members,
                     )

@@ -377,3 +377,7 @@ def test_stratified_sample_prefilter_is_exact_at_adequate_rate(spark):
     assert len(exact) > 0
     assert run(pre_rate=0.5) == exact  # pinned adequate rate
     assert run() == exact  # 'auto' (default): derived + verified rate
+    # high-cardinality guard (round-3 ADVICE): when the approx group count
+    # exceeds auto_max_groups the auto path must NOT collect the group
+    # domain — it falls back to the plain (still exact) window
+    assert run(auto_max_groups=2) == exact

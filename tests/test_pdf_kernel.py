@@ -653,6 +653,49 @@ def test_title_utf16_hex_and_encrypted():
     assert pdf_title(make_pdf(pages, title=t, encrypt="aes-256")) == t
 
 
+def test_rc4_40bit_crypt_filter_reads_stdcf_length():
+    """/V 4 /CFM /V2 with /StdCF /Length 5 (BYTES → 40-bit RC4) and a
+    deliberately-wrong top-level /Length 128: the key length must come
+    from the /StdCF entry itself (scaled ×8 when written in bytes), else
+    /U verification fails and a recoverable document is lost to a typed
+    rejection (round-3 ADVICE finding)."""
+    text = ("forty bit rc4 wrapped in a crypt filter " * 3).strip()
+    pages = pdf_pages_for(text, 2)
+    plain = [p.text for p in extract_pdf(make_pdf(pages))]
+    pdf = make_pdf(pages, encrypt="rc4-40-cf")
+    assert b"/CFM /V2" in pdf and b"/Length 128" in pdf  # the trap is live
+    assert [p.text for p in extract_pdf(pdf)] == plain
+    # bits-form CF length (/Length 40) must decode identically
+    import re
+
+    bits_form = re.sub(rb"/Length 5 ", b"/Length 40 ", pdf, count=1)
+    assert bits_form != pdf
+    assert [p.text for p in extract_pdf(bits_form)] == plain
+
+
+def test_title_encrypted_unresolvable_info_is_typed_absence():
+    """Encrypted doc whose /Info reference does not resolve: the whole-
+    payload fallback scan sees only the CIPHERTEXT /Title string — the
+    result must be None (typed absence), never mojibake (round-3 ADVICE
+    finding). The same broken /Info on an UNencrypted doc still recovers
+    the title via the fallback."""
+    import re
+
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+
+    pages = pdf_pages_for("body text", 1)
+    enc = make_pdf(pages, title="Secret Title", encrypt="rc4-128")
+    broken = re.sub(rb"/Info \d+ 0 R", b"/Info 99 0 R", enc)
+    assert broken != enc
+    assert pdf_title(broken) is None
+    plain = re.sub(
+        rb"/Info \d+ 0 R",
+        b"/Info 99 0 R",
+        make_pdf(pages, title="Open Title"),
+    )
+    assert pdf_title(plain) == "Open Title"
+
+
 def test_r6_password_kdf_and_key_unwrap():
     from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
         hash_2b,

@@ -67,6 +67,33 @@ def test_write_warc_round_trip(spark, warc_rows, tmp_path):
         assert got == want
 
 
+def test_write_warc_content_type_and_null_payloads(spark, tmp_path):
+    """Curated exports carry non-HTML payloads: the HTTP Content-Type must
+    follow the payload magic, and a null html row must export as an empty
+    body instead of failing the partition task (round-3 ADVICE finding)."""
+    from pbx_ds_ocr_server_spark.corpus import make_pdf, pdf_pages_for
+    from pbx_ds_ocr_server_spark.sources.warc import write_warc
+
+    pdf_bytes = make_pdf(pdf_pages_for("pdf body words", 1))
+    ts = __import__("datetime").datetime(2024, 1, 2, 3, 4, 5)
+    rows = [
+        ("https://x.example/page", ts, bytearray(b"<html><p>hi</p></html>")),
+        ("https://x.example/doc.pdf", ts, bytearray(pdf_bytes)),
+        ("https://x.example/null", None, None),  # null ts AND payload
+    ]
+    src = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).coalesce(1)
+    out = str(tmp_path / "typed")
+    assert write_warc(src, out, gzip_members=False) == 1
+    raw = next((tmp_path / "typed").glob("*.warc")).read_bytes()
+    assert b"Content-Type: application/pdf" in raw
+    assert b"Content-Type: text/html" in raw
+    back = {r.url: bytes(r.html) for r in read_warc(spark, out + "/*").collect()}
+    assert back["https://x.example/doc.pdf"] == pdf_bytes
+    assert back["https://x.example/null"] == b""
+
+
 def test_spark_read_and_extract_byte_identity(spark, warc_rows, tmp_path):
     half = len(warc_rows) // 2
     (tmp_path / "a.warc").write_bytes(make_warc(warc_rows[:half]))
