@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import html as _html
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -214,6 +215,12 @@ def make_pdf(
         show = lambda s: f"<{_cid_hex(s)}>"  # noqa: E731
     elif font == "cid_noto":
         show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
+    elif font == "ucs2":
+        # predefined Uni*-UCS2 CMap: show bytes ARE UTF-16BE text
+        show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
+    elif font == "winansi":
+        # /WinAnsiEncoding simple font: show bytes are cp1252
+        show = lambda s: f"<{s.encode('cp1252').hex()}>"  # noqa: E731
     elif hex_strings:
         show = lambda s: f"<{s.encode('utf-8').hex()}>"  # noqa: E731
     else:
@@ -262,6 +269,29 @@ def make_pdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(cmap), cmap)
             )
+    elif font == "ucs2":
+        # Type0 with a predefined UCS-2 CMap and NO ToUnicode: the codes
+        # themselves are Unicode — a parser that classifies the CMap name
+        # recovers the text; one that treats all Type0 as glyph-indexed
+        # loses a perfectly-decodable document
+        desc_ref = font_ref + 1
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGB"
+                f" /Encoding /UniGB-UCS2-H /DescendantFonts"
+                f" [{desc_ref} 0 R] >>"
+            ).encode()
+        )
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /SynthGB"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (GB1)"
+            b" /Supplement 5 >> >>"
+        )
+    elif font == "winansi":
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
     else:
         objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -400,14 +430,66 @@ def make_pdf(
     return bytes(out)
 
 
-def pdf_pages_for(text: str, n_pages: int) -> list[list[tuple[float, float, str]]]:
+def make_pdf_incremental(
+    pages_v1: list[list[tuple[float, float, str]]],
+    pages_v2: list[list[tuple[float, float, str]]],
+) -> bytes:
+    """A PDF with one incremental update (ISO 32000-1 §7.5.6): the original
+    body carries ``pages_v1``'s content streams, then an APPENDED update
+    section redefines each content-stream object with ``pages_v2``'s text,
+    plus a second xref whose trailer chains to the first via /Prev. The
+    CURRENT text of the document is pages_v2 — a parser must honor
+    last-object-wins (real crawls are full of incrementally-updated
+    documents: annotations, form fills, resaves).
+
+    Both page lists must have the same length (the update rewrites content
+    streams only — the page tree is untouched)."""
+    if len(pages_v1) != len(pages_v2):
+        raise ValueError("incremental update must keep the page count")
+    base = make_pdf(pages_v1)
+    m = re.search(rb"startxref\n(\d+)\n%%EOF\n$", base)
+    prev_xref = int(m.group(1))
+    size = int(re.search(rb"/Size (\d+)", base).group(1))
+    show = lambda s: f"({_pdf_escape(s)})"  # noqa: E731
+    out = bytearray(base)
+    updates: list[tuple[int, int]] = []  # (obj_num, offset)
+    for i, items in enumerate(pages_v2):
+        # make_pdf object layout at streams_per_page=1: page i's content
+        # stream is object 4 + 2*i (catalog=1, pages=2, page_i=3+2i)
+        obj_num = 4 + 2 * i
+        stream = _page_stream(items, show)
+        updates.append((obj_num, len(out)))
+        out += b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+            obj_num,
+            len(stream),
+            stream,
+        )
+    xref_at = len(out)
+    out += b"xref\n"
+    for obj_num, off in updates:  # one subsection per updated object
+        out += b"%d 1\n%010d 00000 n \n" % (obj_num, off)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, prev_xref, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_pages_for(
+    text: str, n_pages: int, charset: str = "latin-1"
+) -> list[list[tuple[float, float, str]]]:
     """Deterministic page layout: chunk text into per-page 8-word lines laid
-    out top-down at y = 700, 680, ... (ASCII-safe via latin-1 filter; a text
-    with NO latin-1 content — e.g. pure CJK — falls back to a fixed ASCII
+    out top-down at y = 700, 680, ... The text is filtered to ``charset``-
+    encodable characters ('latin-1' default matches the literal-string
+    writer; pass 'cp1252' for winansi fonts, 'utf-16-be' for UCS-2 CMap
+    fonts); a text with NO encodable content falls back to a fixed ASCII
     placeholder so pdf-class docs always carry extractable text and the
-    class→status oracle stays exact)."""
-    safe = text.encode("latin-1", "ignore").decode("latin-1")
-    if not safe.strip():
+    class→status oracle stays exact."""
+    # re-normalize whitespace after the filter: dropping a run of
+    # unencodable chars (CJK in a latin-1 page) leaves stray spaces that
+    # would otherwise become empty words / whitespace-only lines
+    safe = " ".join(text.encode(charset, "ignore").decode(charset).split())
+    if not safe:
         safe = "untitled document"
     lines = chunk_words(safe, 8)
     per_page = max(1, (len(lines) + n_pages - 1) // n_pages)
@@ -520,6 +602,10 @@ CLASSES = (
     "pdf_cid",      # 14  (Type0/Identity-H + ToUnicode CMap, shifted gids)
     "pdf_encrypted_rc4",  # 15  (owner-locked RC4; empty user pwd opens)
     "pdf_cid_noto",       # 16  (Type0/Identity-H, NO ToUnicode -> honest empty)
+    "pdf_winansi",        # 17  (/Encoding /WinAnsiEncoding, cp1252 bytes)
+    "pdf_predefined_cmap",  # 18  (Type0 /UniGB-UCS2-H, UTF-16BE codes)
+    "html_cjk",           # 19  (shift_jis / euc-jp / big5 declared charset)
+    "pdf_incremental",    # 20  (appended update section, /Prev xref chain)
 )
 
 # weights: mostly HTML, some PDFs, few degenerates/rasters
@@ -532,6 +618,7 @@ _CLASS_TABLE = (
     + ["pdf_multistream"] * 2
     + ["empty", "bad_pdf", "png", "png_text", "jpeg_com"]
     + ["pdf_cid", "pdf_encrypted_rc4", "pdf_cid_noto"]
+    + ["pdf_winansi", "pdf_predefined_cmap", "html_cjk", "pdf_incremental"]
 )
 
 
@@ -609,6 +696,66 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         n_pages = 1 + _h(f"npages:{doc_id}") % 3
         payload = make_pdf(pdf_pages_for(text, n_pages), font="cid_noto")
         expected = None
+    elif cls == "pdf_winansi":
+        # /Encoding /WinAnsiEncoding with NO /Differences and NO /ToUnicode:
+        # show bytes are cp1252 — recoverable only through the Annex D base
+        # encoding table (the accent phrase makes the high bytes real)
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(
+            "Café déjà-vu Ångström – résumé € " + text,
+            n_pages,
+            charset="cp1252",
+        )
+        payload = make_pdf(pages, font="winansi")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_predefined_cmap":
+        # Type0 with the predefined /UniGB-UCS2-H CMap and no ToUnicode:
+        # the show codes ARE UTF-16BE text — a CMap-name classifier
+        # recovers it; treating all Type0 as glyph-indexed loses the doc
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(
+            "中文 文档 解析 测试 " + text, n_pages, charset="utf-16-be"
+        )
+        payload = make_pdf(pages, font="ucs2")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "html_cjk":
+        # declared shift_jis / euc-jp / big5 page (WHATWG label → stdlib
+        # codec); the injected phrase guarantees real multibyte content
+        enc, inj = (
+            ("shift_jis", "日本語 テスト 文書"),
+            ("euc-jp", "日本語 解析 文書"),
+            ("big5", "中文 測試 文件"),
+        )[_h(f"cjk:{doc_id}") % 3]
+        from pbx_ds_ocr_server_spark.kernels.charset import _ALIASES
+
+        codec = _ALIASES.get(enc, enc)
+        safe = " ".join(
+            (inj + " " + text).encode(codec, "ignore").decode(codec).split()
+        )
+        body = wrap_html_plain(safe).replace(
+            "<head>", f'<head><meta charset="{enc}">', 1
+        )
+        # 'ignore' drops unencodable BOILERPLATE chars (the © in the
+        # footer template is not cp932-encodable); the <main> content is
+        # `safe`, already codec-filtered, so expected_text is unaffected
+        payload = body.encode(codec, "ignore")
+        expected = safe
+    elif cls == "pdf_incremental":
+        # incrementally-updated document: the appended update section's
+        # content streams supersede the originals (last-object-wins)
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        stale = pdf_pages_for(
+            "stale draft text superseded by the update section", n_pages
+        )
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf_incremental(stale, pages)
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
     elif cls == "empty":
         payload = b""
         expected = None

@@ -39,6 +39,12 @@ _BOMS: tuple[tuple[bytes, str], ...] = (
 )
 
 # Common label aliases (WHATWG encoding-ish, minimal deterministic subset).
+# The CJK rows follow the WHATWG Encoding Standard's label→decoder table:
+# every Shift_JIS-family label decodes as windows-31j (cp932 — the strict
+# JIS X 0208 codec rejects the NEC/IBM extensions real pages use), euc-kr
+# decodes as windows-949 (cp949, the uhc superset), big5 labels keep the
+# stdlib big5 (Python has no big5+HKSCS-fallback combined table; pages
+# declaring hkscs explicitly get big5hkscs).
 _ALIASES = {
     "iso-8859-1": "latin-1",
     "iso8859-1": "latin-1",
@@ -46,6 +52,30 @@ _ALIASES = {
     "gb2312": "gb18030",  # WHATWG maps gb2312 label to gb18030 decoder
     "gbk": "gb18030",
     "utf8": "utf-8",
+    # Japanese
+    "shift_jis": "cp932",
+    "shift-jis": "cp932",
+    "sjis": "cp932",
+    "x-sjis": "cp932",
+    "ms_kanji": "cp932",
+    "ms932": "cp932",
+    "windows-31j": "cp932",
+    "euc-jp": "euc-jp",
+    "euc_jp": "euc-jp",
+    "x-euc-jp": "euc-jp",
+    # Traditional Chinese
+    "big5": "big5",
+    "big-5": "big5",
+    "cn-big5": "big5",
+    "x-x-big5": "big5",
+    "big5-hkscs": "big5hkscs",
+    # Korean
+    "euc-kr": "cp949",
+    "euc_kr": "cp949",
+    "korean": "cp949",
+    "ks_c_5601-1987": "cp949",
+    "ksc5601": "cp949",
+    "windows-949": "cp949",
 }
 
 

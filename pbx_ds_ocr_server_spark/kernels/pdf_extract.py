@@ -769,13 +769,25 @@ def _inline_dict_after(data: bytes, key: bytes) -> bytes | None:
         i = end
 
 
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9-]+)")
+_BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9-]+)")
+
+
 def _font_decoder(
     objects: dict[int, bytes], body: bytes, decrypt=None
 ) -> FontDecoder:
     """Classify one font object → decoder. Order of precedence:
-    /ToUnicode CMap (exact) → provable glyph-indexing with no map
-    (Type0 / Identity-H → all text lost, honest empty) → /Differences +
-    AGL → the default simple-font byte path."""
+    /ToUnicode CMap (exact) → composite fonts by predefined CMap class
+    (Uni*-UCS2/UTF16 = direct UTF-16BE text; legacy-charset CMaps decode
+    through their stdlib codec; Identity/unknown = all text lost, honest
+    empty) → /Differences + AGL over an optional /BaseEncoding →
+    named WinAnsi/MacRoman base encoding → the default simple-font
+    byte path."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        base_encoding_table,
+        classify_predefined_cmap,
+    )
+
     is_composite = bool(_TYPE0_RE.search(body) or _IDENTITY_RE.search(body))
     tm = _TOUNICODE_RE.search(body)
     if tm:
@@ -791,7 +803,14 @@ def _font_decoder(
             )
             if cmap:
                 return FontDecoder("cmap", cmap=cmap, width=width)
+    nm = _ENC_NAME_RE.search(body)
+    enc_name = nm.group(1) if nm else None
     if is_composite:
+        cls = classify_predefined_cmap(enc_name) if enc_name else None
+        if cls == "utf16":
+            return FontDecoder("utf16")
+        if cls is not None and cls != "identity":
+            return FontDecoder("codec", codec=cls)
         return FontDecoder("cid_unknown")
     enc_body = None
     em = _ENC_REF_RE.search(body)
@@ -800,9 +819,17 @@ def _font_decoder(
     else:
         enc_body = _inline_dict_after(body, b"/Encoding")
     if enc_body:
+        base = None
+        bm = _BASE_ENC_RE.search(enc_body)
+        if bm:
+            base = base_encoding_table(bm.group(1))
         diffs = parse_differences(enc_body)
-        if diffs:
-            return FontDecoder("differences", diffs=diffs)
+        if diffs or base:
+            return FontDecoder("differences", diffs=diffs, base=base)
+    elif enc_name:
+        base = base_encoding_table(enc_name)
+        if base:
+            return FontDecoder("differences", base=base)
     return DEFAULT_FONT
 
 

@@ -74,6 +74,88 @@ _UNI_RE = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)$")
 _U_RE = re.compile(r"u([0-9A-Fa-f]{4,6})$")
 
 
+# ------------------------------------------------------- base encodings
+# ISO 32000-1 Annex D tables, built from Python's codec machinery instead
+# of a 224-row literal: WinAnsiEncoding is cp1252 over codes 32..255 minus
+# the five unassigned codes, with the Annex D footnote overrides (octal
+# 240 = space, octal 255 = hyphen — NOT nbsp/soft-hyphen); MacRomanEncoding
+# is mac-roman with octal 312 = space and 0xDB = currency (Adobe's table
+# predates the Mac OS 8.5 euro revision Python's codec implements).
+def _build_win_ansi() -> dict[int, str]:
+    t: dict[int, str] = {}
+    for b in range(32, 256):
+        if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
+            continue  # unassigned in WinAnsiEncoding (and cp1252)
+        t[b] = bytes([b]).decode("cp1252")
+    t[0xA0] = " "
+    t[0xAD] = "-"
+    return t
+
+
+def _build_mac_roman() -> dict[int, str]:
+    t = {b: bytes([b]).decode("mac-roman") for b in range(32, 256)}
+    t[0xCA] = " "
+    t[0xDB] = "¤"
+    return t
+
+
+WIN_ANSI = _build_win_ansi()
+MAC_ROMAN = _build_mac_roman()
+
+_BASE_ENCODINGS = {
+    b"WinAnsiEncoding": WIN_ANSI,
+    b"MacRomanEncoding": MAC_ROMAN,
+}
+
+
+def base_encoding_table(name: bytes) -> dict[int, str] | None:
+    """Named simple-font base encoding → {code → text}, or None when the
+    name is not one we decode (StandardEncoding/MacExpertEncoding fall to
+    the caller's default path)."""
+    return _BASE_ENCODINGS.get(name)
+
+
+# --------------------------------------------------- predefined CID CMaps
+# ISO 32000-1 §9.7.5.2 Table 118 names. Three decodable families:
+#   * Identity-H/V        — code = CID = glyph index: NOT text; only a
+#                           /ToUnicode CMap recovers it (honest empty else)
+#   * Uni*-UCS2/UTF16-*   — the show-string bytes ARE big-endian Unicode:
+#                           directly decodable with no ToUnicode at all
+#   * legacy charset maps — the show-string bytes are text in the CMap's
+#                           source charset (GBK-EUC = GBK bytes, 90ms-RKSJ
+#                           = Shift-JIS/cp932, ETen-B5 = Big5, KSCms-UHC =
+#                           UHC/cp949...): decodable through the stdlib
+#                           codec for that charset
+# Anything else (pure-CID orderings like Adobe-Japan1-6's RKSJ variants we
+# don't list) stays honest-empty.
+_CMAP_CODECS: dict[bytes, str] = {
+    b"GB-EUC": "gb18030", b"GBpc-EUC": "gb18030", b"GBK-EUC": "gb18030",
+    b"GBKp-EUC": "gb18030", b"GBK2K": "gb18030",
+    b"90ms-RKSJ": "cp932", b"90msp-RKSJ": "cp932", b"90pv-RKSJ": "cp932",
+    b"83pv-RKSJ": "cp932", b"Add-RKSJ": "cp932", b"Ext-RKSJ": "cp932",
+    b"EUC": "euc-jp",
+    b"B5pc": "big5", b"ETen-B5": "big5", b"ETenms-B5": "big5",
+    b"HKscs-B5": "big5hkscs",
+    b"KSC-EUC": "euc-kr", b"KSCpc-EUC": "euc-kr",
+    b"KSCms-UHC": "cp949", b"KSCms-UHC-HW": "cp949",
+}
+_UCS2_RE = re.compile(rb"Uni[A-Za-z0-9]+-(UCS2|UTF16)(-HW)?$")
+_HV_RE = re.compile(rb"-(H|V)$")
+
+
+def classify_predefined_cmap(name: bytes) -> str | None:
+    """Predefined CMap name → decode strategy: 'identity' (CID == code, no
+    text without ToUnicode), 'utf16' (codes are UTF-16BE text), a Python
+    codec name (codes are text in that legacy charset), or None (unknown —
+    caller keeps the honest-empty path)."""
+    if name in (b"Identity-H", b"Identity-V"):
+        return "identity"
+    stem = _HV_RE.sub(b"", name)
+    if _UCS2_RE.fullmatch(stem):
+        return "utf16"
+    return _CMAP_CODECS.get(stem)
+
+
 def glyph_to_unicode(name: str) -> str | None:
     """AGL glyph name → text, or None when unknown (caller flags as lost)."""
     if name in _AGL:
@@ -210,24 +292,50 @@ class FontDecoder:
       * 'default'     — the simple-font byte path (utf-8 with replacement,
                         byte-identical to the round-2 behavior)
       * 'cmap'        — /ToUnicode decoding at the declared code width
-      * 'differences' — /Differences + AGL; non-remapped bytes fall back to
-                        printable-ASCII identity, anything else is lost
+      * 'differences' — /Differences + AGL over an optional named base
+                        encoding (WinAnsi/MacRoman); non-remapped bytes
+                        fall back to the base table when one is named,
+                        else printable-ASCII identity; anything else lost
+      * 'utf16'       — predefined Uni*-UCS2/UTF16 CMap: show bytes are
+                        big-endian Unicode text
+      * 'codec'       — predefined legacy-charset CMap: show bytes decode
+                        through the named stdlib codec (cp932, big5, ...)
       * 'cid_unknown' — provably glyph-indexed with no map: all text lost
     """
 
-    __slots__ = ("kind", "cmap", "width", "diffs")
+    __slots__ = ("kind", "cmap", "width", "diffs", "base", "codec")
 
-    def __init__(self, kind: str, cmap=None, width: int = 1, diffs=None):
+    def __init__(self, kind: str, cmap=None, width: int = 1, diffs=None,
+                 base=None, codec: str | None = None):
         self.kind = kind
         self.cmap = cmap or {}
         self.width = width
         self.diffs = diffs or {}
+        self.base = base
+        self.codec = codec
 
     def decode(self, raw: bytes) -> tuple[str, bool]:
         if self.kind == "default":
             return raw.decode("utf-8", errors="replace"), False
         if self.kind == "cid_unknown":
             return "", bool(raw)
+        if self.kind == "utf16":
+            lost = bool(len(raw) % 2)
+            even = raw[: len(raw) - len(raw) % 2]
+            try:
+                return even.decode("utf-16-be"), lost
+            except UnicodeDecodeError:
+                # unpaired surrogates in a corrupt stream: keep the
+                # decodable units, flag the rest as lost — never U+FFFD
+                return even.decode("utf-16-be", "ignore"), True
+        if self.kind == "codec":
+            try:
+                return raw.decode(self.codec), False
+            except (UnicodeDecodeError, LookupError):
+                try:
+                    return raw.decode(self.codec, "ignore"), True
+                except LookupError:
+                    return "", bool(raw)
         if self.kind == "cmap":
             out: list[str] = []
             lost = False
@@ -243,9 +351,10 @@ class FontDecoder:
                 else:
                     out.append(s)
             return "".join(out), lost
-        # differences
+        # differences (with optional named base encoding)
         out = []
         lost = False
+        base = self.base
         for b in raw:
             if b in self.diffs:
                 s = self.diffs[b]
@@ -253,6 +362,14 @@ class FontDecoder:
                     lost = True
                 else:
                     out.append(s)
+            elif base is not None:
+                s = base.get(b)
+                if s is not None:
+                    out.append(s)
+                elif b in (9, 10, 13):
+                    out.append(chr(b))  # whitespace controls pass through
+                else:
+                    lost = True
             elif 32 <= b < 127:
                 out.append(chr(b))
             elif b in (9, 10, 13):

@@ -77,3 +77,33 @@ def test_empty():
 def test_determinism():
     payload = "héllo wörld 中文".encode("utf-8")
     assert all(sniff_decode(payload) == sniff_decode(payload) for _ in range(3))
+
+
+def test_cjk_labels_decode_through_whatwg_codecs():
+    """shift_jis/euc-jp/big5/euc-kr labels (and variants) decode the page;
+    the Shift_JIS family maps to cp932 (windows-31j) per the WHATWG table —
+    the NEC/IBM extension chars real pages carry prove it's not the strict
+    JIS X 0208 codec."""
+    cases = [
+        ("shift_jis", "cp932", "日本語 テスト ① ㈱"),  # ①/㈱ = NEC extensions
+        ("Shift-JIS", "cp932", "日本語 テスト"),
+        ("x-sjis", "cp932", "日本語"),
+        ("euc-jp", "euc-jp", "日本語 解析 文書"),
+        ("big5", "big5", "中文 測試 文件"),
+        ("euc-kr", "cp949", "한국어 문서"),
+    ]
+    for label, codec, s in cases:
+        body = (
+            f'<html><head><meta charset="{label}"></head>'
+            f"<body><p>{s}</p></body></html>"
+        )
+        text, enc = sniff_decode(body.encode(codec))
+        assert enc == codec, label
+        assert s in text, label
+
+
+def test_strict_sjis_label_still_wins_when_decodable():
+    # a page whose bytes happen to be plain 7-bit ASCII under any CJK label
+    body = b'<html><head><meta charset="sjis"></head><body>ok</body></html>'
+    text, enc = sniff_decode(body)
+    assert enc == "cp932" and "ok" in text

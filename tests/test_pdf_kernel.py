@@ -696,6 +696,168 @@ def test_title_encrypted_unresolvable_info_is_typed_absence():
     assert pdf_title(plain) == "Open Title"
 
 
+def _font_pdf(stream: bytes, font_obj: bytes) -> bytes:
+    """Minimal single-page document around ``stream`` with ``font_obj`` as
+    object 5 (the /F1 resource) — the shared scaffold for font tests."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + font_obj + b"\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+
+
+def test_winansi_base_encoding_decodes_high_bytes():
+    """/Encoding /WinAnsiEncoding (no /Differences, no /ToUnicode): show
+    bytes are cp1252 and must decode through the Annex D table, including
+    the footnote overrides (0xA0 = space, 0xAD = hyphen, NOT nbsp/shy)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    # é € – (cp1252 e9/80/96) around the overridden 0xA0 and 0xAD
+    shown = bytes.fromhex("e9a08096ad")
+    stream = (
+        b"BT /F1 12 Tf 72 700 Td <" + shown.hex().encode() + b"> Tj ET"
+    )
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "é €–-"
+    assert res[0][1] is False
+
+
+def test_winansi_unassigned_byte_flags_lost():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    stream = b"BT /F1 12 Tf 72 700 Td <4181e9> Tj ET"  # A, 0x81, e-acute
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "Aé"  # the unassigned byte vanishes...
+    assert res[0][1] is True  # ...and is flagged as a blind spot
+
+
+def test_macroman_base_encoding_decodes_high_bytes():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    # mac-roman: 0x8E = é; overrides: 0xCA = space (not nbsp),
+    # 0xDB = currency (Adobe's pre-euro table)
+    stream = b"BT /F1 12 Tf 72 700 Td <8eca41db> Tj ET"
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /MacRomanEncoding >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "é A¤"
+    assert res[0][1] is False
+
+
+def test_base_encoding_with_differences_overlay():
+    """/BaseEncoding /WinAnsiEncoding + /Differences: the diff wins on its
+    codes, all other bytes decode through the base table (not ASCII-only
+    fallback)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    # 65 remapped to eacute by /Differences; 0xC9 = É via WinAnsi base
+    stream = b"BT /F1 12 Tf 72 700 Td <41c9> Tj ET"
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /F /Encoding"
+        b" << /BaseEncoding /WinAnsiEncoding /Differences [65 /eacute] >> >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "éÉ"
+    assert res[0][1] is False
+
+
+def test_ucs2_predefined_cmap_round_trip():
+    """Type0 /Encoding /UniGB-UCS2-H with NO ToUnicode: the show codes are
+    UTF-16BE text — the generator round-trips CJK through make_pdf."""
+    text = "中文 文档 解析 测试 latin words too"
+    pages = pdf_pages_for(text, 2, charset="utf-16-be")
+    got = [p.text for p in extract_pdf(make_pdf(pages, font="ucs2"))]
+    want = ["\n\n".join(line for _, _, line in page) for page in pages]
+    assert got == want
+
+
+def test_legacy_charset_cmaps_decode_through_codec():
+    """Predefined legacy-charset CMaps: 90ms-RKSJ-H show bytes are cp932
+    (Shift-JIS + NEC/IBM extensions), GBK-EUC-H bytes are GBK."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    for enc_name, codec, s in (
+        (b"90ms-RKSJ-H", "cp932", "日本語テスト"),
+        (b"GBK-EUC-H", "gb18030", "中文测试"),
+        (b"ETen-B5-H", "big5", "中文測試"),
+    ):
+        raw = s.encode(codec)
+        stream = b"BT /F1 12 Tf 72 700 Td <" + raw.hex().encode() + b"> Tj ET"
+        pdf = _font_pdf(
+            stream,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /"
+            + enc_name
+            + b" /DescendantFonts [9 0 R] >>",
+        )
+        res = extract_pdf_detailed(pdf)
+        assert res[0][0].text == s, enc_name
+        assert res[0][1] is False, enc_name
+
+
+def test_unknown_predefined_cmap_stays_honest_empty():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    stream = b"BT /F1 12 Tf 72 700 Td <20412042> Tj ET"
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        b" /Encoding /Hojo-EUC-H /DescendantFonts [9 0 R] >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == ""  # pure-CID ordering we cannot map
+    assert res[0][1] is True
+
+
+def test_incremental_update_last_object_wins():
+    """An appended incremental-update section (second xref, /Prev chain)
+    redefines the content streams: extraction must surface the UPDATED
+    text, and the page count is unchanged."""
+    from pbx_ds_ocr_server_spark.corpus import make_pdf_incremental
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_page_count
+
+    stale = pdf_pages_for("old draft text that must not appear", 2)
+    fresh = pdf_pages_for("the updated words are the document now", 2)
+    pdf = make_pdf_incremental(stale, fresh)
+    assert b"/Prev " in pdf and pdf.count(b"%%EOF") == 2
+    got = [p.text for p in extract_pdf(pdf)]
+    want = ["\n\n".join(l for _, _, l in page) for page in fresh]
+    assert got == want
+    assert "old draft" not in " ".join(got)
+    assert pdf_page_count(pdf) == 2
+
+
 def test_r6_password_kdf_and_key_unwrap():
     from pbx_ds_ocr_server_spark.kernels.pdf_crypt import (
         hash_2b,
