@@ -10,8 +10,11 @@ text analysis, multimodal metadata) and relational/window/streaming-style
 demonstrations. Column names/aliases match between Spark and SQL exactly;
 floating-point outputs are rounded identically on both sides.
 
-Non-SQL-expressible entries (full corpus status fan-out over binary
-payloads) intentionally have no oracle → driver records rows-only checks.
+CURATION (round 4): the driver records the first 50 entries, so queries()
+holds EXACTLY 50 — every one oracle-bearing (even the iterative k-means, via
+an unrolled Lloyd's mirror with per-iteration centroid rounding pinned on
+both sides). Five thin queries were folded into queries that hash-check the
+same expressions — the full subsumption list is in SURVEY.md §8.
 """
 
 from __future__ import annotations
@@ -26,7 +29,6 @@ from pbx_ds_ocr_server_spark.functions.text import (
     EMAIL_RE,
     IPV4_RE,
     STOPWORDS,
-    fingerprint,
     hash_sample,
     lang_id,
     lang_id_table,
@@ -265,6 +267,97 @@ def _lsh_bucket_sql(n_planes: int = 8, dims: int = 64) -> str:
     return " + ".join(terms)
 
 
+def _ann_ivf_kmeans_sql(
+    k_clusters: int = 8, iters: int = 3, k: int = 5, n_probe: int = 2,
+    dims: int = 64,
+) -> str:
+    """Unrolled Lloyd's-iteration mirror of operators/kmeans.ivf_kmeans_topk
+    (centroid_round_dp=5). Long-form melt: vectors and centroids as
+    (id/cluster, dim, value) relations; each iteration = one assignment
+    join (argmin of per-cluster squared distance, ties → lowest cluster)
+    + one per-(cluster, dim) rounded mean, empty clusters keeping their
+    previous centroid via the left-join coalesce. Init = the k vectors
+    with the smallest md5(vec_id), exactly like kmeans_fit."""
+    melt = f"UNNEST(generate_series(1, {dims})) AS t(d)"
+    parts = [
+        f"""q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE vec_id = 0),
+        base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id <> 0),
+        m AS (SELECT vec_id, d - 1 AS dim, v[d] AS val FROM base, {melt}),
+        init AS (
+            SELECT vec_id, rn - 1 AS ci FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM base)
+            WHERE rn <= {k_clusters}
+        ),
+        c0 AS (SELECT i.ci, m.dim, m.val AS c FROM init i
+               JOIN m ON m.vec_id = i.vec_id)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+            SELECT m.vec_id, {prev}.ci,
+                   sum((m.val - {prev}.c) * (m.val - {prev}.c)) AS dist
+            FROM m JOIN {prev} ON m.dim = {prev}.dim
+            GROUP BY 1, 2
+        ),
+        asg{it} AS (
+            SELECT vec_id, ci AS cluster FROM (
+                SELECT vec_id, ci, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, ci) AS rn
+                FROM a{it})
+            WHERE rn = 1
+        ),
+        u{it} AS (
+            SELECT g.cluster AS ci, m.dim, round(avg(m.val), 5) AS c
+            FROM m JOIN asg{it} g USING (vec_id) GROUP BY 1, 2
+        ),
+        c{it} AS (
+            SELECT p.ci, p.dim, coalesce(u{it}.c, p.c) AS c
+            FROM {prev} p LEFT JOIN u{it}
+              ON u{it}.ci = p.ci AND u{it}.dim = p.dim
+        )""")
+    cz = f"c{iters}"
+    parts.append(f"""qm AS (SELECT d - 1 AS dim, e[d] AS val FROM q, {melt}),
+        probes AS (
+            SELECT ci FROM (
+                SELECT {cz}.ci,
+                       sum((qm.val - {cz}.c) * (qm.val - {cz}.c)) AS dist
+                FROM qm JOIN {cz} ON qm.dim = {cz}.dim GROUP BY 1)
+            ORDER BY dist, ci LIMIT {n_probe}
+        ),
+        af AS (
+            SELECT m.vec_id, {cz}.ci,
+                   sum((m.val - {cz}.c) * (m.val - {cz}.c)) AS dist
+            FROM m JOIN {cz} ON m.dim = {cz}.dim
+            GROUP BY 1, 2
+        ),
+        asgf AS (
+            SELECT vec_id, ci AS cluster FROM (
+                SELECT vec_id, ci, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, ci) AS rn
+                FROM af)
+            WHERE rn = 1
+        ),
+        cand AS (
+            SELECT vec_id FROM asgf JOIN probes ON asgf.cluster = probes.ci
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT vec_id AS neighbor,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5)
+                   AS cos
+        FROM embeddings, q
+        WHERE vec_id IN (SELECT vec_id FROM cand)
+        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5)
+                 DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 # --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -334,7 +427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["extract_plain"] = extract_plain
-    q["extract_paras"] = extract_paras
+    # extract_paras is NOT registered: its oracle is identical to
+    # extract_boiler's (the boiler wrapper adds the boilerplate the scorer
+    # must strip) and the paras_bare wrapper is exercised by
+    # extract_span_stats — the driver caps the checked-query count, so the
+    # slot goes to a query with a distinct failure mode (SURVEY §8).
     q["extract_boiler"] = extract_boiler
     q["extract_span_stats"] = extract_span_stats
     q["extract_plain_strict"] = extract_plain_strict
@@ -345,9 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_status_counts"] = extract_status_counts
 
     # --- text analysis tier ---
-    q["token_counts"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", token_count("text").alias("n_tokens")
-    )
+    # (plain token_counts is not registered: token_count_cjk reduces to it
+    # exactly on CJK-free text and the union'd query covers all original
+    # rows; token_count itself is additionally pinned by the sequence_pack
+    # and corpus_curation oracles)
 
     def token_counts_cjk(spark, sf):
         # the test tables carry no CJK text, so the query injects a
@@ -400,9 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id", quality_score("text").alias("quality")
     )
-    q["fingerprints"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", fingerprint("text").alias("fp")
-    )
+    # (fingerprints is not registered standalone: the identical fingerprint
+    # expression is dedup_exact_groups' group key, hash-checked there)
     q["simhash"] = lambda spark, sf: simhash_table(
         _docs(spark, sf).select("doc_id", "text")
     )
@@ -437,24 +534,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def url_normalize_q(spark, sf):
-        from pbx_ds_ocr_server_spark.functions.urls import url_normalize
-
-        return _docs(spark, sf).select(
-            "doc_id", url_normalize(_messy_url()).alias("canon_url")
+        # one query covers both url functions (canonical form + host) —
+        # frees a driver slot vs the former separate url_host_counts
+        from pbx_ds_ocr_server_spark.functions.urls import (
+            url_host,
+            url_normalize,
         )
 
-    def url_host_counts(spark, sf):
-        from pbx_ds_ocr_server_spark.functions.urls import url_host
-
-        return (
-            _docs(spark, sf)
-            .select(url_host(_messy_url()).alias("host"))
-            .groupBy("host")
-            .agg(F.count("*").alias("n"))
+        return _docs(spark, sf).select(
+            "doc_id",
+            url_normalize(_messy_url()).alias("canon_url"),
+            url_host(_messy_url()).alias("host"),
         )
 
     q["url_normalize"] = url_normalize_q
-    q["url_host_counts"] = url_host_counts
     q["hash_sample"] = lambda spark, sf: hash_sample(
         _docs(spark, sf), rate=0.1
     ).select("doc_id")
@@ -637,13 +730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
-    q["quality_filter"] = lambda spark, sf: (
-        _docs(spark, sf)
-        .withColumn("quality", quality_score("text"))
-        .filter(F.col("quality") >= 0.8)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n"))
-    )
+    # (quality_filter is not registered standalone: corpus_curation applies
+    # the same quality gate inside the composed C4 pipeline, and
+    # quality_scores hash-checks the per-document values directly)
 
     # --- heavy shuffle agg: corpus-wide n-gram document frequencies ---
     def ngram_topk(spark, sf):
@@ -713,6 +802,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id")
 
     q["dedup_near_transitive"] = dedup_near_transitive
+
+    def dedup_near_estimated(spark, sf):
+        # the estimate middle tier wired into the composed op: candidate
+        # pairs whose 4-component signature estimate is ≥ 0.9 are accepted
+        # without the shingle self-join; < 0.3 dropped; only the middle
+        # band pays for exact verification (mirrored exactly in SQL)
+        from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
+
+        return dedup_near(
+            _docs_u(spark, sf),
+            max_shingle_df=MAX_SHINGLE_DF,
+            estimate_band=(0.3, 0.9),
+        ).select("doc_id")
+
+    q["dedup_near_estimated"] = dedup_near_estimated
 
     def paragraph_dedup_q(spark, sf):
         # CCNet-style boilerplate pass: a 10-word "subscribe" block is
@@ -839,8 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_zscore"] = zscore
 
-    # --- iterative algorithm (k-means IVF): rows-only by design — Lloyd's
-    # iterations are not expressible as one SQL statement ---
+    # --- iterative algorithm (k-means IVF): Lloyd's loop hash-checked via
+    # an unrolled 3-iteration SQL mirror; per-iteration centroid rounding
+    # (5dp, both sides) pins cross-engine float reproducibility ---
     def ann_ivf_kmeans(spark, sf):
         from pbx_ds_ocr_server_spark.operators.kmeans import ivf_kmeans_topk
 
@@ -853,9 +958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             iters=3,
             k=5,
             n_probe=2,
+            centroid_round_dp=5,
         )
 
-    q["ann_ivf_kmeans_top5"] = ann_ivf_kmeans  # rows-only (iterative)
+    q["ann_ivf_kmeans_top5"] = ann_ivf_kmeans
 
     # --- flagship composition: the C4-style curation pipeline in one query
     # (length gate → quality gate → language gate → exact dedup keep-first)
@@ -1153,6 +1259,70 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT b FROM verified)
     """
 
+    # estimate-tier variant (dedup_near estimate_band=(0.3, 0.9)): pairs
+    # whose 4-component signature estimate ≥ 0.9 are accepted WITHOUT the
+    # shingle join; < 0.3 dropped; the exact tier (cap included) runs over
+    # the undecided band's ids only
+    dedup_near_estimated_sql = f"""
+        WITH docs_u AS ({DOCS_U}),
+        {shingle_cte.format(src='docs_u')},
+        sigs AS (
+            SELECT doc_id,
+                   min(md5(w || '#0')) AS s0, min(md5(w || '#1')) AS s1,
+                   min(md5(w || '#2')) AS s2, min(md5(w || '#3')) AS s3
+            FROM sh GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y
+                  ON x.s0 = y.s0 AND x.s1 = y.s1 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y
+                  ON x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+            )
+        ),
+        est AS (
+            SELECT c.a, c.b,
+                   round(((x.s0 = y.s0)::INT + (x.s1 = y.s1)::INT
+                        + (x.s2 = y.s2)::INT + (x.s3 = y.s3)::INT) / 4.0, 6)
+                       AS ej
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.a
+            JOIN sigs y ON y.doc_id = c.b
+        ),
+        accepted AS (SELECT a, b FROM est WHERE ej >= 0.9),
+        und AS (SELECT a, b FROM est WHERE ej >= 0.3 AND ej < 0.9),
+        cids AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT a AS doc_id FROM und
+                UNION ALL SELECT b AS doc_id FROM und
+            )
+        ),
+        shc AS (SELECT sh.doc_id, sh.w FROM sh JOIN cids USING (doc_id)),
+        shf AS (
+            SELECT doc_id, w FROM shc WHERE w NOT IN (
+                SELECT w FROM shc GROUP BY w HAVING count(*) > {MAX_SHINGLE_DF})
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM shf x JOIN shf y USING (w) WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT a, b FROM inter
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            JOIN und USING (a, b)
+            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8
+        ),
+        losers AS (
+            SELECT b FROM accepted UNION ALL SELECT b FROM verified
+        )
+        SELECT doc_id FROM docs_u
+        WHERE doc_id NOT IN (SELECT b FROM losers)
+    """
+
     # transitive variant: connected components over the verified pairs via a
     # recursive reachability CTE; keeper = component min id (mirror of
     # operators/dedup.connected_min_label)
@@ -1176,13 +1346,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_plain": f"SELECT doc_id, {NORM} AS text_out FROM documents",
-        "extract_paras": paras_sql,
         "extract_boiler": paras_sql,
         "extract_span_stats": span_stats_sql,
         "extract_plain_strict": f"SELECT doc_id, {NORM} AS text_out FROM documents",
         "extract_markdown": markdown_sql,
         "extract_status_counts": _status_counts_sql(),
-        "token_counts": f"SELECT doc_id, CAST({TOKENS} AS BIGINT) AS n_tokens FROM documents",
         "token_counts_cjk": _token_counts_cjk_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
         "chunk_documents": f"""
@@ -1233,7 +1401,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_scores": f"SELECT doc_id, {quality} AS quality FROM documents",
-        "fingerprints": f"SELECT doc_id, md5(lower({NORM})) AS fp FROM documents",
         "simhash": _simhash_sql(),
         "pii_scrub": f"""
             SELECT doc_id,
@@ -1272,23 +1439,9 @@ def oracle_sql() -> dict[str, str]:
                             WHEN scheme = 'https'
                             THEN regexp_replace(auth, ':443$', '')
                             ELSE auth END)
-                   || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS canon_url
+                   || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS canon_url,
+                   regexp_replace(auth, ':[0-9]*$', '') AS host
             FROM p
-        """,
-        "url_host_counts": """
-            WITH u AS (
-                SELECT 'HTTP://User:pw@Host' || (doc_id % 7)
-                       || '.Example.COM:80/Path/' || doc_id || '?q=1#frag' AS url
-                FROM documents
-            )
-            SELECT regexp_replace(
-                       regexp_replace(
-                           lower(regexp_extract(url,
-                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                           '^[^@]*@', ''),
-                       ':[0-9]*$', '') AS host,
-                   count(*) AS n
-            FROM u GROUP BY host
         """,
         "hash_sample": """
             SELECT doc_id FROM documents
@@ -1450,10 +1603,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE n_chars BETWEEN 100 AND 400
             GROUP BY source
         """,
-        "quality_filter": f"""
-            SELECT lang, count(*) AS n FROM documents
-            WHERE {quality} >= 0.8 GROUP BY lang
-        """,
         "ngram_topk": f"""
             WITH {shingle_cte.format(src='documents')}
             SELECT w AS shingle, count(*) AS df FROM sh
@@ -1541,8 +1690,10 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s JOIN top ON s.doc_id = top.doc_id
         """,
         "ann_ivf_top5": ann_ivf_sql,
+        "ann_ivf_kmeans_top5": _ann_ivf_kmeans_sql(),
         "dedup_near_keepers": dedup_near_sql,
         "dedup_near_transitive": dedup_near_transitive_sql,
+        "dedup_near_estimated": dedup_near_estimated_sql,
         "corpus_curation": f"""
             WITH docs_u AS ({DOCS_U}),
             scored AS (

@@ -185,7 +185,6 @@ HEADLINE = [
     "extract_plain",
     "extract_boiler",
     "extract_markdown",
-    "token_counts",
     "token_counts_cjk",
     "lang_id",
     "quality_scores",

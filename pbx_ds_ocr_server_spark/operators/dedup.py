@@ -70,6 +70,34 @@ def minhash_signatures(
     return base.groupBy("id").agg(*aggs)
 
 
+def banding(
+    num_hashes: int, num_bands: int
+) -> tuple[tuple[str, ...], ...]:
+    """Split signature columns s0..s{k-1} into ``num_bands`` contiguous
+    bands of ``rows = num_hashes // num_bands`` hashes each — the standard
+    (b × r) LSH operating point. The candidate probability for a pair with
+    true Jaccard j is 1 − (1 − j^r)^b, an S-curve with threshold
+    ≈ (1/b)^(1/r):
+
+      * k=4,  b=2 × r=2  → threshold ≈ 0.71 (the demo/oracle default)
+      * k=64, b=16 × r=4 → threshold ≈ 0.50 (the documented PRODUCTION
+        point: ≥0.97 candidate recall at j=0.8, <2% at j=0.2 — measured in
+        tests/test_dedup_similarity.py::test_minhash_operating_point_curve)
+
+    More bands/fewer rows moves the threshold down (more candidates, more
+    recall); more rows per band sharpens the curve. num_hashes must divide
+    evenly into num_bands."""
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by"
+            f" num_bands={num_bands}"
+        )
+    r = num_hashes // num_bands
+    return tuple(
+        tuple(f"s{b * r + i}" for i in range(r)) for b in range(num_bands)
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, bands: tuple[tuple[str, ...], ...] = (("s0", "s1"), ("s2", "s3"))
 ) -> DataFrame:
@@ -197,21 +225,11 @@ def jaccard_pairs(
     )
 
 
-def minhash_jaccard_estimate(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 4,
-) -> DataFrame:
-    """Jaccard ESTIMATE for LSH candidate pairs straight from the MinHash
-    signatures: matching components / k — the classic unbiased estimator
-    (P[min-hash agreement] = true Jaccard per component). The cheap middle
-    tier between candidate generation and exact verification: at web scale
-    you estimate from the (tiny) signatures first and run the shingle
-    self-join ONLY on pairs the estimate can't decide — the payload texts
-    are never touched here. → (a, b, est_jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, k=k)
-    cand = lsh_candidate_pairs(sigs)
+def _pair_estimates(sigs: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """(a, b) candidate pairs + per-id signatures → (a, b, est_jaccard):
+    matching signature components / k, the classic unbiased estimator
+    (P[min-hash agreement] = true Jaccard per component). Two equi-joins
+    on id against the (tiny) signature relation — never touches texts."""
     xa = sigs.select(
         F.col("id").alias("a"),
         *[F.col(f"s{i}").alias(f"xa{i}") for i in range(k)],
@@ -230,6 +248,24 @@ def minhash_jaccard_estimate(
         .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
         .select("a", "b", "est_jaccard")
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_bands: int = 2,
+) -> DataFrame:
+    """Jaccard ESTIMATE for LSH candidate pairs straight from the MinHash
+    signatures. The cheap middle tier between candidate generation and
+    exact verification: at web scale you estimate from the (tiny)
+    signatures first and run the shingle self-join ONLY on pairs the
+    estimate can't decide — the payload texts are never touched here.
+    → (a, b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k)
+    cand = lsh_candidate_pairs(sigs, bands=banding(k, num_bands))
+    return _pair_estimates(sigs, cand, k)
 
 
 def paragraph_dedup(
@@ -411,6 +447,9 @@ def dedup_near(
     min_jaccard: float = 0.8,
     max_shingle_df: int | None | object = _REQUIRED,
     transitive: bool = False,
+    num_hashes: int = 4,
+    num_bands: int = 2,
+    estimate_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH candidates → exact Jaccard verify
     → connected keepers (min id wins per duplicate pair chain).
@@ -425,6 +464,26 @@ def dedup_near(
     The standard web-scale composition: candidate generation is bucketed
     (never all-pairs), verification touches only candidates, and the final
     keep-set is a left-anti join.
+
+    ``(num_hashes, num_bands)`` set the LSH operating point (see
+    :func:`banding`): the default (4, 2) is the demo/oracle point; the
+    documented production point at 10⁹ docs is ``num_hashes=64,
+    num_bands=16`` (16 bands × 4 rows — candidate-probability threshold
+    ≈ 0.5 for a 0.8 dedup threshold, measured recall/candidate-rate curve
+    in tests).
+
+    ``estimate_band=(lo, hi)`` turns on the signature-estimate middle tier:
+    candidate pairs whose matching-component estimate is ≥ hi are accepted
+    as duplicates WITHOUT re-reading the texts, pairs with estimate < lo
+    are dropped, and only the undecidable band pays for the exact shingle
+    self-join. At a production operating point (k=64) the estimator's
+    standard error is ≈ √(j(1−j)/64) ≈ 0.06, so e.g. (0.5, 0.95) keeps the
+    exact tier to a thin slice. ``None`` (default) exact-verifies every
+    candidate — the behavior the hash-gated oracle queries pin. NOTE the
+    accepted tier trades exactness for cost: a pair whose true (cap-
+    filtered) Jaccard is below ``min_jaccard`` but whose k-sample estimate
+    clears ``hi`` is deleted anyway — at k=64 and hi=0.95 that is a
+    >2.5σ-upward outlier of a j<0.8 pair; choose hi accordingly.
 
     ``transitive=False`` (default): one-hop — any id that is the larger
     member of a verified pair is dropped. A hub document near two others
@@ -441,8 +500,18 @@ def dedup_near(
             " small trusted frames only). This operator deletes rows, so"
             " the trade-off must be the caller's choice."
         )
-    sigs = minhash_signatures(df, id_col, text_col)
-    cand = lsh_candidate_pairs(sigs)
+    sigs = minhash_signatures(df, id_col, text_col, k=num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands=banding(num_hashes, num_bands))
+    accepted = None
+    if estimate_band is not None:
+        lo, hi = estimate_band
+        if not (0.0 <= lo <= hi <= 1.0):
+            raise ValueError(f"estimate_band must satisfy 0 ≤ lo ≤ hi ≤ 1, got {estimate_band}")
+        est = _pair_estimates(sigs, cand, num_hashes)
+        accepted = est.filter(F.col("est_jaccard") >= hi).select("a", "b")
+        cand = est.filter(
+            (F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi)
+        ).select("a", "b")
     # verify candidates with exact jaccard (restricted via semi joins)
     cand_ids = cand.select(F.col("a").alias("id")).unionByName(
         cand.select(F.col("b").alias("id"))
@@ -454,6 +523,8 @@ def dedup_near(
         min_jaccard=min_jaccard,
         max_shingle_df=max_shingle_df,
     ).join(cand, ["a", "b"], "left_semi")
+    if accepted is not None:
+        verified = verified.select("a", "b").unionByName(accepted).distinct()
     if transitive:
         labels = connected_min_label(verified)
         losers = labels.filter(F.col("label") != F.col("id")).select(

@@ -55,8 +55,18 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_round_dp: int | None = None,
 ) -> list[list[float]]:
-    """Train k centroids; returns them as plain lists (driver-side, tiny)."""
+    """Train k centroids; returns them as plain lists (driver-side, tiny).
+
+    ``centroid_round_dp`` rounds each centroid component (Spark-side
+    ``F.round``, half-away-from-zero — the same rule ANSI engines use)
+    after every update. Iterations then stay EXACTLY reproducible across
+    engines whose floating sums differ in ulps (summation order), which is
+    what lets the driver hash-check this iterative algorithm against a
+    DuckDB mirror: unrounded, an ulp in one mean can flip a borderline
+    assignment next iteration and cascade. None (default) keeps full
+    precision."""
     init_rows = (
         df.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -65,6 +75,9 @@ def kmeans_fit(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dims = len(centroids[0])
+    mean_expr = F.avg("v")
+    if centroid_round_dp is not None:
+        mean_expr = F.round(mean_expr, centroid_round_dp)
     for _ in range(iters):
         assigned = assign_clusters(df.select(id_col, vec_col), centroids, vec_col)
         means = (
@@ -72,7 +85,7 @@ def kmeans_fit(
                 "cluster", F.posexplode(as_double_array(vec_col)).alias("dim", "v")
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(mean_expr.alias("m"))
             .collect()
         )
         new = [list(c) for c in centroids]  # empty clusters keep position
@@ -95,14 +108,20 @@ def ivf_kmeans_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 5,
+    centroid_round_dp: int | None = None,
 ) -> DataFrame:
     """End-to-end IVF: train k-means lists, probe the ``n_probe`` nearest
-    lists for the query, exact-search only those rows."""
+    lists for the query, exact-search only those rows.
+    ``centroid_round_dp`` pins per-iteration centroid rounding for
+    cross-engine reproducibility (see :func:`kmeans_fit`)."""
     import math
 
     from pbx_ds_ocr_server_spark.operators.similarity import brute_force_topk
 
-    centroids = kmeans_fit(df, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    centroids = kmeans_fit(
+        df, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        centroid_round_dp=centroid_round_dp,
+    )
 
     def sqd(a: list[float], b: list[float]) -> float:
         return math.fsum((x - y) * (x - y) for x, y in zip(a, b))

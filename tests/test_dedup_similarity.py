@@ -381,3 +381,108 @@ def test_stratified_sample_prefilter_is_exact_at_adequate_rate(spark):
     # exceeds auto_max_groups the auto path must NOT collect the group
     # domain — it falls back to the plain (still exact) window
     assert run(auto_max_groups=2) == exact
+
+
+def test_minhash_operating_point_curve(spark):
+    """Production LSH operating point (k=64, 16 bands × 4 rows): measured
+    candidate rate vs true shingle Jaccard on a synthetic overlap gradient.
+    Theory: P[candidate] = 1 − (1 − j⁴)¹⁶ — an S-curve with threshold
+    (1/16)^(1/4) ≈ 0.5. The assertions pin the three regimes: pairs at the
+    0.8 dedup threshold are (essentially) always candidates, far-below-
+    threshold pairs almost never, mid-curve in between. Deterministic:
+    signatures are md5 of the words, no RNG anywhere."""
+    from pbx_ds_ocr_server_spark.operators.dedup import banding, shingles
+
+    REPS = 30
+    WORDS = 100
+
+    def doc_pair(rep: int, shared: int) -> tuple[str, str]:
+        a = [f"r{rep}s{shared}a{i}" for i in range(WORDS)]
+        b = a[:shared] + [f"r{rep}s{shared}b{i}" for i in range(WORDS - shared)]
+        return " ".join(a), " ".join(b)
+
+    # shared-word counts spanning the curve; true J computed exactly below
+    levels = [95, 89, 67, 40, 12]
+    rows, true_j = [], {}
+    did = 0
+    for shared in levels:
+        for rep in range(REPS):
+            ta, tb = doc_pair(rep, shared)
+            sa = {" ".join(ta.split()[i : i + 3]) for i in range(WORDS - 2)}
+            sb = {" ".join(tb.split()[i : i + 3]) for i in range(WORDS - 2)}
+            true_j[(did, did + 1)] = len(sa & sb) / len(sa | sb)
+            rows += [(did, ta), (did + 1, tb)]
+            did += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, k=64)
+    cand = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(sigs, bands=banding(64, 16)).collect()
+    }
+    hits = {shared: 0 for shared in levels}
+    js = {}
+    for (a, b), j in true_j.items():
+        shared = levels[a // (2 * REPS)]
+        js[shared] = j
+        if (a, b) in cand:
+            hits[shared] += 1
+    # high-J regime (j≈0.93 and j≈0.8): every pair is a candidate
+    assert js[95] > 0.9 and hits[95] == REPS
+    assert 0.78 < js[89] < 0.82 and hits[89] == REPS
+    # mid-curve (j≈0.5): theory 0.645 — wide binomial bounds
+    assert 0.45 < js[67] < 0.55 and 8 <= hits[67] <= 28
+    # far below threshold: candidate rate collapses
+    assert js[40] < 0.35 and hits[40] <= 12
+    assert js[12] < 0.12 and hits[12] <= 2
+
+
+def test_banding_validates_and_partitions():
+    from pbx_ds_ocr_server_spark.operators.dedup import banding
+
+    assert banding(4, 2) == (("s0", "s1"), ("s2", "s3"))
+    assert banding(64, 16)[0] == ("s0", "s1", "s2", "s3")
+    assert banding(64, 16)[15] == ("s60", "s61", "s62", "s63")
+    with pytest.raises(ValueError):
+        banding(6, 4)
+
+
+def test_dedup_near_estimate_band_skips_exact_tier_for_sure_pairs(spark):
+    """estimate_band: pairs the signature estimate decides (≥hi) are
+    accepted without the shingle self-join; only the undecidable band pays
+    for exact verification — and the composed result still removes the
+    duplicates."""
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        _pair_estimates,
+        banding,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base), (3, base.replace("kappa", "NEW")),
+            (4, "totally different words that share nothing at all here"),
+            (5, "one more unrelated document with its own private words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = {r.doc_id for r in dedup_near(df, max_shingle_df=None).collect()}
+    banded = {
+        r.doc_id
+        for r in dedup_near(
+            df, max_shingle_df=None, estimate_band=(0.3, 0.9)
+        ).collect()
+    }
+    assert banded == plain  # same keepers on this frame
+    assert 2 not in banded  # the exact dup is gone
+
+    # the exact tier's input provably shrinks: est=1.0 pairs (exact dups)
+    # are accepted from signatures alone, leaving fewer undecided pairs
+    sigs = minhash_signatures(df)
+    cand = _pair_estimates(sigs, lsh_candidate_pairs(sigs, banding(4, 2)), 4)
+    n_cand = cand.count()
+    n_undecided = cand.filter(
+        (F.col("est_jaccard") >= 0.3) & (F.col("est_jaccard") < 0.9)
+    ).count()
+    n_accepted = cand.filter(F.col("est_jaccard") >= 0.9).count()
+    assert n_accepted >= 1  # the (1,2) exact dup decides from signatures
+    assert n_undecided < n_cand  # the shingle join sees a smaller input
+
+    with pytest.raises(ValueError):
+        dedup_near(df, max_shingle_df=None, estimate_band=(0.9, 0.3))
