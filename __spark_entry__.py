@@ -379,12 +379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _doc_id_from_url(), F.col("text").alias("text_out")
         )
 
-    def extract_paras(spark, sf_dir):
-        wrapped = wrapped_docs_df(spark, f"{sf_dir}/documents.parquet", "paras_bare")
-        return extract(wrapped).select(
-            _doc_id_from_url(), F.col("text").alias("text_out")
-        )
-
     def extract_boiler(spark, sf_dir):
         wrapped = wrapped_docs_df(
             spark, f"{sf_dir}/documents.parquet", "paras_boiler"

@@ -34,7 +34,8 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7  # v7: pdf_winansi / pdf_predefined_cmap / html_cjk /
+#     pdf_incremental classes (round 4)
 
 NAV = (
     '<nav class="top"><ul>'
@@ -216,8 +217,10 @@ def make_pdf(
     elif font == "cid_noto":
         show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
     elif font == "ucs2":
-        # predefined Uni*-UCS2 CMap: show bytes ARE UTF-16BE text
-        show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
+        # predefined Uni*-UCS2 CMap: show bytes ARE UTF-16BE text (encode,
+        # don't format ord() — a non-BMP char needs its surrogate PAIR,
+        # not a 5-digit hex that would misalign the whole string)
+        show = lambda s: f"<{s.encode('utf-16-be').hex()}>"  # noqa: E731
     elif font == "winansi":
         # /WinAnsiEncoding simple font: show bytes are cp1252
         show = lambda s: f"<{s.encode('cp1252').hex()}>"  # noqa: E731

@@ -610,7 +610,17 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
         stream_enc = _selector(b"StmF") == b"StdCF"
         string_enc = _selector(b"StrF") == b"StdCF"
         if not (stream_enc or string_enc):
-            return None  # everything is plaintext: nothing to decrypt
+            # /StmF /Identity + /StrF /Identity: streams AND strings are
+            # plaintext (the doc may encrypt only embedded files). Return
+            # the IDENTITY decryptor rather than None — None means "cannot
+            # open", and conflating the two would make pdf_title drop a
+            # perfectly readable plaintext /Title (round-4 review #1).
+            def _plain(obj_num: int, data: bytes) -> bytes:
+                return data
+
+            _plain.for_strings = _plain
+            _plain.strings_encrypted = False
+            return _plain
         # the V4 key length comes from the /StdCF entry's OWN /Length —
         # never the first /Length in the outer dict (key order is
         # arbitrary). Producers write it in BYTES (16) or BITS (128) —

@@ -71,9 +71,11 @@ def test_strict_matches_fast_on_golden_corpus():
     for r in docs.itertuples():
         row = synthesize_row(int(r.doc_id), r.text, r.lang)
         if row["doc_class"] in ("plain", "paras", "boiler", "gb18030",
-                                "latin1", "utf8_bom", "utf16"):
+                                "latin1", "utf8_bom", "utf16", "html_cjk"):
             _compare(row["html"], cfg)
             n_html += 1
+    # corpus v7 added non-HTML classes (table dilution) and the html_cjk
+    # class — the threshold tracks the HTML-family share of 500 docs
     assert n_html > 300
 
 

@@ -898,9 +898,11 @@ def test_aesv2_key_length_pinned_regardless_of_length_entry_order():
 
 
 def test_identity_stream_filter_means_plaintext_streams():
-    """/StmF /Identity (or absent) = streams are NOT encrypted per spec:
-    no decryptor must be returned, and the plaintext streams extract as-is
-    — 'decrypting' them would destroy the text (round-3 review finding)."""
+    """/StmF /Identity + /StrF /Identity = streams AND strings are NOT
+    encrypted per spec: the decryptor must be the IDENTITY (not None —
+    None means 'cannot open' and would make pdf_title drop a plaintext
+    /Title), and the plaintext streams extract as-is — 'decrypting' them
+    would destroy the text (round-3 + round-4 review findings)."""
     from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
         extract_pdf_detailed,
         pdf_decryptor,
@@ -920,9 +922,23 @@ def test_identity_stream_filter_means_plaintext_streams():
         b" /P -44 /O <00> /U <00> >>\nendobj\n"
         b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n"
     )
-    assert pdf_decryptor(pdf) is None
+    dec = pdf_decryptor(pdf)
+    assert dec is not None
+    assert dec(4, b"xyz") == b"xyz"  # identity on streams
+    assert dec.for_strings(5, b"abc") == b"abc"  # identity on strings
+    assert dec.strings_encrypted is False
     res = extract_pdf_detailed(pdf)
     assert res[0][0].text == "plain despite encrypt dict"
+    # a plaintext /Title in such a document must survive pdf_title — the
+    # doc opens (identity), it is not "locked" (round-4 review finding)
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+
+    titled = pdf.replace(
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n",
+        b"6 0 obj\n<< /Title (Visible Title) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R >>\n",
+    )
+    assert pdf_title(titled) == "Visible Title"
 
 
 def test_crypt_filter_dispatch_survives_dict_key_reordering():
