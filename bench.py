@@ -98,9 +98,15 @@ def stage_corpus() -> int:
 
 
 def _one_timed_pass(
-    cores: int, with_parquet: bool = False, corpus_path: str = None
+    cores: int,
+    with_parquet: bool = False,
+    corpus_path: str = None,
+    repeat: int = None,
 ) -> dict:
-    """One fresh-session warm-up + timed extraction at the given cores."""
+    """One fresh-session warm-up + timed extraction at the given cores.
+    ``repeat`` is the staging repeat factor of the corpus being read — it
+    sizes the warm-up sample (explicit, not inferred from which corpus
+    argument was passed)."""
     from pbx_ds_ocr_server_spark.operators.extract import extract
 
     spark = _session(cores, f"extract-{cores}")
@@ -111,7 +117,7 @@ def _one_timed_pass(
         # run would then pay the full worker spawn, ~7x inflation). The
         # fraction scales inversely with REPEAT so the warm-up stays ~16k
         # docs regardless of corpus size.
-        rep = REPEAT if corpus_path is None else SKEW_REPEAT
+        rep = repeat if repeat is not None else REPEAT
         warm_frac = min(0.08, 3.2 / rep)
         extract(src.sample(warm_frac, seed=1)).write.format("noop").mode(
             "overwrite"
@@ -217,8 +223,11 @@ def stage_skew_corpora() -> dict:
         synthesize_corpus_df,
     )
 
+    # the giant-docs frame does not depend on SKEW_REPEAT (repeat applies
+    # later, in synthesize_corpus_df) — key it on version+sf only so
+    # changing the repeat factor never re-derives it
+    docs_path = f"/tmp/pbx_skew_docs_v{CORPUS_VERSION}_sf{SF_LABEL}.parquet"
     tag = f"v{CORPUS_VERSION}_sf{SF_LABEL}_x{SKEW_REPEAT}"
-    docs_path = f"/tmp/pbx_skew_docs_{tag}.parquet"
     clustered = f"/tmp/pbx_skew_clustered_{tag}.parquet"
     balanced = f"/tmp/pbx_skew_balanced_{tag}.parquet"
     spark = _session(CPUS, "skew-stage")
@@ -275,7 +284,9 @@ def timed_skew() -> dict:
     for _ in range(SKEW_REPS):
         for layout in ("clustered", "balanced"):
             walls[layout].append(
-                _one_timed_pass(CPUS, corpus_path=st[layout])["wall"]
+                _one_timed_pass(
+                    CPUS, corpus_path=st[layout], repeat=SKEW_REPEAT
+                )["wall"]
             )
     wc, wb = min(walls["clustered"]), min(walls["balanced"])
     return {

@@ -545,6 +545,64 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
     return _tok_raw(m.group(1)) if m else None
 
 
+def _identity_decryptor():
+    """The decryptor for 'nothing is encrypted': passes streams and
+    strings through untouched. Distinct from returning None, which means
+    'cannot open' — conflating the two makes callers drop perfectly
+    readable plaintext (round-4 review)."""
+
+    def _plain(obj_num: int, data: bytes) -> bytes:
+        return data
+
+    _plain.for_strings = _plain
+    _plain.strings_encrypted = False
+    return _plain
+
+
+def _encrypt_dict_body(
+    payload: bytes, objects: dict[int, bytes] | None
+) -> bytes | None:
+    """The standard-security-handler /Encrypt dictionary body (last
+    trailer wins), or None when the document is unencrypted / uses a
+    non-standard filter."""
+    em = None
+    for m in _ENCRYPT_REF_RE.finditer(payload):
+        em = m  # last trailer wins (incremental updates append)
+    if em is None:
+        return None
+    if objects is None:
+        objects = _parse_objects(payload)
+    body = objects.get(int(em.group(1)))
+    if body is None or not _STD_FILTER_RE.search(body):
+        return None
+    return body
+
+
+def _crypt_selector(body: bytes, key: bytes) -> bytes:
+    """/StmF or /StrF crypt-filter selector name (default Identity)."""
+    m_ = re.search(rb"/" + key + rb"\s*/([A-Za-z0-9]+)", body)
+    return m_.group(1) if m_ else b"Identity"
+
+
+def pdf_strings_plaintext(
+    payload: bytes, objects: dict[int, bytes] | None = None
+) -> bool:
+    """True when the encrypted document's STRINGS are plaintext per its
+    own /StrF selector (/Identity, or a /V 4-5 dict with no selector).
+    Lets pdf_title keep a readable /Title even when the stream key cannot
+    be derived (real user password) — strings and streams are encrypted
+    independently."""
+    body = _encrypt_dict_body(payload, objects)
+    if body is None:
+        return False
+    vm = re.search(rb"/V\s+(-?\d+)", body)
+    if vm is None or int(vm.group(1)) not in (4, 5):
+        return False  # V1/V2 encrypt everything
+    # only the literal /Identity passthrough means plaintext; any NAMED
+    # crypt filter (StdCF or otherwise) means the strings are ciphertext
+    return _crypt_selector(body, b"StrF") == b"Identity"
+
+
 def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     """Empty-user-password decryptor, or None.
 
@@ -563,15 +621,8 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     Returns ``decrypt(obj_num, raw) -> raw``. Generation numbers are
     assumed 0 (the crawl norm; incremental-update gens would need the xref,
     which this scan-based parser deliberately skips)."""
-    em = None
-    for m in _ENCRYPT_REF_RE.finditer(payload):
-        em = m  # last trailer wins (incremental updates append)
-    if em is None:
-        return None
-    if objects is None:
-        objects = _parse_objects(payload)
-    body = objects.get(int(em.group(1)))
-    if body is None or not _STD_FILTER_RE.search(body):
+    body = _encrypt_dict_body(payload, objects)
+    if body is None:
         return None
 
     def iget(k: bytes, default: int | None = None) -> int | None:
@@ -587,12 +638,24 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
     stream_enc = string_enc = True  # V1/V2: everything is encrypted
     if v in (4, 5):
+        # selectors FIRST: a dict whose /StmF and /StrF are both
+        # /Identity needs no crypt filter at all (legal per spec — the doc
+        # may encrypt only embedded files), so it must resolve to the
+        # identity decryptor even when /CF is absent or its /CFM is
+        # unrecognized (round-4 review #1: requiring a parsable /StdCF
+        # before the selector check made those docs look locked).
+        stm = _crypt_selector(body, b"StmF")
+        strf = _crypt_selector(body, b"StrF")
+        if stm == b"Identity" and strf == b"Identity":
+            return _identity_decryptor()
+        stream_enc = stm == b"StdCF"
+        string_enc = strf == b"StdCF"
+        if not (stream_enc or string_enc):
+            return None  # selectors name crypt filters we cannot run
         # crypt-filter dispatch: /CFM must be read from the /StdCF entry
         # INSIDE the /CF dict (never whichever /CFM or /StdCF byte sequence
         # appears first — '/StmF /StdCF' routinely precedes /CF in real
-        # dicts), and streams/strings are each encrypted only when their
-        # OWN selector (/StmF / /StrF; default Identity = plaintext per
-        # spec) names /StdCF.
+        # dicts).
         cf = _inline_dict_after(body, b"/CF")
         stdcf = _inline_dict_after(cf, b"/StdCF") if cf else None
         if stdcf is None:
@@ -602,25 +665,6 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
         if cm is None:
             return None
         cfm = b"RC4" if cm.group(1) == b"V2" else b"AES"
-
-        def _selector(k: bytes) -> bytes:
-            m_ = re.search(rb"/" + k + rb"\s*/([A-Za-z0-9]+)", body)
-            return m_.group(1) if m_ else b"Identity"
-
-        stream_enc = _selector(b"StmF") == b"StdCF"
-        string_enc = _selector(b"StrF") == b"StdCF"
-        if not (stream_enc or string_enc):
-            # /StmF /Identity + /StrF /Identity: streams AND strings are
-            # plaintext (the doc may encrypt only embedded files). Return
-            # the IDENTITY decryptor rather than None — None means "cannot
-            # open", and conflating the two would make pdf_title drop a
-            # perfectly readable plaintext /Title (round-4 review #1).
-            def _plain(obj_num: int, data: bytes) -> bytes:
-                return data
-
-            _plain.for_strings = _plain
-            _plain.strings_encrypted = False
-            return _plain
         # the V4 key length comes from the /StdCF entry's OWN /Length —
         # never the first /Length in the outer dict (key order is
         # arbitrary). Producers write it in BYTES (16) or BITS (128) —
@@ -945,10 +989,13 @@ def pdf_title(
     encrypted = pdf_is_encrypted(payload)
     decrypt = pdf_decryptor(payload, objects) if encrypted else None
     if encrypted and decrypt is None:
-        # the document is encrypted and the empty user password does NOT
-        # open it (or the handler is unsupported): every /Title string is
-        # ciphertext — typed absence, never mojibake
-        return None
+        # no stream decryptor (real user password / unsupported handler)
+        # — but strings are encrypted INDEPENDENTLY of streams: when the
+        # doc's own /StrF is /Identity the /Title is plaintext and stays
+        # readable; otherwise it is ciphertext → typed absence, never
+        # mojibake (round-4 review #2)
+        if not pdf_strings_plaintext(payload, objects):
+            return None
     # strings follow /StrF, not /StmF — a doc may encrypt streams but not
     # strings (or vice versa)
     str_decrypt = getattr(decrypt, "for_strings", decrypt)

@@ -941,6 +941,60 @@ def test_identity_stream_filter_means_plaintext_streams():
     assert pdf_title(titled) == "Visible Title"
 
 
+def test_identity_selectors_without_parsable_cf_still_open():
+    """/StmF /Identity /StrF /Identity with NO /CF dict at all (legal —
+    Identity selectors need no crypt-filter entry), or with an
+    unrecognized /CFM: both must resolve to the identity decryptor, not
+    'cannot open' (round-4 review #1)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_decryptor
+
+    def doc(cf: bytes) -> bytes:
+        # concatenation, not %-formatting: the %PDF header breaks % fmt
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+            b"5 0 obj\n<< /Filter /Standard /V 4 /R 4" + cf +
+            b" /StmF /Identity /StrF /Identity"
+            b" /P -44 /O <00> /U <00> >>\nendobj\n"
+            b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n"
+        )
+
+    for cf in (b"", b" /CF << /StdCF << /CFM /None >> >>"):
+        dec = pdf_decryptor(doc(cf))
+        assert dec is not None, cf
+        assert dec(4, b"xyz") == b"xyz" and dec.strings_encrypted is False
+    # but an unsupported NAMED filter must still refuse — identity-return
+    # only applies when both selectors are literally /Identity
+    named = doc(b"").replace(b"/StmF /Identity", b"/StmF /MyCF")
+    assert pdf_decryptor(named) is None
+
+
+def test_title_plaintext_strings_survive_locked_streams():
+    """/StmF /StdCF + /StrF /Identity with an UNVERIFIABLE key (real user
+    password): streams are locked but strings are plaintext per the doc's
+    own /StrF — pdf_title must still read the /Title (round-4 review #2).
+    With /StrF /StdCF the same doc's title is ciphertext → None."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import pdf_title
+
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4"
+        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        b" /StmF /StdCF /StrF /Identity"
+        b" /P -44 /O <00112233445566778899aabbccddeeff0011223344"
+        b"5566778899aabbccddeeff> /U <00112233445566778899aabbccddeeff"
+        b"00112233445566778899aabbccddeeff> >>\nendobj\n"
+        b"6 0 obj\n<< /Title (Readable Plain Title) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R >>\n"
+    )
+    assert pdf_title(doc) == "Readable Plain Title"
+    locked_strings = doc.replace(b"/StrF /Identity", b"/StrF /StdCF")
+    assert pdf_title(locked_strings) is None
+
+
 def test_crypt_filter_dispatch_survives_dict_key_reordering():
     """'/StmF /StdCF' before '/CF << /StdCF << ... >> >>' (PDF dict key
     order is arbitrary) must not break the /StdCF lookup — a first-byte-
