@@ -485,6 +485,65 @@ def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
     ).select(F.col("id").alias(id_col), "bucket", "pack_id", "n_tokens")
 
 
+def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Greedy First-Fit-Decreasing pack assignment — the tighter cousin of
+    :func:`sequence_pack`: docs are sorted by (n_tokens desc, id) inside
+    each bucket and each goes into the FIRST pack that still has room, so
+    packs NEVER exceed ``budget`` (the one exception: a single document
+    longer than the whole budget gets its own singleton pack — chunk such
+    docs first, :func:`chunk_documents`). FFD wastes ≤ ~22% in the worst
+    case vs optimal bin packing and far less on natural length mixes,
+    where the contiguous rule routinely overflows or strands tail space.
+
+    This is the grouped-map (applyInPandas) tier: the per-bucket
+    first-fit loop is inherently sequential state the window/agg algebra
+    can't express, exactly the documented escape hatch. Scale story
+    matches sequence_pack: hash-bucketed (`n_buckets` Arrow groups, each
+    corpus/n_buckets rows — raise with corpus size; the in-bucket loop is
+    O(rows × packs), fine at ≤~10⁵ rows per bucket), deterministic
+    (md5 bucket + total (n_tokens desc, id) order, no RNG), output shape
+    identical to sequence_pack: (id, bucket, pack_id, n_tokens)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    base = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).cast("long").alias("id"),
+        bucket.alias("bucket"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        assign: list[int] = []
+        for t in pdf["n_tokens"]:
+            placed = -1
+            for i, ld in enumerate(loads):
+                if ld + t <= budget:
+                    placed = i
+                    break
+            if placed < 0:
+                loads.append(0)
+                placed = len(loads) - 1
+            loads[placed] += int(t)
+            assign.append(placed)
+        pdf["pack_id"] = pd.Series(assign, dtype="int64")
+        return pdf
+
+    out = base.groupBy("bucket").applyInPandas(
+        pack, schema="id long, bucket long, n_tokens long, pack_id long"
+    )
+    return out.select(
+        F.col("id").alias(id_col), "bucket", "pack_id", "n_tokens"
+    )
+
+
 # ----------------------------------------------------------- TF-IDF terms
 def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3):

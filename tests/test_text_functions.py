@@ -109,3 +109,69 @@ def test_token_count_cjk_equals_whitespace_on_latin(spark):
         (token_count_cjk("text") != token_count("text")).alias("d")
     ).filter(F.col("d")).count()
     assert diff == 0  # no CJK in the synthetic tables: identical counts
+
+
+def test_sequence_pack_greedy_never_overflows_budget(spark):
+    """FFD invariants on real docs: (a) no pack exceeds the budget unless
+    it is a SINGLETON oversized doc; (b) per bucket, packs ≥ the
+    ceil(total/budget) lower bound; (c) at most as many packs as the
+    contiguous rule needs; (d) partition-invariant determinism."""
+    import math
+
+    from pbx_ds_ocr_server_spark.functions.text import (
+        sequence_pack,
+        sequence_pack_greedy,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget, n_buckets = 256, 8
+    res = sequence_pack_greedy(
+        docs, budget=budget, n_buckets=n_buckets
+    ).collect()
+    assert len(res) == docs.count()
+
+    packs: dict[tuple, list] = {}
+    for r in res:
+        packs.setdefault((r.bucket, r.pack_id), []).append(r.n_tokens)
+    for (b, p), toks in packs.items():
+        if sum(toks) > budget:
+            assert len(toks) == 1, f"overflowing multi-doc pack {(b, p)}"
+    per_bucket: dict[int, int] = {}
+    n_packs: dict[int, int] = {}
+    for r in res:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + r.n_tokens
+        n_packs[r.bucket] = max(n_packs.get(r.bucket, -1), r.pack_id)
+    for b, total in per_bucket.items():
+        got = n_packs[b] + 1
+        lower = math.ceil(total / budget)
+        assert got >= lower
+        # FFD ≤ 1.7·OPT + 1 (classic bound; OPT ≥ the volume lower bound).
+        # No cross-check vs sequence_pack: the contiguous rule may use
+        # FEWER packs only because it is allowed to overflow the budget.
+        assert got <= math.ceil(1.7 * lower) + 1, (b, got, lower)
+    assert sequence_pack(  # both methods cover the same docs
+        docs, budget=budget, n_buckets=n_buckets
+    ).count() == len(res)
+
+    again = sequence_pack_greedy(
+        docs.repartition(13), budget=budget, n_buckets=n_buckets
+    ).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_sequence_pack_greedy_oversized_doc_is_singleton(spark):
+    from pbx_ds_ocr_server_spark.functions.text import sequence_pack_greedy
+
+    rows = [(1, "w " * 600), (2, "x " * 100), (3, "y " * 100),
+            (4, "z " * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = sequence_pack_greedy(df, budget=256, n_buckets=1).collect()
+    by_pack: dict[int, list] = {}
+    for r in res:
+        by_pack.setdefault(r.pack_id, []).append((r.doc_id, r.n_tokens))
+    big_pack = [p for p, docs_ in by_pack.items()
+                if any(d == 1 for d, _ in docs_)][0]
+    assert len(by_pack[big_pack]) == 1  # the 600-token doc packs alone
+    others = [p for p in by_pack if p != big_pack]
+    # the three 100-token docs FFD into ceil(300/256)=2 packs
+    assert len(others) == 2
