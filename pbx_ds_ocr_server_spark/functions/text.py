@@ -395,6 +395,29 @@ def stratified_sample(df, k: int, group_col: str = "lang",
     )
 
 
+def _bucketed_token_frame(df, id_col: str, text_col: str, n_buckets: int):
+    """(id, bucket, n_tokens) frame shared by both sequence packers:
+    deterministic md5 bucket, null-safe token counts (a NULL text packs as
+    0 tokens instead of poisoning the arithmetic), id type PRESERVED
+    (string ids stay strings — a silent cast-to-long would null them).
+    Fans the narrow frame out BEFORE the per-row text work (token_count is
+    regex+split over the full text; a single-row-group scan would run it
+    all on one core)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    return ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("id"),
+        bucket.alias("bucket"),
+        F.coalesce(token_count(text_col), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 # ------------------------------------------------------ document chunking
 def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
                     window: int = 64, stride: int = 48):
@@ -458,20 +481,7 @@ def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
     budget) over the (bucket, id) order."""
     from pyspark.sql import Window
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % n_buckets
-    )
-    # fan the narrow frame out BEFORE the per-row text work (token_count is
-    # regex+split over the full text; a single-row-group scan would run it
-    # all on one core)
-    base = ensure_min_partitions(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("id"),
-        bucket.alias("bucket"),
-        token_count(text_col).alias("n_tokens"),
-    )
+    base = _bucketed_token_frame(df, id_col, text_col, n_buckets)
     w = (
         Window.partitionBy("bucket")
         .orderBy("id")
@@ -504,17 +514,8 @@ def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
     O(rows × packs), fine at ≤~10⁵ rows per bucket), deterministic
     (md5 bucket + total (n_tokens desc, id) order, no RNG), output shape
     identical to sequence_pack: (id, bucket, pack_id, n_tokens)."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("bigint") % n_buckets
-    )
-    base = ensure_min_partitions(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).cast("long").alias("id"),
-        bucket.alias("bucket"),
-        token_count(text_col).cast("long").alias("n_tokens"),
-    )
+    base = _bucketed_token_frame(df, id_col, text_col, n_buckets)
+    id_type = base.schema["id"].dataType.simpleString()
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -537,7 +538,8 @@ def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
         return pdf
 
     out = base.groupBy("bucket").applyInPandas(
-        pack, schema="id long, bucket long, n_tokens long, pack_id long"
+        pack,
+        schema=f"id {id_type}, bucket long, n_tokens long, pack_id long",
     )
     return out.select(
         F.col("id").alias(id_col), "bucket", "pack_id", "n_tokens"

@@ -570,9 +570,21 @@ def _encrypt_dict_body(
         em = m  # last trailer wins (incremental updates append)
     if em is None:
         return None
-    if objects is None:
-        objects = _parse_objects(payload)
-    body = objects.get(int(em.group(1)))
+    num = int(em.group(1))
+    if objects is not None:
+        body = objects.get(num)
+    else:
+        # targeted regex scan for the ONE object instead of a full
+        # _parse_objects pass — pdf_title's locked-doc path calls this
+        # right after pdf_decryptor already paid for a parse (round-4
+        # review pass 3); last definition wins (incremental updates)
+        body = None
+        for om in re.finditer(
+            rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj" % num,
+            payload,
+            re.DOTALL,
+        ):
+            body = om.group(1)
     if body is None or not _STD_FILTER_RE.search(body):
         return None
     return body
@@ -637,6 +649,7 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
         return None
     cfm = b"RC4"  # V1/V2: the cipher is RC4 at the top level
     stream_enc = string_enc = True  # V1/V2: everything is encrypted
+    string_refused = False  # V4/5: a named non-StdCF /StrF we cannot run
     if v in (4, 5):
         # selectors FIRST: a dict whose /StmF and /StrF are both
         # /Identity needs no crypt filter at all (legal per spec — the doc
@@ -648,10 +661,24 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
         strf = _crypt_selector(body, b"StrF")
         if stm == b"Identity" and strf == b"Identity":
             return _identity_decryptor()
+        if stm not in (b"StdCF", b"Identity"):
+            # stream channel names a crypt filter we cannot run: content
+            # is locked regardless of the string channel — returning a
+            # decryptor here would suppress the caller's typed rejection
+            # and raw-parse ciphertext streams as if they were plaintext
+            return None
         stream_enc = stm == b"StdCF"
         string_enc = strf == b"StdCF"
-        if not (stream_enc or string_enc):
-            return None  # selectors name crypt filters we cannot run
+        # a NAMED non-StdCF string filter is ciphertext we cannot run —
+        # it must be REFUSED (for_strings=None), never treated as the
+        # /Identity passthrough (round-4 review pass 3: an identity
+        # for_strings decodes /MyCF ciphertext titles into mojibake)
+        string_refused = strf not in (b"StdCF", b"Identity")
+        if not stream_enc and not string_enc:
+            # /StmF /Identity + refused /StrF: streams are plaintext and
+            # extraction works through the raw-parse path; strings stay
+            # undecryptable (pdf_strings_plaintext says not-plaintext)
+            return None
         # crypt-filter dispatch: /CFM must be read from the /StdCF entry
         # INSIDE the /CF dict (never whichever /CFM or /StdCF byte sequence
         # appears first — '/StmF /StdCF' routinely precedes /CF in real
@@ -746,8 +773,14 @@ def pdf_decryptor(payload: bytes, objects: dict[int, bytes] | None = None):
     # plaintext" — a string with no object number is undecryptable in
     # the former case but perfectly readable in the latter)
     decrypt = cipher if stream_enc else _identity
-    decrypt.for_strings = cipher if string_enc else _identity
-    decrypt.strings_encrypted = string_enc
+    if string_refused:
+        # strings use a filter we cannot run: expose "encrypted with no
+        # decryptor" so pdf_title yields typed absence, never mojibake
+        decrypt.for_strings = None
+        decrypt.strings_encrypted = True
+    else:
+        decrypt.for_strings = cipher if string_enc else _identity
+        decrypt.strings_encrypted = string_enc
     return decrypt
 
 
@@ -1008,10 +1041,10 @@ def pdf_title(
         if raw is None:
             return None
         if strings_encrypted:
-            if obj_num is None:
-                # whole-payload fallback scan: the string is ciphertext
-                # and there is no object number to derive its key from —
-                # return typed absence rather than decoding raw ciphertext
+            if obj_num is None or str_decrypt is None:
+                # ciphertext with no way to decrypt it (whole-payload
+                # fallback has no object number; a refused /StrF filter
+                # has no cipher at all) — typed absence, never mojibake
                 return None
             raw = str_decrypt(obj_num, raw)
         t = " ".join(_text_string(raw).split())

@@ -1055,3 +1055,41 @@ def test_rc4_crypt_primitives_self_consistent():
         assert empty_password_key(o, u, -44, fid, bits, r) == key
         assert empty_password_key(o, b"\x00" * 32, -44, fid, bits, r) is None
         assert len(object_key(key, 7, 0)) == min(len(key) + 5, 16)
+
+
+def test_mixed_crypt_selectors_never_leak_ciphertext():
+    """/StmF /StdCF + /StrF /MyCF: the unknown string filter must be
+    REFUSED (title = typed absence), never passed through as identity
+    (mojibake). /StmF /MyCF + /StrF /StdCF: the stream channel is locked
+    — no decryptor, so the typed rejection stays armed."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        pdf_decryptor,
+        pdf_title,
+    )
+
+    def doc(stm: bytes, strf: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+            b"5 0 obj\n<< /Filter /Standard /V 4 /R 4"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /" + stm + b" /StrF /" + strf +
+            b" /P -44 /O <00112233445566778899aabbccddeeff0011223344"
+            b"5566778899aabbccddeeff> /U <00112233445566778899aabbccddeeff"
+            b"00112233445566778899aabbccddeeff> >>\nendobj\n"
+            b"6 0 obj\n<< /Title (Some Title Bytes) >>\nendobj\n"
+            b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R >>\n"
+        )
+
+    # string channel refused: even if streams decrypted, the /Title bytes
+    # are /MyCF ciphertext — must be typed-absent (here the empty-password
+    # key also fails, which must not change the answer)
+    assert pdf_title(doc(b"StdCF", b"MyCF")) is None
+    # stream channel refused: no decryptor at all
+    assert pdf_decryptor(doc(b"MyCF", b"StdCF")) is None
+    assert pdf_title(doc(b"MyCF", b"StdCF")) is None
+    # stream Identity + string refused: no decryptor (raw-parse handles
+    # plaintext streams), title refused
+    assert pdf_decryptor(doc(b"Identity", b"MyCF")) is None
+    assert pdf_title(doc(b"Identity", b"MyCF")) is None

@@ -113,9 +113,9 @@ def test_token_count_cjk_equals_whitespace_on_latin(spark):
 
 def test_sequence_pack_greedy_never_overflows_budget(spark):
     """FFD invariants on real docs: (a) no pack exceeds the budget unless
-    it is a SINGLETON oversized doc; (b) per bucket, packs ≥ the
-    ceil(total/budget) lower bound; (c) at most as many packs as the
-    contiguous rule needs; (d) partition-invariant determinism."""
+    it is a SINGLETON oversized doc; (b) per bucket, packs within
+    [oversized + ceil(clipped volume / budget), 2x that + 1]; (c) both
+    packers cover the same docs; (d) partition-invariant determinism."""
     import math
 
     from pbx_ds_ocr_server_spark.functions.text import (
@@ -141,14 +141,24 @@ def test_sequence_pack_greedy_never_overflows_budget(spark):
     for r in res:
         per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + r.n_tokens
         n_packs[r.bucket] = max(n_packs.get(r.bucket, -1), r.pack_id)
-    for b, total in per_bucket.items():
+    # lower bound robust to oversized docs: each >budget doc is exactly
+    # one singleton pack, the rest bound by volume — a plain
+    # ceil(total/budget) would overcount a 600-token doc as 3 packs
+    clipped: dict[int, int] = {}
+    n_over: dict[int, int] = {}
+    for r in res:
+        if r.n_tokens > budget:
+            n_over[r.bucket] = n_over.get(r.bucket, 0) + 1
+        else:
+            clipped[r.bucket] = clipped.get(r.bucket, 0) + r.n_tokens
+    for b in per_bucket:
         got = n_packs[b] + 1
-        lower = math.ceil(total / budget)
+        lower = n_over.get(b, 0) + math.ceil(clipped.get(b, 0) / budget)
         assert got >= lower
-        # FFD ≤ 1.7·OPT + 1 (classic bound; OPT ≥ the volume lower bound).
+        # loose FFD sanity ceiling (FFD ≤ 1.7·OPT; OPT unknown, ≥ lower).
         # No cross-check vs sequence_pack: the contiguous rule may use
         # FEWER packs only because it is allowed to overflow the budget.
-        assert got <= math.ceil(1.7 * lower) + 1, (b, got, lower)
+        assert got <= 2 * lower + 1, (b, got, lower)
     assert sequence_pack(  # both methods cover the same docs
         docs, budget=budget, n_buckets=n_buckets
     ).count() == len(res)
@@ -175,3 +185,17 @@ def test_sequence_pack_greedy_oversized_doc_is_singleton(spark):
     others = [p for p in by_pack if p != big_pack]
     # the three 100-token docs FFD into ceil(300/256)=2 packs
     assert len(others) == 2
+
+
+def test_sequence_pack_greedy_null_text_and_string_ids(spark):
+    """NULL text packs as 0 tokens (never NaN-crashes the bucket task) and
+    string ids survive round-trip (no silent cast-to-long nulling)."""
+    from pbx_ds_ocr_server_spark.functions.text import sequence_pack_greedy
+
+    rows = [("doc-a", "x " * 50), ("doc-b", None), ("doc-c", "y " * 50)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    res = {r.doc_id: r for r in sequence_pack_greedy(
+        df, budget=64, n_buckets=2
+    ).collect()}
+    assert set(res) == {"doc-a", "doc-b", "doc-c"}
+    assert res["doc-b"].n_tokens == 0
