@@ -69,6 +69,12 @@ _ALIASES = {
     "cn-big5": "big5",
     "x-x-big5": "big5",
     "big5-hkscs": "big5hkscs",
+    # Thai (WHATWG: all Thai labels decode as windows-874)
+    "tis-620": "cp874",
+    "iso-8859-11": "cp874",
+    "windows-874": "cp874",
+    # Turkish (WHATWG: iso-8859-9 decodes as windows-1254)
+    "iso-8859-9": "cp1254",
     # Korean
     "euc-kr": "cp949",
     "euc_kr": "cp949",

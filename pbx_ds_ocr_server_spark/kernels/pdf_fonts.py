@@ -102,9 +102,40 @@ def _build_mac_roman() -> dict[int, str]:
 WIN_ANSI = _build_win_ansi()
 MAC_ROMAN = _build_mac_roman()
 
+
+def _build_standard() -> dict[int, str]:
+    """Adobe StandardEncoding (ISO 32000-1 Annex D / PLRM appendix E):
+    ASCII identity EXCEPT 0x27 = quoteright and 0x60 = quoteleft, plus the
+    Adobe-ordered punctuation/ligature/accent block in 0xA1-0xFB. No
+    stdlib codec exists for it, so the non-ASCII rows are a literal table
+    (keys in octal to match the published tables)."""
+    t = {b: chr(b) for b in range(32, 127)}
+    t[0x27] = "’"  # quoteright
+    t[0x60] = "‘"  # quoteleft
+    high = {
+        0o241: "¡", 0o242: "¢", 0o243: "£", 0o244: "⁄", 0o245: "¥",
+        0o246: "ƒ", 0o247: "§", 0o250: "¤", 0o251: "'", 0o252: "“",
+        0o253: "«", 0o254: "‹", 0o255: "›", 0o256: "ﬁ",
+        0o257: "ﬂ", 0o261: "–", 0o262: "†", 0o263: "‡", 0o264: "·",
+        0o266: "¶", 0o267: "•", 0o270: "‚", 0o271: "„",
+        0o272: "”", 0o273: "»", 0o274: "…", 0o275: "‰", 0o277: "¿",
+        0o301: "`", 0o302: "´", 0o303: "ˆ", 0o304: "˜", 0o305: "¯",
+        0o306: "˘", 0o307: "˙", 0o310: "¨", 0o312: "˚", 0o313: "¸",
+        0o315: "˝", 0o316: "˛", 0o317: "ˇ", 0o320: "—", 0o341: "Æ",
+        0o343: "ª", 0o350: "Ł", 0o351: "Ø", 0o352: "Œ", 0o353: "º",
+        0o361: "æ", 0o365: "ı", 0o370: "ł", 0o371: "ø", 0o372: "œ",
+        0o373: "ß",
+    }
+    t.update(high)
+    return t
+
+
+STANDARD = _build_standard()
+
 _BASE_ENCODINGS = {
     b"WinAnsiEncoding": WIN_ANSI,
     b"MacRomanEncoding": MAC_ROMAN,
+    b"StandardEncoding": STANDARD,
 }
 
 

@@ -1093,3 +1093,23 @@ def test_mixed_crypt_selectors_never_leak_ciphertext():
     # plaintext streams), title refused
     assert pdf_decryptor(doc(b"Identity", b"MyCF")) is None
     assert pdf_title(doc(b"Identity", b"MyCF")) is None
+
+
+def test_standard_encoding_curly_quotes_and_ligatures():
+    """/Encoding /StandardEncoding: 0x27/0x60 are the CURLY quotes and the
+    0xA1+ block is Adobe-ordered (ﬁ at 0256, endash at 0261) — decoding
+    it as latin-1/utf-8 would emit the wrong punctuation."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    shown = bytes([0x27, 0x41, 0x60, 0o256, 0o261, 0o373])
+    stream = b"BT /F1 12 Tf 72 700 Td <" + shown.hex().encode() + b"> Tj ET"
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman"
+        b" /Encoding /StandardEncoding >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "’A‘ﬁ–ß"
+    assert res[0][1] is False
