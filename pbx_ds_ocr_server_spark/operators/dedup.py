@@ -327,6 +327,67 @@ def paragraph_dedup(
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Per-training-document benchmark-contamination counts: (id, n_shared)
+    where n_shared = distinct ``ngram``-word shingles the document shares
+    with ANY eval-set document. The audit half of :func:`decontaminate`.
+
+    The GPT-3/PaLM-appendix shape (8-13 gram overlap against eval sets).
+    Plan: explode the train side to (id, shingle) — hash-shuffled on the
+    shingle key, AQE-skew-splittable; the eval side collapses to its
+    DISTINCT shingle set, which is benchmark-sized (thousands of docs →
+    well under broadcast threshold, so the join is a broadcast hash join
+    with NO shuffle of the train side beyond the explode). Only documents
+    with ≥1 shared shingle appear in the output."""
+    tr = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, ngram)).alias("sh"),
+    )
+    ev = (
+        eval_df.select(F.explode(shingles(eval_text_col, ngram)).alias("sh"))
+        .distinct()
+    )
+    return (
+        tr.join(ev, "sh")
+        .groupBy("id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    ngram: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing
+    MORE than ``max_shared`` distinct ``ngram``-word shingles with the
+    eval set (default 0 = any overlap contaminates — the conservative
+    published convention; raise it to tolerate boilerplate collisions).
+    Returns the kept rows of ``df`` unchanged (left-anti join on the
+    contaminated id set from :func:`contamination_report`)."""
+    bad = (
+        contamination_report(
+            df, eval_df, id_col, text_col, eval_text_col, ngram
+        )
+        .filter(F.col("n_shared") > max_shared)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(bad, id_col, "left_anti")
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -486,3 +486,31 @@ def test_dedup_near_estimate_band_skips_exact_tier_for_sure_pairs(spark):
 
     with pytest.raises(ValueError):
         dedup_near(df, max_shingle_df=None, estimate_band=(0.9, 0.3))
+
+
+def test_decontaminate_drops_eval_overlaps(spark):
+    """GPT-3-style benchmark decontamination: docs carrying an 8-gram from
+    the eval set are dropped, clean docs survive, and the report counts
+    distinct shared shingles."""
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
+
+    eval_q = "what is the capital of france and when was it founded there"
+    train = [
+        (1, "some clean document about completely unrelated matters here today"),
+        (2, "quiz dump: " + eval_q + " plus padding words"),   # contaminated
+        (3, "another clean text with its own private vocabulary set inside"),
+        (4, eval_q),                                           # verbatim copy
+    ]
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    ev = spark.createDataFrame([(0, eval_q)], "doc_id long, text string")
+
+    kept = {r.doc_id for r in decontaminate(df, ev, ngram=8).collect()}
+    assert kept == {1, 3}
+    rep = {r.id: r.n_shared for r in contamination_report(df, ev, ngram=8).collect()}
+    assert set(rep) == {2, 4}
+    assert rep[4] == len(eval_q.split()) - 7  # all shingles of the verbatim copy
+    # a permissive threshold keeps light overlaps
+    assert {r.doc_id for r in decontaminate(df, ev, ngram=8, max_shared=100).collect()} == {1, 2, 3, 4}
