@@ -418,6 +418,56 @@ def _bucketed_token_frame(df, id_col: str, text_col: str, n_buckets: int):
     )
 
 
+def mix_by_group(df, rates: dict, group_col: str = "lang",
+                 key_col: str = "doc_id", default_rate: float = 1.0):
+    """Deterministic per-group resampling to a target data mixture — the
+    "domain weights" op every pretraining pipeline runs (upweight books,
+    downweight boilerplate-heavy domains). ``rates`` maps group value →
+    sampling rate; 0 drops the group, 0<r<1 keeps a stable r-fraction,
+    r>1 REPLICATES: every row floor(r) times plus one extra copy for a
+    stable (r − floor(r))-fraction. Output adds a ``rep`` column
+    (0..n_copies−1) so replicated rows stay distinct and downstream
+    shuffles key on (id, rep).
+
+    Scale shape: a pure column predicate + a bounded explode — no joins,
+    no shuffles, no RNG seed plumbing; the md5-fraction order statistic is
+    salted differently from :func:`hash_sample` so composing the two never
+    correlates. Deterministic across runs/partitionings/engines."""
+    rate_expr = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        if r < 0:
+            raise ValueError(f"negative rate for group {g!r}")
+        rate_expr = F.when(
+            F.col(group_col) == F.lit(g), F.lit(float(r))
+        ).otherwise(rate_expr)
+    # salted fraction: distinct stream from hash_sample's md5(key) prefix
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":mix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 32))
+    )
+    n_copies = (
+        F.floor(rate_expr)
+        + (frac < (rate_expr - F.floor(rate_expr))).cast("long")
+    ).cast("long")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "rep",
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
 # ------------------------------------------------------ document chunking
 def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
                     window: int = 64, stride: int = 48):

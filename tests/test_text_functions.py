@@ -199,3 +199,47 @@ def test_sequence_pack_greedy_null_text_and_string_ids(spark):
     ).collect()}
     assert set(res) == {"doc-a", "doc-b", "doc-c"}
     assert res["doc-b"].n_tokens == 0
+
+
+def test_mix_by_group_deterministic_up_and_down_sampling(spark):
+    """Domain-mixture resampling: exact Python recompute of the salted
+    md5-fraction rule, replication via rep column, group drop at rate 0,
+    partition invariance."""
+    import hashlib
+
+    from pbx_ds_ocr_server_spark.functions.text import mix_by_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 2.5, "de": 0.5, "zh": 0.0}
+    res = mix_by_group(docs, rates, default_rate=1.0).select(
+        "doc_id", "lang", "rep"
+    ).collect()
+
+    def frac(doc_id):
+        return int(hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8], 16) / 2**32
+
+    import collections
+    got = collections.Counter()
+    for r in res:
+        got[r.doc_id] += 1
+    expect = {}
+    for row in docs.select("doc_id", "lang").collect():
+        rate = rates.get(row.lang, 1.0)
+        n = int(rate) + (1 if frac(row.doc_id) < rate - int(rate) else 0)
+        if n > 0:
+            expect[row.doc_id] = n
+    assert dict(got) == expect
+    # rep values are contiguous per id and no zh rows survive
+    by_id = collections.defaultdict(set)
+    langs = {}
+    for r in res:
+        by_id[r.doc_id].add(r.rep)
+        langs[r.doc_id] = r.lang
+    assert all(reps == set(range(len(reps))) for reps in by_id.values())
+    assert "zh" not in langs.values()
+    again = mix_by_group(docs.repartition(7), rates).select(
+        "doc_id", "rep"
+    ).collect()
+    assert sorted((r.doc_id, r.rep) for r in again) == sorted(
+        (r.doc_id, r.rep) for r in res
+    )
