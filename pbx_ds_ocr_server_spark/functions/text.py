@@ -432,7 +432,23 @@ def mix_by_group(df, rates: dict, group_col: str = "lang",
     Scale shape: a pure column predicate + a bounded explode — no joins,
     no shuffles, no RNG seed plumbing; the md5-fraction order statistic is
     salted differently from :func:`hash_sample` so composing the two never
-    correlates. Deterministic across runs/partitionings/engines."""
+    correlates. Deterministic across runs/partitionings/engines. Rows with
+    a NULL key hash as the empty string (so integer rates keep them and a
+    fractional rate gives them ONE shared fate — a null id carries no
+    per-row randomness to draw on). Refuses a frame that already has a
+    ``rep`` column: re-mixing replicas would re-derive identical rep
+    values per key and silently break (id, rep) uniqueness — drop or
+    rename the column (or re-mix the ORIGINAL frame with updated rates,
+    which is the deterministic way to adjust weights)."""
+    if "rep" in df.columns:
+        raise ValueError(
+            "mix_by_group input already has a 'rep' column (an earlier mix"
+            " pass?): replicas share key_col, so re-mixing would emit"
+            " duplicate (id, rep) pairs — re-mix the original frame with"
+            " the updated rates instead, or rename/drop 'rep' first"
+        )
+    if default_rate < 0:
+        raise ValueError(f"negative default_rate {default_rate}")
     rate_expr = F.lit(float(default_rate))
     for g, r in sorted(rates.items()):
         if r < 0:
@@ -444,7 +460,12 @@ def mix_by_group(df, rates: dict, group_col: str = "lang",
     frac = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":mix"))),
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+                        F.lit(":mix"),
+                    )
+                ),
                 1,
                 8,
             ),

@@ -72,9 +72,19 @@ _ALIASES = {
     # Thai (WHATWG: all Thai labels decode as windows-874)
     "tis-620": "cp874",
     "iso-8859-11": "cp874",
+    "iso8859-11": "cp874",
+    "iso885911": "cp874",
+    "dos-874": "cp874",
     "windows-874": "cp874",
-    # Turkish (WHATWG: iso-8859-9 decodes as windows-1254)
+    # Turkish (WHATWG: every iso-8859-9/latin5 label decodes as
+    # windows-1254 — Python's own iso-8859-9 codec would map 0x80-0x9F
+    # to C1 controls instead of cp1254's œ/Ÿ block)
     "iso-8859-9": "cp1254",
+    "iso8859-9": "cp1254",
+    "iso88599": "cp1254",
+    "latin5": "cp1254",
+    "l5": "cp1254",
+    "csisolatin5": "cp1254",
     # Korean
     "euc-kr": "cp949",
     "euc_kr": "cp949",

@@ -868,7 +868,7 @@ def _font_decoder(
     (Uni*-UCS2/UTF16 = direct UTF-16BE text; legacy-charset CMaps decode
     through their stdlib codec; Identity/unknown = all text lost, honest
     empty) → /Differences + AGL over an optional /BaseEncoding →
-    named WinAnsi/MacRoman base encoding → the default simple-font
+    named WinAnsi/MacRoman/Standard base encoding → the default simple-font
     byte path."""
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
         base_encoding_table,

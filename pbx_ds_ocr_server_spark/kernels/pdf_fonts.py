@@ -140,9 +140,10 @@ _BASE_ENCODINGS = {
 
 
 def base_encoding_table(name: bytes) -> dict[int, str] | None:
-    """Named simple-font base encoding → {code → text}, or None when the
-    name is not one we decode (StandardEncoding/MacExpertEncoding fall to
-    the caller's default path)."""
+    """Named simple-font base encoding (WinAnsi / MacRoman / Standard) →
+    {code → text}, or None when the name is not one we decode
+    (MacExpertEncoding and symbol-font encodings fall to the caller's
+    default path)."""
     return _BASE_ENCODINGS.get(name)
 
 

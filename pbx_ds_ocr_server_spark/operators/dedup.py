@@ -340,24 +340,34 @@ def contamination_report(
     with ANY eval-set document. The audit half of :func:`decontaminate`.
 
     The GPT-3/PaLM-appendix shape (8-13 gram overlap against eval sets).
-    Plan: explode the train side to (id, shingle) — hash-shuffled on the
-    shingle key, AQE-skew-splittable; the eval side collapses to its
-    DISTINCT shingle set, which is benchmark-sized (thousands of docs →
-    well under broadcast threshold, so the join is a broadcast hash join
-    with NO shuffle of the train side beyond the explode). Only documents
-    with ≥1 shared shingle appear in the output."""
+    Plan: explode the train side to (id, shingle); the eval side collapses
+    to its DISTINCT shingle set, which is benchmark-sized by this
+    function's contract (thousands of docs) and is broadcast-HINTED — an
+    unhinted join would plan sort-merge first and materialize the whole
+    exploded train relation to shuffle files before AQE could flip it.
+    Only documents with ≥1 shared shingle appear in the output.
+
+    Limitation (pick ``ngram`` accordingly): an eval row SHORTER than
+    ``ngram`` words participates only as its whole-text shingle — it
+    matches an identical short training document, NOT its containment
+    inside a longer one, exactly like the published n-gram convention.
+    Choose ``ngram`` ≤ the shortest meaningful eval text. Empty /
+    whitespace-only rows on either side are ignored (their degenerate ''
+    shingle would otherwise cross-join every blank train doc to every
+    blank eval row)."""
     tr = ensure_min_partitions(
         df.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, ngram)).alias("sh"),
-    )
+    ).filter(F.col("sh") != "")
     ev = (
         eval_df.select(F.explode(shingles(eval_text_col, ngram)).alias("sh"))
+        .filter(F.col("sh") != "")
         .distinct()
     )
     return (
-        tr.join(ev, "sh")
+        tr.join(F.broadcast(ev), "sh")
         .groupBy("id")
         .agg(F.countDistinct("sh").alias("n_shared"))
     )

@@ -107,3 +107,24 @@ def test_strict_sjis_label_still_wins_when_decodable():
     body = b'<html><head><meta charset="sjis"></head><body>ok</body></html>'
     text, enc = sniff_decode(body)
     assert enc == "cp932" and "ok" in text
+
+
+def test_thai_turkish_label_variants_resolve():
+    """Every WHATWG label variant of the Thai/Turkish families must hit
+    the superset codec — a missing alias silently falls through to
+    utf-8/latin-1 mojibake, and Python's OWN iso-8859-9 codec would decode
+    0x80-0x9F as C1 controls instead of cp1254's text block."""
+    thai = "ภาษาไทย"
+    for label in ("tis-620", "iso-8859-11", "iso8859-11", "iso885911",
+                  "dos-874", "windows-874"):
+        body = (f'<html><head><meta charset="{label}"></head>'
+                f"<body>{thai}</body></html>").encode("cp874")
+        text, enc = sniff_decode(body)
+        assert enc == "cp874" and thai in text, label
+    tr = "Türkçe ğış œŒ"  # œ/Œ exist in cp1254, NOT in ISO 8859-9
+    for label in ("iso-8859-9", "iso8859-9", "iso88599", "latin5", "l5",
+                  "csisolatin5"):
+        body = (f'<html><head><meta charset="{label}"></head>'
+                f"<body>{tr}</body></html>").encode("cp1254")
+        text, enc = sniff_decode(body)
+        assert enc == "cp1254" and tr in text, label

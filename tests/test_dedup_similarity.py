@@ -514,3 +514,18 @@ def test_decontaminate_drops_eval_overlaps(spark):
     assert rep[4] == len(eval_q.split()) - 7  # all shingles of the verbatim copy
     # a permissive threshold keeps light overlaps
     assert {r.doc_id for r in decontaminate(df, ev, ngram=8, max_shared=100).collect()} == {1, 2, 3, 4}
+
+
+def test_decontaminate_ignores_blank_rows(spark):
+    """An empty/whitespace eval row must not nuke every blank train doc
+    through the degenerate '' shingle."""
+    from pbx_ds_ocr_server_spark.operators.dedup import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "real content words here in this clean training document today"),
+         (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, ""), (1, "  ")], "doc_id long, text string")
+    kept = {r.doc_id for r in decontaminate(df, ev, ngram=8).collect()}
+    assert kept == {1, 2, 3}

@@ -243,3 +243,24 @@ def test_mix_by_group_deterministic_up_and_down_sampling(spark):
     assert sorted((r.doc_id, r.rep) for r in again) == sorted(
         (r.doc_id, r.rep) for r in res
     )
+
+
+def test_mix_by_group_null_keys_and_guards(spark):
+    from pbx_ds_ocr_server_spark.functions.text import mix_by_group
+    import pytest
+
+    df = spark.createDataFrame(
+        [(None, "en"), (2, "en"), (None, "de")],
+        "doc_id long, lang string",
+    )
+    # integer rates keep null-key rows (they hash as '')
+    res = mix_by_group(df, {"en": 2.0}, default_rate=1.0).collect()
+    got = {(r.doc_id, r.lang, r.rep) for r in res}
+    assert {(None, "en", 0), (None, "en", 1), (None, "de", 0),
+            (2, "en", 0), (2, "en", 1)} <= got
+    with pytest.raises(ValueError, match="default_rate"):
+        mix_by_group(df, {"en": 1.0}, default_rate=-0.5)
+    with pytest.raises(ValueError, match="rep"):
+        mix_by_group(
+            mix_by_group(df, {"en": 2.0}), {"en": 1.0}
+        )
