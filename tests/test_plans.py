@@ -146,3 +146,25 @@ def test_narrow_fanout_never_touches_payload_column(spark, corpus, tmp_path_fact
     assert schemas and all(
         set(s.split(",")) == {"doc_id:bigint", "text:string"} for s in schemas
     )
+
+
+def test_contamination_report_broadcasts_eval_shingles(spark):
+    """decontamination's eval shingle set is benchmark-sized by contract
+    and must be the BROADCAST side — an unhinted join plans sort-merge and
+    spills the whole exploded train relation to shuffle files first."""
+    from pyspark.sql import functions as F
+
+    from pbx_ds_ocr_server_spark.operators.dedup import contamination_report
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") < 10)
+    plan = (
+        contamination_report(docs, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
