@@ -303,6 +303,111 @@ def pii_scrub(col: Column | str) -> Column:
     return F.regexp_replace(c, IPV4_RE, "<IP>")
 
 
+def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stopword_hits: int = 2,
+                 stopword_lang: str = "en",
+                 max_dup_word_frac: float = 0.6,
+                 max_top_bigram_frac: float = 0.18):
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 appendix
+    A1.1, the published web-text curation rule set), one boolean per rule
+    plus the conjunction: (id, word count / mean-word-length / symbol /
+    alpha-word / stopword / repetition rule booleans, keep).
+
+    All rules are JVM column expressions over ONE words() projection; the
+    repetition pair reuses :func:`repetition_metrics`' definitions —
+    word-fraction variants of the paper's character fractions (same
+    signal, engine-mirrorable arithmetic), so their default thresholds
+    are looser than the paper's: ordinary English already repeats ~40-55%
+    of its words (stopwords), hence max_dup_word_frac=0.6. ``gopher_filter`` applies the
+    conjunction; this audit variant shows WHY a document fails."""
+    w = words(text_col)
+    base = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("id"),
+        w.alias("ws"),
+        norm_text(text_col).alias("nt"),
+    )
+    nonempty = F.filter(F.col("ws"), lambda x: x != "")
+    n_real = F.size(nonempty)
+    mean_len = F.when(
+        n_real > 0,
+        F.aggregate(
+            nonempty, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double") / n_real,
+    ).otherwise(F.lit(0.0))
+    n_sym = (
+        F.length("nt")
+        - F.length(F.regexp_replace("nt", r"[#…]|\.\.\.", ""))
+    )
+    alpha_words = F.size(
+        F.filter(nonempty, lambda x: x.rlike("[A-Za-z]"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS[stopword_lang]])
+    stop_hits = F.size(
+        F.filter(nonempty, lambda x: F.array_contains(stop_arr, F.lower(x)))
+    )
+    # repetition signals come from repetition_metrics (explode + hash
+    # aggs) instead of an in-row bigram count, which is quadratic per
+    # document and dies on long docs
+    rep = repetition_metrics(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "dup_word_frac", "top_bigram_frac"
+    )
+    flags = base.select(
+        "id",
+        ((n_real >= min_words) & (n_real <= max_words)).alias("ok_words"),
+        (
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        F.when(
+            n_real > 0, n_sym.cast("double") / n_real <= max_symbol_ratio
+        ).otherwise(F.lit(False)).alias("ok_symbols"),
+        F.when(
+            n_real > 0,
+            alpha_words.cast("double") / n_real >= min_alpha_word_frac,
+        ).otherwise(F.lit(False)).alias("ok_alpha_words"),
+        (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
+    ).join(rep, "id")
+    flags = flags.select(
+        "id",
+        "ok_words",
+        "ok_mean_word_len",
+        "ok_symbols",
+        "ok_alpha_words",
+        "ok_stopwords",
+        (F.col("dup_word_frac") <= max_dup_word_frac).alias("ok_dup_words"),
+        (F.col("top_bigram_frac") <= max_top_bigram_frac).alias(
+            "ok_top_bigram"
+        ),
+    )
+    rule_cols = [c for c in flags.columns if c.startswith("ok_")]
+    keep_expr = F.col(rule_cols[0])
+    for c in rule_cols[1:]:
+        keep_expr = keep_expr & F.col(c)
+    return flags.withColumn("keep", keep_expr).withColumnRenamed(
+        "id", id_col
+    )
+
+
+def gopher_filter(df, id_col: str = "doc_id", text_col: str = "text",
+                  **thresholds):
+    """Keep only documents passing ALL Gopher quality rules (see
+    :func:`gopher_flags` for the rule set and thresholds) — the standard
+    pre-training curation gate, applied as a left-semi join on the id
+    (payload columns never shuffle)."""
+    keep = (
+        gopher_flags(df, id_col, text_col, **thresholds)
+        .filter(F.col("keep"))
+        .select(F.col(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 # ------------------------------------------------- deterministic sampling
 def _md5_frac(key_col: str):
     """md5(key) prefix as a uniform fraction in [0, 1) — the shared order

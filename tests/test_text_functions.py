@@ -264,3 +264,35 @@ def test_mix_by_group_null_keys_and_guards(spark):
         mix_by_group(
             mix_by_group(df, {"en": 2.0}), {"en": 1.0}
         )
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    """One crafted violator per Gopher rule; a clean doc passes all."""
+    from pbx_ds_ocr_server_spark.functions.text import (
+        gopher_filter,
+        gopher_flags,
+    )
+
+    clean = " ".join(
+        f"the word{i} and value{i} of unit{i}" for i in range(12)
+    )  # 72 words, stopword-rich, low repetition, natural word lengths
+    rows = [
+        (1, clean),                                     # passes everything
+        (2, "too short for the gate"),                  # ok_words
+        (3, " ".join(["a"] * 60)),                      # mean word len < 3
+        (4, " ".join(["the"] * 30 + ["###"] * 30)),     # symbols + dup
+        (5, " ".join(["123456"] * 60)),                 # alpha-word frac
+        (6, " ".join(f"w{i}" for i in range(60))),      # no stopwords
+        (7, "the fox " * 40),                           # top bigram + dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = {r.doc_id: r for r in gopher_flags(df, min_words=40).collect()}
+    assert flags[1].keep
+    assert not flags[2].ok_words
+    assert not flags[3].ok_mean_word_len
+    assert not flags[4].ok_symbols and not flags[4].ok_dup_words
+    assert not flags[5].ok_alpha_words
+    assert not flags[6].ok_stopwords
+    assert not flags[7].ok_top_bigram and not flags[7].keep
+    kept = {r.doc_id for r in gopher_filter(df, min_words=40).collect()}
+    assert kept == {1}
