@@ -46,12 +46,18 @@ def token_count(col: Column | str) -> Column:
     return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("bigint")
 
 
+def _stop_hits(arr: Column, lang: str) -> Column:
+    """Count of entries in a pre-tokenized word array (lowercased) that are
+    in the lang's stopword set — shared by _vote and gopher_flags."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(arr, lambda w: F.array_contains(stop, F.lower(w)))
+    )
+
+
 def _vote(col: Column | str, lang: str) -> Column:
     """Count of words (lowercased) that are in the lang's stopword set."""
-    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(
-        F.filter(words(col), lambda w: F.array_contains(arr, F.lower(w)))
-    )
+    return _stop_hits(words(col), lang)
 
 
 def lang_votes(col: Column | str) -> dict[str, Column]:
@@ -318,21 +324,26 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
     plus the conjunction: (id, word count / mean-word-length / symbol /
     alpha-word / stopword / repetition rule booleans, keep).
 
-    All rules are JVM column expressions over ONE words() projection; the
-    repetition pair reuses :func:`repetition_metrics`' definitions —
-    word-fraction variants of the paper's character fractions (same
-    signal, engine-mirrorable arithmetic), so their default thresholds
-    are looser than the paper's: ordinary English already repeats ~40-55%
-    of its words (stopwords), hence max_dup_word_frac=0.6. ``gopher_filter`` applies the
+    The scalar rules are JVM column expressions over one projected
+    normalized-text column; ``top_bigram_frac`` joins in from
+    :func:`repetition_metrics` (explode + hash aggs — an in-row bigram
+    count is quadratic per document), LEFT join so NULL-text/NULL-id rows
+    stay visible in the audit (they fail ok_words with every flag
+    non-null). The repetition pair is the word-fraction variant of the
+    paper's character fractions, so its default thresholds are looser:
+    ordinary English already repeats ~40-55% of its words (stopwords),
+    hence max_dup_word_frac=0.6. Precondition (like every per-document
+    audit here): one row per id — duplicate ids would cross-join with
+    their pooled repetition stats. ``gopher_filter`` applies the
     conjunction; this audit variant shows WHY a document fails."""
-    w = words(text_col)
     base = ensure_min_partitions(
         df.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col).alias("id"),
-        w.alias("ws"),
-        norm_text(text_col).alias("nt"),
-    )
+        # coalesce BEFORE deriving ws: a NULL text must produce an honest
+        # all-rules-fail row, not a NULL-propagated vanishing one
+        F.coalesce(norm_text(text_col), F.lit("")).alias("nt"),
+    ).select("id", "nt", F.split("nt", " ").alias("ws"))
     nonempty = F.filter(F.col("ws"), lambda x: x != "")
     n_real = F.size(nonempty)
     mean_len = F.when(
@@ -341,23 +352,20 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
             nonempty, F.lit(0), lambda acc, x: acc + F.length(x)
         ).cast("double") / n_real,
     ).otherwise(F.lit(0.0))
-    n_sym = (
-        F.length("nt")
-        - F.length(F.regexp_replace("nt", r"[#…]|\.\.\.", ""))
-    )
+    # count OCCURRENCES of the symbol tokens: a length delta would score
+    # an ASCII '...' as 3 symbols but '…' as 1
+    n_sym = F.regexp_count(F.col("nt"), F.lit(r"#|…|\.\.\."))
     alpha_words = F.size(
         F.filter(nonempty, lambda x: x.rlike("[A-Za-z]"))
     )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS[stopword_lang]])
-    stop_hits = F.size(
-        F.filter(nonempty, lambda x: F.array_contains(stop_arr, F.lower(x)))
-    )
-    # repetition signals come from repetition_metrics (explode + hash
-    # aggs) instead of an in-row bigram count, which is quadratic per
-    # document and dies on long docs
+    stop_hits = _stop_hits(nonempty, stopword_lang)
     rep = repetition_metrics(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), "dup_word_frac", "top_bigram_frac"
+        F.col(id_col).alias("id"), "top_bigram_frac"
     )
+    dup_frac = F.when(
+        n_real > 0,
+        1 - F.size(F.array_distinct(nonempty)).cast("double") / n_real,
+    ).otherwise(F.lit(0.0))
     flags = base.select(
         "id",
         ((n_real >= min_words) & (n_real <= max_words)).alias("ok_words"),
@@ -372,7 +380,8 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
             alpha_words.cast("double") / n_real >= min_alpha_word_frac,
         ).otherwise(F.lit(False)).alias("ok_alpha_words"),
         (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
-    ).join(rep, "id")
+        (dup_frac <= max_dup_word_frac).alias("ok_dup_words"),
+    ).join(rep, "id", "left")
     flags = flags.select(
         "id",
         "ok_words",
@@ -380,10 +389,11 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
         "ok_symbols",
         "ok_alpha_words",
         "ok_stopwords",
-        (F.col("dup_word_frac") <= max_dup_word_frac).alias("ok_dup_words"),
-        (F.col("top_bigram_frac") <= max_top_bigram_frac).alias(
-            "ok_top_bigram"
-        ),
+        "ok_dup_words",
+        (
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+            <= max_top_bigram_frac
+        ).alias("ok_top_bigram"),
     )
     rule_cols = [c for c in flags.columns if c.startswith("ok_")]
     keep_expr = F.col(rule_cols[0])

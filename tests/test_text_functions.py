@@ -284,9 +284,16 @@ def test_gopher_flags_each_rule_fires(spark):
         (5, " ".join(["123456"] * 60)),                 # alpha-word frac
         (6, " ".join(f"w{i}" for i in range(60))),      # no stopwords
         (7, "the fox " * 40),                           # top bigram + dup
+        (8, " ".join(f"the w{i}" for i in range(50))),  # > max_words (=80)
+        (9, "the " + "extraordinarilylongword " * 59),  # mean word len > 10
+        (10, None),                                     # NULL text: audited
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    flags = {r.doc_id: r for r in gopher_flags(df, min_words=40).collect()}
+    flags = {
+        r.doc_id: r
+        for r in gopher_flags(df, min_words=40, max_words=80).collect()
+    }
+    assert len(flags) == len(rows)  # NULL text must NOT vanish from audit
     assert flags[1].keep
     assert not flags[2].ok_words
     assert not flags[3].ok_mean_word_len
@@ -294,5 +301,22 @@ def test_gopher_flags_each_rule_fires(spark):
     assert not flags[5].ok_alpha_words
     assert not flags[6].ok_stopwords
     assert not flags[7].ok_top_bigram and not flags[7].keep
-    kept = {r.doc_id for r in gopher_filter(df, min_words=40).collect()}
+    assert not flags[8].ok_words  # upper word bound
+    assert not flags[9].ok_mean_word_len  # upper mean-length bound
+    assert not flags[10].ok_words and flags[10].keep is False
+    kept = {r.doc_id for r in gopher_filter(df, min_words=40, max_words=80).collect()}
     assert kept == {1}
+
+
+def test_gopher_symbol_rule_counts_occurrences(spark):
+    """ASCII '...' is ONE symbol occurrence, same as '…' — a length-delta
+    implementation would score it 3x and reject legitimate prose."""
+    from pbx_ds_ocr_server_spark.functions.text import gopher_flags
+
+    base = " ".join(f"the word{i} and value{i}" for i in range(15))  # 60 w
+    rows = [(1, base + " so... it goes... on..."),
+            (2, base + " so… it goes… on…")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = {r.doc_id: r for r in gopher_flags(df).collect()}
+    # 3 of 63 words ≈ 0.048 either way — both must pass
+    assert flags[1].ok_symbols and flags[2].ok_symbols
