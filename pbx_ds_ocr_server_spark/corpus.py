@@ -833,7 +833,12 @@ def warc_record_bytes(row: dict, gzip_member: bool = False) -> bytes:
     payload = row["html"] if row["html"] is not None else b""
     ctype = row.get("content_type") or _WARC_MIME[detect_content_type(payload)]
     if isinstance(ctype, str):
-        ctype = ctype.encode("latin-1")
+        try:
+            ctype = ctype.encode("latin-1")
+        except UnicodeEncodeError:
+            # one bad metadata value must not kill the whole export task:
+            # fall back to the sniffed type (HTTP header values are latin-1)
+            ctype = _WARC_MIME[detect_content_type(payload)]
     body = (
         b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
         b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"

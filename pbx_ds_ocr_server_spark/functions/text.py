@@ -460,28 +460,28 @@ def stratified_sample(df, k: int, group_col: str = "lang",
     group are pathologically clustered). Two map-side-combined scans of two
     narrow columns replace an all-data sort on ≤|groups| reducers — the
     right trade at any scale where this operator matters. The auto path
-    collects ONE ROW PER GROUP to the driver, so it first checks the
-    group cardinality with ``approx_count_distinct`` (a single-row agg)
-    and silently disables the prefilter above ``auto_max_groups`` — with
-    that many groups the window already has that many reducers and the
-    prefilter buys nothing, while collecting the group domain would be a
-    driver-memory hazard. Pass a float to pin the rate (caller guarantees
-    adequacy), or ``None`` to disable the prefilter (tiny frames)."""
+    collects ONE ROW PER GROUP to the driver, so the counts scan carries
+    a ``LIMIT auto_max_groups + 1``: when the limit is hit the prefilter
+    is silently disabled — with that many groups the window already has
+    that many reducers and the prefilter buys nothing, while collecting
+    the full group domain would be a driver-memory hazard. (The
+    cardinality guard rides the counts scan itself — no separate probe
+    job.) Pass a float to pin the rate (caller guarantees adequacy), or
+    ``None`` to disable the prefilter (tiny frames)."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
     rate: float | None = None
     if pre_rate == "auto":
-        approx_groups = df.agg(
-            F.approx_count_distinct(group_col).alias("g")
-        ).collect()[0]["g"]
-        if approx_groups > auto_max_groups:
-            pre_rate = None  # high-cardinality: window is already wide
-    if pre_rate == "auto":
-        counts = {
-            r[0]: r[1]
-            for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
-        }
+        rows = (
+            df.groupBy(group_col)
+            .agg(F.count("*").alias("n"))
+            .limit(auto_max_groups + 1)
+            .collect()
+        )
+        counts = (
+            {} if len(rows) > auto_max_groups else {r[0]: r[1] for r in rows}
+        )
         if counts:
             cand = 10.0 * k / min(counts.values())
             while cand < 1.0:
@@ -550,7 +550,11 @@ def mix_by_group(df, rates: dict, group_col: str = "lang",
     correlates. Deterministic across runs/partitionings/engines. Rows with
     a NULL key hash as the empty string (so integer rates keep them and a
     fractional rate gives them ONE shared fate — a null id carries no
-    per-row randomness to draw on). Refuses a frame that already has a
+    per-row randomness to draw on). Rows whose GROUP is NULL take
+    ``default_rate`` unless ``rates`` carries an explicit ``None`` key,
+    which targets exactly the null-group rows (matched null-safely — a
+    plain ``=`` comparison could never select them). Refuses a frame that
+    already has a
     ``rep`` column: re-mixing replicas would re-derive identical rep
     values per key and silently break (id, rep) uniqueness — drop or
     rename the column (or re-mix the ORIGINAL frame with updated rates,
@@ -565,12 +569,19 @@ def mix_by_group(df, rates: dict, group_col: str = "lang",
     if default_rate < 0:
         raise ValueError(f"negative default_rate {default_rate}")
     rate_expr = F.lit(float(default_rate))
-    for g, r in sorted(rates.items()):
+    # None sorts first via the key tuple (plain sorted() would TypeError
+    # comparing None against str group values)
+    for g, r in sorted(
+        rates.items(), key=lambda kv: (kv[0] is not None, str(kv[0]))
+    ):
         if r < 0:
             raise ValueError(f"negative rate for group {g!r}")
-        rate_expr = F.when(
-            F.col(group_col) == F.lit(g), F.lit(float(r))
-        ).otherwise(rate_expr)
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else F.col(group_col) == F.lit(g)
+        )
+        rate_expr = F.when(cond, F.lit(float(r))).otherwise(rate_expr)
     # salted fraction: distinct stream from hash_sample's md5(key) prefix
     frac = (
         F.conv(

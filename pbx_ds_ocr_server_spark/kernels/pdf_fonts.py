@@ -84,8 +84,8 @@ _U_RE = re.compile(r"u([0-9A-Fa-f]{4,6})$")
 def _build_win_ansi() -> dict[int, str]:
     t: dict[int, str] = {}
     for b in range(32, 256):
-        if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
-            continue  # unassigned in WinAnsiEncoding (and cp1252)
+        if b in (0x7F, 0x81, 0x8D, 0x8F, 0x90, 0x9D):
+            continue  # 0x7F (DEL) + five cp1252 holes: unassigned in Annex D
         t[b] = bytes([b]).decode("cp1252")
     t[0xA0] = " "
     t[0xAD] = "-"
@@ -93,7 +93,11 @@ def _build_win_ansi() -> dict[int, str]:
 
 
 def _build_mac_roman() -> dict[int, str]:
-    t = {b: bytes([b]).decode("mac-roman") for b in range(32, 256)}
+    t = {
+        b: bytes([b]).decode("mac-roman")
+        for b in range(32, 256)
+        if b != 0x7F  # DEL — unassigned in the Annex D MacRoman table
+    }
     t[0xCA] = " "
     t[0xDB] = "¤"
     return t

@@ -554,7 +554,15 @@ def dedup_near(
     accepted tier trades exactness for cost: a pair whose true (cap-
     filtered) Jaccard is below ``min_jaccard`` but whose k-sample estimate
     clears ``hi`` is deleted anyway — at k=64 and hi=0.95 that is a
-    >2.5σ-upward outlier of a j<0.8 pair; choose hi accordingly.
+    >2.5σ-upward outlier of a j<0.8 pair; choose hi accordingly. With
+    ``transitive=True`` the risk AMPLIFIES beyond that single false
+    delete: accepted pairs feed connected components unverified, so ONE
+    ≥hi estimator outlier can bridge two otherwise-separate components and
+    delete every non-min doc of the merged component. Pipelines that
+    cannot tolerate that amplification should pair ``estimate_band`` with
+    ``transitive=False`` (one-hop: an outlier deletes at most its own
+    larger endpoint) or reserve hi for genuinely unambiguous estimates
+    (e.g. 1.0 at k=64).
 
     ``transitive=False`` (default): one-hop — any id that is the larger
     member of a verified pair is dropped. A hub document near two others

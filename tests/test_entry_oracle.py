@@ -7,8 +7,6 @@ Runs at sf0.001 for speed; the driver runs the same comparison at sf0.01.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 import pytest
@@ -69,10 +67,12 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch\n{e}") from e
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0 and df.schema is not None
+def test_all_queries_carry_oracles():
+    """Tripwire (replaces a permanently-skipped empty parametrize): every
+    driver slot must stay oracle-bearing. A nonempty set here means an
+    oracle went missing and that query silently downgraded to the driver's
+    weaker rows-only check."""
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):
@@ -80,5 +80,3 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-def _ignore(*_a, **_k):  # keep math import used if pandas compare changes
-    return math.nan

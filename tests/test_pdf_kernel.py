@@ -751,6 +751,29 @@ def test_winansi_unassigned_byte_flags_lost():
     assert res[0][1] is True  # ...and is flagged as a blind spot
 
 
+def test_del_byte_is_unassigned_in_annex_d_tables():
+    """0x7F (DEL) is unassigned in the Annex D WinAnsi/MacRoman tables — it
+    must fall to the lost path, never surface as a U+007F control char."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import MAC_ROMAN, WIN_ANSI
+
+    assert 0x7F not in WIN_ANSI
+    assert 0x7F not in MAC_ROMAN
+
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    stream = b"BT /F1 12 Tf 72 700 Td <417f42> Tj ET"  # A, DEL, B
+    pdf = _font_pdf(
+        stream,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "AB"
+    assert res[0][1] is True
+
+
 def test_macroman_base_encoding_decodes_high_bytes():
     from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
         extract_pdf_detailed,

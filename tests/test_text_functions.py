@@ -258,6 +258,15 @@ def test_mix_by_group_null_keys_and_guards(spark):
     got = {(r.doc_id, r.lang, r.rep) for r in res}
     assert {(None, "en", 0), (None, "en", 1), (None, "de", 0),
             (2, "en", 0), (2, "en", 1)} <= got
+    # NULL groups take default_rate unless rates carries an explicit None
+    # key, which targets exactly the null-group rows (null-safe match)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "en"), (3, None)], "doc_id long, lang string"
+    )
+    dropped = mix_by_group(nulls, {None: 0.0}, default_rate=1.0).collect()
+    assert {(r.doc_id, r.lang) for r in dropped} == {(2, "en")}
+    kept = mix_by_group(nulls, {None: 2.0, "en": 0.0}).collect()
+    assert {(r.doc_id, r.rep) for r in kept} == {(1, 0), (1, 1), (3, 0), (3, 1)}
     with pytest.raises(ValueError, match="default_rate"):
         mix_by_group(df, {"en": 1.0}, default_rate=-0.5)
     with pytest.raises(ValueError, match="rep"):

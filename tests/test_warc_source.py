@@ -94,6 +94,23 @@ def test_write_warc_content_type_and_null_payloads(spark, tmp_path):
     assert back["https://x.example/null"] == b""
 
 
+def test_warc_record_bytes_non_latin1_content_type_falls_back():
+    """A caller-supplied content_type outside latin-1 must not raise (one
+    bad metadata value would kill the whole export task) — it falls back
+    to the magic-sniffed type (round-4 ADVICE finding)."""
+    from pbx_ds_ocr_server_spark.corpus import warc_record_bytes
+
+    rec = warc_record_bytes(
+        {
+            "url": "https://x.example/bad-meta",
+            "warc_ts": None,
+            "html": b"<html><p>ok</p></html>",
+            "content_type": "text/html; charset=текст",
+        }
+    )
+    assert b"Content-Type: text/html\r\n" in rec
+
+
 def test_spark_read_and_extract_byte_identity(spark, warc_rows, tmp_path):
     half = len(warc_rows) // 2
     (tmp_path / "a.warc").write_bytes(make_warc(warc_rows[:half]))
