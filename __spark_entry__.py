@@ -65,6 +65,10 @@ TOKENS = f"(CASE WHEN {NORM} = '' THEN 0 ELSE len({WORDS}) END)"
 # their DuckDB oracles MUST share this value (operators/dedup.jaccard_pairs).
 MAX_SHINGLE_DF = 1000
 
+# English stopword list as a SQL array literal body — the Gopher-gate
+# mirror inside the corpus_curation oracle counts hits over the same set.
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
 # dup-injection used by the dedup queries (same on both sides): docs with
 # doc_id < 20 duplicated under doc_id+1000000.
 DOCS_U = (
@@ -360,6 +364,75 @@ def _ann_ivf_kmeans_sql(
 
 # --------------------------------------------------------------- entry
 
+def _sequence_pack_sql(budget: int = 512, n_buckets: int = 16) -> str:
+    """Mirror of BOTH packers over the same (bucket, n_tokens) frame:
+    the contiguous cumulative-fill rule as a window sum, and the
+    Best-Fit-Decreasing rule (functions/text.sequence_pack_greedy) as a
+    per-bucket recursive CTE that replays the sequential loop — one
+    iteration per (n_tokens desc, doc_id) rank, state = the open-pack
+    fill list; pick = the candidate pack with max fill, tie lowest index
+    (exactly best-fit's smallest-remaining rule). Lambda vars are named
+    apart (p, i) because DuckDB resolves nested lambda scopes by name."""
+    cands = (
+        f"list_filter(generate_series(1, len(s.fills)),"
+        f" p -> s.fills[p] + x.n_tokens <= {budget})"
+    )
+    pick = (
+        f"CASE WHEN len({cands}) = 0 THEN NULL ELSE "
+        f"CAST(list_sort(list_transform({cands},"
+        f" p -> [-s.fills[p], CAST(p AS BIGINT)]))[1][2] AS BIGINT) END"
+    )
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 4)) AS BIGINT) % {n_buckets} AS bucket,
+                   CAST({TOKENS} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, bucket, n_tokens,
+                   row_number() OVER (PARTITION BY bucket
+                       ORDER BY n_tokens DESC, doc_id ASC) AS rn
+            FROM t
+        ),
+        nb AS (SELECT bucket, count(*) AS n FROM r GROUP BY bucket),
+        st(bucket, rn, fills, assigns) AS (
+            SELECT bucket, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+                   CAST([] AS BIGINT[])
+            FROM nb
+            UNION ALL
+            SELECT s.bucket, s.rn + 1,
+                CASE WHEN {pick} IS NULL
+                     THEN list_append(s.fills, x.n_tokens)
+                     ELSE list_transform(generate_series(1, len(s.fills)),
+                          i -> CASE WHEN i = {pick}
+                               THEN s.fills[i] + x.n_tokens
+                               ELSE s.fills[i] END)
+                END,
+                list_append(s.assigns, coalesce({pick}, len(s.fills) + 1))
+            FROM st s JOIN r x ON x.bucket = s.bucket AND x.rn = s.rn + 1
+        ),
+        fin AS (
+            SELECT st.bucket, st.assigns
+            FROM st JOIN nb ON st.bucket = nb.bucket AND st.rn = nb.n
+        ),
+        bf AS (
+            SELECT r.doc_id,
+                   CAST(fin.assigns[CAST(r.rn AS INT)] - 1 AS BIGINT)
+                       AS pack_id_bf
+            FROM r JOIN fin ON r.bucket = fin.bucket
+        )
+        SELECT r.doc_id, r.bucket,
+               CAST(floor(coalesce(sum(r.n_tokens) OVER (
+                    PARTITION BY r.bucket ORDER BY r.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / {budget}.0) AS BIGINT) AS pack_id,
+               r.n_tokens, bf.pack_id_bf
+        FROM r JOIN bf USING (doc_id)
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize the Common-Crawl-style corpus at sf0.001 and run
     the full extraction pipeline (SURVEY.md §3 EP1 rebuilt on Spark)."""
@@ -542,9 +615,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["url_normalize"] = url_normalize_q
-    q["hash_sample"] = lambda spark, sf: hash_sample(
-        _docs(spark, sf), rate=0.1
-    ).select("doc_id")
+
+    def hash_sample_mix(spark, sf):
+        # one slot covers BOTH deterministic sampling predicates: the
+        # md5-prefix Bernoulli sample and the salted domain-mixture
+        # resampler composed on top (round-5 fold — mix_by_group was
+        # pytest-only in round 4): en up-replicated 2.5x, de halved, zh
+        # dropped, everything else kept; rep keeps replicas distinct
+        from pbx_ds_ocr_server_spark.functions.text import mix_by_group
+
+        sampled = hash_sample(_docs(spark, sf), rate=0.1).select(
+            "doc_id", "lang"
+        )
+        return mix_by_group(
+            sampled, {"en": 2.5, "de": 0.5, "zh": 0.0}, default_rate=1.0
+        )
+
+    q["hash_sample_mix"] = hash_sample_mix
     q["stratified_sample"] = lambda spark, sf: stratified_sample(
         _docs(spark, sf), k=20
     ).select("doc_id", "lang")
@@ -842,14 +929,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def sequence_pack_q(spark, sf):
         # 16 buckets at sf0.01 keeps several docs per (bucket, pack) so the
-        # cumulative-fill rule is actually exercised
-        from pbx_ds_ocr_server_spark.functions.text import sequence_pack
-
-        return sequence_pack(
-            _docs(spark, sf).select("doc_id", "text"),
-            budget=512,
-            n_buckets=16,
+        # cumulative-fill rule is actually exercised. Round-5 fold: the
+        # same slot also hash-checks the Best-Fit-Decreasing packer
+        # (applyInPandas tier) — its oracle is an unrolled per-bucket BFD
+        # recursive CTE, so the sequential best-fit rule (tightest open
+        # pack that fits, tie -> lowest pack id) is pinned cross-engine
+        from pbx_ds_ocr_server_spark.functions.text import (
+            sequence_pack,
+            sequence_pack_greedy,
         )
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        cont = sequence_pack(d, budget=512, n_buckets=16)
+        bf = sequence_pack_greedy(d, budget=512, n_buckets=16).select(
+            "doc_id", F.col("pack_id").alias("pack_id_bf")
+        )
+        return cont.join(bf, "doc_id")
 
     q["sequence_pack"] = sequence_pack_q
 
@@ -958,9 +1053,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans_top5"] = ann_ivf_kmeans
 
     # --- flagship composition: the C4-style curation pipeline in one query
-    # (length gate → quality gate → language gate → exact dedup keep-first)
+    # (length gate → quality gate → language gate → Gopher rule gate →
+    # benchmark decontamination → exact dedup keep-first). Round-5 fold:
+    # the Gopher gate and decontaminate were pytest-only in round 4; this
+    # slot now hash-checks both inside the composed pipeline.
     def corpus_curation(spark, sf):
-        from pbx_ds_ocr_server_spark.operators.dedup import dedup_exact
+        from pbx_ds_ocr_server_spark.functions.text import gopher_filter
+        from pbx_ds_ocr_server_spark.operators.dedup import (
+            decontaminate,
+            dedup_exact,
+        )
 
         d = _docs_u(spark, sf).select("doc_id", "text")
         filtered = (
@@ -974,7 +1076,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 & (F.col("lang_pred") == "en")
             )
         )
-        return dedup_exact(filtered, "doc_id", "text").select("doc_id")
+        # thresholds sized to the synthetic corpus (10-99 words/doc, no
+        # symbols, all-alpha): words/stopword/dup/bigram rules each cut a
+        # real slice; the per-rule violator coverage lives in pytest
+        gophered = gopher_filter(
+            filtered,
+            min_words=25,
+            min_stopword_hits=2,
+            max_dup_word_frac=0.6,
+            max_top_bigram_frac=0.18,
+        )
+        # deterministic stand-in eval set: every 37th source doc — its
+        # survivors (and their injected dups) share all their 8-gram
+        # shingles with the eval side, so decontamination provably fires
+        eval_df = _docs(spark, sf).filter(F.col("doc_id") % 37 == 0).select(
+            "text"
+        )
+        decon = decontaminate(gophered, eval_df, ngram=8)
+        return dedup_exact(decon, "doc_id", "text").select("doc_id")
 
     q["corpus_curation"] = corpus_curation
     return q
@@ -1357,22 +1476,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w, UNNEST(generate_series(0,
                 CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT))) AS t(k)
         """,
-        "sequence_pack": f"""
-            WITH t AS (
-                SELECT doc_id,
-                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                            1, 4)) AS BIGINT) % 16 AS bucket,
-                       CAST({TOKENS} AS BIGINT) AS n_tokens
-                FROM documents
-            )
-            SELECT doc_id, bucket,
-                   CAST(floor(coalesce(sum(n_tokens) OVER (
-                        PARTITION BY bucket ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        0) / 512.0) AS BIGINT) AS pack_id,
-                   n_tokens
-            FROM t
-        """,
+        "sequence_pack": _sequence_pack_sql(),
         "nfc_norm": """
             WITH docs_nfc AS (
                 SELECT doc_id, text FROM documents
@@ -1437,10 +1541,34 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(auth, ':[0-9]*$', '') AS host
             FROM p
         """,
-        "hash_sample": """
-            SELECT doc_id FROM documents
-            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) / 4294967296.0 < 0.1
+        "hash_sample_mix": """
+            WITH s AS (
+                SELECT doc_id, lang FROM documents
+                WHERE CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 < 0.1
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       CASE WHEN lang = 'de' THEN 0.5
+                            WHEN lang = 'en' THEN 2.5
+                            WHEN lang = 'zh' THEN 0.0
+                            ELSE 1.0 END AS rate,
+                       CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                  1, 8)) AS BIGINT) / 4294967296.0 AS frac
+                FROM s
+            ),
+            n AS (
+                SELECT doc_id, lang,
+                       CAST(floor(rate) AS BIGINT)
+                       + CASE WHEN frac < rate - floor(rate)
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM r
+            )
+            SELECT doc_id, lang, CAST(k AS BIGINT) AS rep
+            FROM n, UNNEST(generate_series(0, CAST(n_copies AS INT) - 1))
+                 AS t(k)
         """,
         "stratified_sample": """
             WITH r AS (
@@ -1705,10 +1833,96 @@ def oracle_sql() -> dict[str, str]:
             filtered AS (
                 SELECT doc_id, text FROM scored
                 WHERE n_tokens BETWEEN 20 AND 500 AND q >= 0.5 AND lp = 'en'
+            ),
+            -- Gopher rule gate (functions/text.gopher_flags, thresholds
+            -- min_words=25, min_stopword_hits=2, max_dup_word_frac=0.6,
+            -- max_top_bigram_frac=0.18, defaults elsewhere)
+            gw AS (
+                SELECT doc_id, text, {NORM} AS nt,
+                       list_filter({WORDS}, w -> w <> '') AS ws
+                FROM filtered
+            ),
+            gm AS (
+                SELECT doc_id, text, len(ws) AS n_real,
+                       CASE WHEN len(ws) > 0 THEN
+                            list_sum(list_transform(ws, w -> length(w)))
+                            * 1.0 / len(ws)
+                            ELSE 0.0 END AS mean_len,
+                       len(regexp_extract_all(nt, '#|…|\\.\\.\\.')) AS n_sym,
+                       len(list_filter(ws,
+                           w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                       len(list_filter(ws,
+                           w -> list_contains([{_EN_STOP_SQL}], lower(w))))
+                           AS stop_hits,
+                       CASE WHEN len(ws) > 0 THEN
+                            1 - len(list_distinct(ws)) * 1.0 / len(ws)
+                            ELSE 0.0 END AS dup_frac
+                FROM gw
+            ),
+            rw AS (SELECT doc_id, {WORDS} AS ws FROM filtered),
+            bgx AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 2 THEN ws[i] || ' ' || ws[i+1]
+                            ELSE ws[i] END AS bg
+                FROM rw, LATERAL (SELECT unnest(generate_series(1,
+                     greatest(len(ws) - 1, 1))) AS i)
+            ),
+            topbg AS (
+                SELECT doc_id, max(c) AS top_bg FROM (
+                    SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2)
+                GROUP BY doc_id
+            ),
+            tbf AS (
+                SELECT rw.doc_id,
+                       round(2.0 * topbg.top_bg / len(rw.ws), 6)
+                           AS top_bigram_frac
+                FROM rw JOIN topbg USING (doc_id)
+            ),
+            gok AS (
+                SELECT gm.doc_id, gm.text
+                FROM gm LEFT JOIN tbf USING (doc_id)
+                WHERE gm.n_real BETWEEN 25 AND 100000
+                  AND gm.mean_len >= 3.0 AND gm.mean_len <= 10.0
+                  AND gm.n_real > 0
+                  AND gm.n_sym * 1.0 / gm.n_real <= 0.1
+                  AND gm.alpha_words * 1.0 / gm.n_real >= 0.8
+                  AND gm.stop_hits >= 2
+                  AND gm.dup_frac <= 0.6
+                  AND coalesce(tbf.top_bigram_frac, 0.0) <= 0.18
+            ),
+            -- benchmark decontamination (operators/dedup.decontaminate,
+            -- ngram=8, max_shared=0; eval set = every 37th source doc)
+            evw AS (SELECT {WORDS} AS ws FROM documents
+                    WHERE doc_id % 37 = 0),
+            esh AS (
+                SELECT DISTINCT CASE WHEN len(ws) >= 8
+                       THEN array_to_string(list_slice(ws, i, i + 7), ' ')
+                       ELSE array_to_string(ws, ' ') END AS sh
+                FROM evw, LATERAL (SELECT unnest(generate_series(1,
+                     CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 1 END))
+                     AS i)
+            ),
+            tw AS (SELECT doc_id, {WORDS} AS ws FROM gok),
+            tsh AS (
+                SELECT DISTINCT doc_id, CASE WHEN len(ws) >= 8
+                       THEN array_to_string(list_slice(ws, i, i + 7), ' ')
+                       ELSE array_to_string(ws, ' ') END AS sh
+                FROM tw, LATERAL (SELECT unnest(generate_series(1,
+                     CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 1 END))
+                     AS i)
+            ),
+            contaminated AS (
+                SELECT DISTINCT t.doc_id
+                FROM tsh t JOIN esh e USING (sh)
+                WHERE t.sh <> ''
+            ),
+            decon AS (
+                SELECT doc_id, text FROM gok
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
             )
-            SELECT doc_id FROM filtered
+            SELECT doc_id FROM decon
             WHERE doc_id IN (
-                SELECT min(doc_id) FROM filtered
+                SELECT min(doc_id) FROM decon
                 GROUP BY md5(lower({NORM}))
             )
         """,

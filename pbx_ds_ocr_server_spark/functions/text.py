@@ -694,23 +694,28 @@ def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
 
 def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
                          id_col: str = "doc_id", text_col: str = "text"):
-    """Greedy First-Fit-Decreasing pack assignment — the tighter cousin of
+    """Greedy Best-Fit-Decreasing pack assignment — the tighter cousin of
     :func:`sequence_pack`: docs are sorted by (n_tokens desc, id) inside
-    each bucket and each goes into the FIRST pack that still has room, so
-    packs NEVER exceed ``budget`` (the one exception: a single document
-    longer than the whole budget gets its own singleton pack — chunk such
-    docs first, :func:`chunk_documents`). FFD wastes ≤ ~22% in the worst
-    case vs optimal bin packing and far less on natural length mixes,
-    where the contiguous rule routinely overflows or strands tail space.
+    each bucket and each goes into the open pack with the LEAST remaining
+    room that still fits (tie → lowest pack id; none fits → open a new
+    pack), so packs NEVER exceed ``budget`` (the one exception: a single
+    document longer than the whole budget gets its own singleton pack —
+    chunk such docs first, :func:`chunk_documents`). BFD shares FFD's
+    ≤ ~22% worst-case waste vs optimal bin packing, fills at least as
+    tightly in practice, and — unlike the round-4 first-fit linear scan —
+    places each doc in O(log packs) via a capacity-sorted open-pack list
+    (bisect on (remaining, pack_id)), so a small budget over a large
+    bucket no longer degrades to O(rows × packs).
 
     This is the grouped-map (applyInPandas) tier: the per-bucket
-    first-fit loop is inherently sequential state the window/agg algebra
+    best-fit loop is inherently sequential state the window/agg algebra
     can't express, exactly the documented escape hatch. Scale story
     matches sequence_pack: hash-bucketed (`n_buckets` Arrow groups, each
-    corpus/n_buckets rows — raise with corpus size; the in-bucket loop is
-    O(rows × packs), fine at ≤~10⁵ rows per bucket), deterministic
+    corpus/n_buckets rows — raise with corpus size), deterministic
     (md5 bucket + total (n_tokens desc, id) order, no RNG), output shape
     identical to sequence_pack: (id, bucket, pack_id, n_tokens)."""
+    import bisect
+
     base = _bucketed_token_frame(df, id_col, text_col, n_buckets)
     id_type = base.schema["id"].dataType.simpleString()
 
@@ -718,19 +723,23 @@ def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
         pdf = pdf.sort_values(
             ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
-        loads: list[int] = []
+        # open packs as a sorted list of (remaining, pack_id): bisect for
+        # the smallest remaining >= t gives best-fit with the lowest pack
+        # id among equals in O(log packs) per doc
+        open_packs: list[tuple[int, int]] = []
+        n_packs = 0
         assign: list[int] = []
         for t in pdf["n_tokens"]:
-            placed = -1
-            for i, ld in enumerate(loads):
-                if ld + t <= budget:
-                    placed = i
-                    break
-            if placed < 0:
-                loads.append(0)
-                placed = len(loads) - 1
-            loads[placed] += int(t)
-            assign.append(placed)
+            t = int(t)
+            j = bisect.bisect_left(open_packs, (t, -1))
+            if j < len(open_packs):
+                rem, pid = open_packs.pop(j)
+                bisect.insort(open_packs, (rem - t, pid))
+            else:
+                pid = n_packs
+                n_packs += 1
+                bisect.insort(open_packs, (budget - t, pid))
+            assign.append(pid)
         pdf["pack_id"] = pd.Series(assign, dtype="int64")
         return pdf
 

@@ -169,6 +169,29 @@ def test_sequence_pack_greedy_never_overflows_budget(spark):
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
 
 
+def test_sequence_pack_greedy_large_bucket_stays_subquadratic(spark):
+    """20k same-length docs at a tiny budget open ~10k packs in ONE bucket —
+    the round-4 linear first-fit scan was O(rows x packs) (~1e8 inner
+    steps) here; the capacity-sorted best-fit must stay comfortably fast.
+    The generous wall bound is a regression tripwire, not a benchmark."""
+    import time
+
+    from pbx_ds_ocr_server_spark.functions.text import sequence_pack_greedy
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    t0 = time.time()
+    res = sequence_pack_greedy(df, budget=6, n_buckets=1).collect()
+    assert len(res) == 20000
+    loads: dict[int, int] = {}
+    for r in res:
+        loads[r.pack_id] = loads.get(r.pack_id, 0) + r.n_tokens
+    assert all(v <= 6 for v in loads.values())
+    assert len(loads) == 10000  # 2 x 3-token docs per pack, perfectly filled
+    assert time.time() - t0 < 60
+
+
 def test_sequence_pack_greedy_oversized_doc_is_singleton(spark):
     from pbx_ds_ocr_server_spark.functions.text import sequence_pack_greedy
 
