@@ -311,6 +311,10 @@ HEADLINE = [
     "simhash",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    # the composed near-dedup pair: full exact verification vs the
+    # estimate middle tier (round-5 task: show the shingle-join shrink)
+    "dedup_near_keepers",
+    "dedup_near_estimated",
     "paragraph_dedup",
     "embedding_neardup_pairs",
     "ann_brute_top5",
@@ -323,6 +327,117 @@ HEADLINE = [
     "top_orders_per_customer",
     "events_hourly",
 ]
+
+
+def dedup_tier_stats() -> dict:
+    """How much exact-verification work the estimate tier removes at this
+    SF: candidate pairs by estimator band at the driver queries' operating
+    point (k=4 signatures, band (0.3, 0.9)) plus the resulting exact-tier
+    input shrink — pairs in [0.3, 0.9) are the only ones that still pay
+    the shingle self-join, and docs outside them skip it entirely."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    spark = _session(CPUS, "dedup-tiers")
+    try:
+        est = minhash_jaccard_estimate(
+            entry_mod._docs_u(spark, SF_DIR)
+        ).cache()
+        total = est.count()
+        accepted = est.filter(F.col("est_jaccard") >= 0.9).count()
+        dropped = est.filter(F.col("est_jaccard") < 0.3).count()
+        mid = est.filter(
+            (F.col("est_jaccard") >= 0.3) & (F.col("est_jaccard") < 0.9)
+        )
+        mid_pairs = mid.count()
+        mid_ids = (
+            mid.select(F.col("a").alias("id"))
+            .unionByName(mid.select(F.col("b").alias("id")))
+            .distinct()
+            .count()
+        )
+        all_ids = (
+            est.select(F.col("a").alias("id"))
+            .unionByName(est.select(F.col("b").alias("id")))
+            .distinct()
+            .count()
+        )
+        return {
+            "candidate_pairs": total,
+            "accepted_ge_hi": accepted,
+            "dropped_lt_lo": dropped,
+            "exact_tier_pairs": mid_pairs,
+            "exact_tier_docs": mid_ids,
+            "all_candidate_docs": all_ids,
+            "exact_tier_doc_shrink": round(
+                1 - (mid_ids / all_ids), 3
+            ) if all_ids else None,
+        }
+    finally:
+        spark.stop()
+
+
+# ----------------------------------------------- per-query drift tracking
+HISTORY_PATH = os.path.join(
+    os.path.dirname(__file__) or ".", "BENCH_HISTORY.jsonl"
+)
+DRIFT_FLAG = 1.2  # >20% above the trailing median flags a regression
+DRIFT_WINDOW = 5  # trailing runs consulted
+
+
+def _load_history() -> list[dict]:
+    try:
+        with open(HISTORY_PATH, encoding="utf-8") as f:
+            runs = [json.loads(line) for line in f if line.strip()]
+    except OSError:
+        return []
+    return [r for r in runs if r.get("sf") == SF_LABEL]
+
+
+def query_drift(queries: dict[str, float]) -> dict[str, dict]:
+    """Each query's wall vs the trailing median of the last DRIFT_WINDOW
+    recorded runs at the same SF: {query: {median, ratio, flag}}. The
+    VM's throttle noise is ±25% on single walls even at min-of-3, so the
+    20% flag is a TRIPWIRE asking for a plan diff, not proof."""
+    import statistics
+
+    hist = _load_history()
+    out: dict[str, dict] = {}
+    for name, wall in queries.items():
+        prior = [
+            r["queries"][name]
+            for r in hist[-DRIFT_WINDOW:]
+            if name in r.get("queries", {})
+        ]
+        if not prior:
+            out[name] = {"median": None, "ratio": None, "flag": False}
+            continue
+        med = statistics.median(prior)
+        ratio = round(wall / med, 3) if med else None
+        out[name] = {
+            "median": round(med, 3),
+            "ratio": ratio,
+            "flag": bool(ratio and ratio > DRIFT_FLAG),
+        }
+    return out
+
+
+def append_history(payload: dict) -> None:
+    rec = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "sf": SF_LABEL,
+        "corpus_version": payload.get("corpus_version"),
+        "n_docs": payload["n_docs"],
+        "wall_full": payload["wall_full"],
+        "scaling_efficiency": payload["scaling_efficiency"],
+        "queries": payload["queries"],
+    }
+    with open(HISTORY_PATH, "a", encoding="utf-8") as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 def write_md(payload: dict) -> None:
@@ -371,11 +486,42 @@ def write_md(payload: dict) -> None:
         f"## Headline queries at local[{CPUS}], sf={p['sf']} (seconds,"
         f" min of {QREPS} runs each)",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "Drift = this run vs the trailing median of the last"
+        f" {DRIFT_WINDOW} recorded runs at this SF (BENCH_HISTORY.jsonl);"
+        f" ⚠ marks >{round((DRIFT_FLAG - 1) * 100)}% slower — a tripwire"
+        " to diff the plan, not proof (single walls drift ±25% under this"
+        " VM's throttle even at min-of-3).",
+        "",
+        "| query | sec | trailing med | drift |",
+        "|---|---|---|---|",
     ]
+    drift = p.get("query_drift", {})
     for k, v in p["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        d = drift.get(k) or {}
+        med = d.get("median")
+        ratio = d.get("ratio")
+        cell = (
+            "first run" if med is None
+            else f"{'⚠ ' if d.get('flag') else ''}{ratio}×"
+        )
+        lines.append(f"| {k} | {v} | {med if med is not None else '—'} | {cell} |")
+    dt = p.get("dedup_tiers")
+    if dt:
+        lines += [
+            "",
+            "## Estimate-tier shrink (dedup_near estimate_band=(0.3, 0.9))",
+            "",
+            f"Of {dt['candidate_pairs']} LSH candidate pairs,"
+            f" {dt['accepted_ge_hi']} are accepted from signatures alone"
+            f" (est ≥ 0.9), {dt['dropped_lt_lo']} dropped (est < 0.3), and"
+            f" only {dt['exact_tier_pairs']} undecided pairs still pay the"
+            f" exact shingle self-join — covering {dt['exact_tier_docs']}"
+            f" of {dt['all_candidate_docs']} candidate docs"
+            f" ({round(100 * (dt['exact_tier_doc_shrink'] or 0), 1)}% doc"
+            " shrink of the exact tier's input). The"
+            " dedup_near_keepers/dedup_near_estimated rows above show the"
+            " resulting wall difference at the same SF.",
+        ]
     sk = p.get("skew")
     if sk:
         lines += [
@@ -480,7 +626,10 @@ def main() -> int:
     eff = round(statistics.median(eff_reps), 3)
     queries = timed_queries(HEADLINE)
     skew = timed_skew() if RUN_SKEW else None
+    from pbx_ds_ocr_server_spark.corpus import CORPUS_VERSION
+
     payload = {
+        "corpus_version": CORPUS_VERSION,
         "metric": "extract_corpus_wall_seconds",
         "value": full["wall_sec"],
         "unit": "sec",
@@ -504,6 +653,9 @@ def main() -> int:
         },
         "skew": skew,
     }
+    payload["query_drift"] = query_drift(queries)
+    payload["dedup_tiers"] = dedup_tier_stats()
+    append_history(payload)
     if write_markdown:
         write_md(payload)
     print(json.dumps(payload))

@@ -34,7 +34,9 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 7  # v7: pdf_winansi / pdf_predefined_cmap / html_cjk /
+CORPUS_VERSION = 8  # v8: + pdf_embedded_tt (text recoverable only via the
+                    #     embedded TrueType cmap); v7: pdf_winansi /
+                    #     pdf_predefined_cmap / html_cjk /
 #     pdf_incremental classes (round 4)
 
 NAV = (
@@ -171,6 +173,73 @@ def _tounicode_cmap(chars: set[str]) -> bytes:
     return "\n".join(lines).encode("latin-1")
 
 
+def make_truetype_cmap_font(chars: set[str], gid_shift: int = _CID_SHIFT) -> bytes:
+    """Minimal sfnt program whose ONLY table is a 'cmap' carrying one
+    (3,1) format-4 subtable mapping each char's codepoint → codepoint +
+    ``gid_shift`` — the same deliberately non-identity gid convention as
+    the pdf_cid class, so text recovery provably reads the table instead
+    of assuming gid == unicode. Segments use the glyphIdArray form (the
+    harder of format 4's two encodings) so the parser's offset arithmetic
+    is exercised end-to-end. Real-renderer tables (glyf/head/...) are
+    deliberately absent: the consumer is the text-first cmap reader."""
+    cps = sorted({ord(c) for c in chars if ord(c) <= 0xFFFE})
+    if not cps:
+        cps = [0x20]
+    # contiguous runs -> segments
+    segs: list[tuple[int, int]] = []
+    run_start = prev = cps[0]
+    for cp in cps[1:]:
+        if cp != prev + 1:
+            segs.append((run_start, prev))
+            run_start = cp
+        prev = cp
+    segs.append((run_start, prev))
+    seg_count = len(segs) + 1  # + sentinel
+    end_codes, start_codes, deltas, ros = [], [], [], []
+    glyph_array: list[int] = []
+    cum = 0
+    for k, (s, e) in enumerate(segs):
+        end_codes.append(e)
+        start_codes.append(s)
+        deltas.append(0)
+        # idRangeOffset is in bytes from its OWN position in the ro array
+        ros.append(2 * (seg_count - k) + 2 * cum)
+        glyph_array.extend((cp + gid_shift) & 0xFFFF for cp in range(s, e + 1))
+        cum += e - s + 1
+    end_codes.append(0xFFFF)
+    start_codes.append(0xFFFF)
+    deltas.append(1)
+    ros.append(0)
+
+    def u16s(vals):
+        return b"".join(v.to_bytes(2, "big") for v in vals)
+
+    seg_x2 = seg_count * 2
+    search_range = 2
+    entry_selector = 0
+    while search_range * 2 <= seg_x2:
+        search_range *= 2
+        entry_selector += 1
+    body = (
+        u16s(end_codes) + b"\x00\x00" + u16s(start_codes)
+        + u16s(deltas) + u16s(ros) + u16s(glyph_array)
+    )
+    sub = (
+        u16s([4, 14 + len(body), 0, seg_x2,
+              search_range, entry_selector, seg_x2 - search_range])
+        + body
+    )
+    cmap = u16s([0, 1, 3, 1]) + (12).to_bytes(4, "big") + sub
+    font = (
+        (0x00010000).to_bytes(4, "big")
+        + u16s([1, 16, 0, 0])  # numTables, searchRange, entrySel, rangeShift
+        + b"cmap" + (0).to_bytes(4, "big")
+        + (28).to_bytes(4, "big") + len(cmap).to_bytes(4, "big")
+        + cmap
+    )
+    return font
+
+
 def make_pdf(
     pages: list[list[tuple[float, float, str]]],
     streams_per_page: int = 1,
@@ -212,7 +281,7 @@ def make_pdf(
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    if font == "cid":
+    if font in ("cid", "embedded_tt"):
         show = lambda s: f"<{_cid_hex(s)}>"  # noqa: E731
     elif font == "cid_noto":
         show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
@@ -250,7 +319,38 @@ def make_pdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(stream), stream)
             )
-    if font in ("cid", "cid_noto"):
+    if font == "embedded_tt":
+        # Type0/Identity-H with NO /ToUnicode: the only route back to text
+        # is the embedded TrueType program's (3,1) cmap (shifted gids),
+        # reached via DescendantFonts -> FontDescriptor -> FontFile2
+        desc_ref, fd_ref, ff_ref = font_ref + 1, font_ref + 2, font_ref + 3
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthEmb"
+                f" /Encoding /Identity-H /DescendantFonts [{desc_ref} 0 R]"
+                f" >>"
+            ).encode()
+        )
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthEmb"
+                f" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                f" /Supplement 0 >> /CIDToGIDMap /Identity"
+                f" /FontDescriptor {fd_ref} 0 R >>"
+            ).encode()
+        )
+        objs.append(
+            (
+                f"<< /Type /FontDescriptor /FontName /SynthEmb /Flags 4"
+                f" /FontFile2 {ff_ref} 0 R >>"
+            ).encode()
+        )
+        chars = {c for page in pages for _, _, s in page for c in s}
+        tt = make_truetype_cmap_font(chars)
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tt), tt)
+        )
+    elif font in ("cid", "cid_noto"):
         desc_ref = font_ref + 1
         tount = f" /ToUnicode {font_ref + 2} 0 R" if font == "cid" else ""
         objs.append(
@@ -609,6 +709,8 @@ CLASSES = (
     "pdf_predefined_cmap",  # 18  (Type0 /UniGB-UCS2-H, UTF-16BE codes)
     "html_cjk",           # 19  (shift_jis / euc-jp / big5 declared charset)
     "pdf_incremental",    # 20  (appended update section, /Prev xref chain)
+    "pdf_embedded_tt",    # 21  (Type0/Identity-H, no ToUnicode; text lives
+                          #      in the embedded TrueType (3,1) cmap)
 )
 
 # weights: mostly HTML, some PDFs, few degenerates/rasters
@@ -622,6 +724,7 @@ _CLASS_TABLE = (
     + ["empty", "bad_pdf", "png", "png_text", "jpeg_com"]
     + ["pdf_cid", "pdf_encrypted_rc4", "pdf_cid_noto"]
     + ["pdf_winansi", "pdf_predefined_cmap", "html_cjk", "pdf_incremental"]
+    + ["pdf_embedded_tt"]
 )
 
 
@@ -747,6 +850,16 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         # `safe`, already codec-filtered, so expected_text is unaffected
         payload = body.encode(codec, "ignore")
         expected = safe
+    elif cls == "pdf_embedded_tt":
+        # Type0/Identity-H with NO ToUnicode: recoverable ONLY by reading
+        # the embedded TrueType program's (3,1) cmap and inverting it
+        # (shifted gids — a gid==unicode assumption emits garbage)
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf(pages, font="embedded_tt")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
     elif cls == "pdf_incremental":
         # incrementally-updated document: the appended update section's
         # content streams supersede the originals (last-object-wins)

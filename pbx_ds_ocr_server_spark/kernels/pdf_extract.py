@@ -858,6 +858,96 @@ def _inline_dict_after(data: bytes, key: bytes) -> bytes | None:
 
 _ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9-]+)")
 _BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9-]+)")
+_DESC_FONTS_INLINE_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
+_DESC_FONTS_REF_RE = re.compile(rb"/DescendantFonts\s+(\d+)\s+\d+\s+R")
+_FONT_DESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_FONTFILE2_RE = re.compile(rb"/FontFile2\s+(\d+)\s+\d+\s+R")
+_FONTFILE_RE = re.compile(rb"/FontFile\s+(\d+)\s+\d+\s+R")
+_CIDTOGID_STREAM_RE = re.compile(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R")
+_FIRST_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _font_program(
+    objects: dict[int, bytes], font_body: bytes, regex: re.Pattern, decrypt
+) -> bytes | None:
+    """Embedded font-program stream bytes reached through the font dict's
+    /FontDescriptor (/FontFile or /FontFile2 per ``regex``)."""
+    dm = _FONT_DESC_RE.search(font_body)
+    if not dm:
+        return None
+    desc = objects.get(int(dm.group(1)))
+    if not desc:
+        return None
+    fm = regex.search(desc)
+    if not fm:
+        return None
+    oid = int(fm.group(1))
+    data, _ = _stream_data(objects.get(oid, b""), oid, decrypt)
+    return data or None
+
+
+def _embedded_cid_decoder(
+    objects: dict[int, bytes], body: bytes, decrypt
+) -> "FontDecoder | None":
+    """Last-resort recovery for a Type0 font with no /ToUnicode and an
+    Identity (or unknown) CMap: under /CIDToGIDMap /Identity the 2-byte
+    show codes ARE glyph ids, and the embedded TrueType program's own
+    Unicode cmap, inverted, maps them back to text (ISO 32000-1 §9.7.4.2 +
+    §9.10.2's "use the font's internal information" clause). A non-Identity
+    /CIDToGIDMap STREAM breaks the CID==GID identity, so recovery honestly
+    declines (honest empty beats a wrong gid interpretation)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        truetype_gid_to_unicode,
+    )
+
+    dm = _DESC_FONTS_INLINE_RE.search(body)
+    if dm:
+        desc_font = objects.get(int(dm.group(1)))
+    else:
+        rm = _DESC_FONTS_REF_RE.search(body)
+        if not rm:
+            return None
+        arr = objects.get(int(rm.group(1)), b"")
+        fm = _FIRST_REF_RE.search(arr)
+        desc_font = objects.get(int(fm.group(1))) if fm else None
+    if not desc_font or _CIDTOGID_STREAM_RE.search(desc_font):
+        return None
+    prog = _font_program(objects, desc_font, _FONTFILE2_RE, decrypt)
+    if not prog:
+        return None
+    gid2uni = truetype_gid_to_unicode(prog)
+    if not gid2uni:
+        return None
+    return FontDecoder("cmap", cmap=gid2uni, width=2)
+
+
+def _embedded_simple_decoder(
+    objects: dict[int, bytes], body: bytes, decrypt
+) -> "FontDecoder | None":
+    """Recovery for a SIMPLE font with no /Encoding entry whose mapping
+    lives in the embedded program: a TrueType cmap subtable
+    ((3,1)/(1,0)/(3,0) per §9.6.6.4) or a Type1 builtin /Encoding array
+    (glyph names → AGL). Returns None when no program or no usable table —
+    the caller keeps the default byte path."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        STANDARD,
+        parse_type1_builtin_encoding,
+        truetype_simple_code_map,
+    )
+
+    prog = _font_program(objects, body, _FONTFILE2_RE, decrypt)
+    if prog:
+        cmap = truetype_simple_code_map(prog)
+        if cmap is not None:
+            return FontDecoder("differences", diffs=cmap)
+    prog = _font_program(objects, body, _FONTFILE_RE, decrypt)
+    if prog:
+        enc = parse_type1_builtin_encoding(prog)
+        if enc == "standard":
+            return FontDecoder("differences", base=STANDARD)
+        if enc:
+            return FontDecoder("differences", diffs=enc)
+    return None
 
 
 def _font_decoder(
@@ -866,9 +956,12 @@ def _font_decoder(
     """Classify one font object → decoder. Order of precedence:
     /ToUnicode CMap (exact) → composite fonts by predefined CMap class
     (Uni*-UCS2/UTF16 = direct UTF-16BE text; legacy-charset CMaps decode
-    through their stdlib codec; Identity/unknown = all text lost, honest
-    empty) → /Differences + AGL over an optional /BaseEncoding →
-    named WinAnsi/MacRoman/Standard base encoding → the default simple-font
+    through their stdlib codec; Identity/unknown first tries the embedded
+    TrueType program's reversed Unicode cmap — round 5 — then falls to
+    all-lost honest empty) → /Differences + AGL over an optional
+    /BaseEncoding → named WinAnsi/MacRoman/Standard base encoding →
+    (no /Encoding at all) the embedded program's own tables (TrueType
+    cmap subtable / Type1 builtin /Encoding) → the default simple-font
     byte path."""
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
         base_encoding_table,
@@ -898,6 +991,12 @@ def _font_decoder(
             return FontDecoder("utf16")
         if cls is not None and cls != "identity":
             return FontDecoder("codec", codec=cls)
+        # Identity/unknown ordering with no ToUnicode: before declaring
+        # the codes unrecoverable, read the embedded TrueType program's
+        # own Unicode cmap (gid -> text under CID==GID) — round 5
+        emb = _embedded_cid_decoder(objects, body, decrypt)
+        if emb is not None:
+            return emb
         return FontDecoder("cid_unknown")
     enc_body = None
     em = _ENC_REF_RE.search(body)
@@ -917,6 +1016,12 @@ def _font_decoder(
         base = base_encoding_table(enc_name)
         if base:
             return FontDecoder("differences", base=base)
+    if enc_body is None and enc_name is None:
+        # no /Encoding at all: the mapping may live in the embedded font
+        # program (TrueType cmap subtable / Type1 builtin /Encoding)
+        emb = _embedded_simple_decoder(objects, body, decrypt)
+        if emb is not None:
+            return emb
     return DEFAULT_FONT
 
 

@@ -70,6 +70,25 @@ for _i, _name in enumerate(
 ):
     _AGL[_name] = str(_i)
 
+# Round-5 widening (published AGL entries beyond uniXXXX):
+#   * the f-ligature family + long s + dotless i/j
+#   * the Cyrillic afii10017-10049 / afii10065-10097 runs (А..Я / а..я with
+#     Ё/ё interleaved after Е/е — the AGL's own ordering), plus the two
+#     common standalone afii names (horizontal bar, numero sign)
+# gNN/cidNN glyph-INDEX names stay unmapped on purpose: they carry no
+# Unicode semantics, so they must keep flowing to the lost path.
+_AGL.update({
+    "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "longs": "ſ", "dotlessi": "ı", "dotlessj": "ȷ",
+    "afii00208": "―", "afii61352": "№",
+})
+for _base, _cps in (
+    (10017, list(range(0x410, 0x416)) + [0x401] + list(range(0x416, 0x430))),
+    (10065, list(range(0x430, 0x436)) + [0x451] + list(range(0x436, 0x450))),
+):
+    for _i, _cp in enumerate(_cps):
+        _AGL[f"afii{_base + _i}"] = chr(_cp)
+
 _UNI_RE = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)$")
 _U_RE = re.compile(r"u([0-9A-Fa-f]{4,6})$")
 
@@ -416,3 +435,270 @@ class FontDecoder:
 
 
 DEFAULT_FONT = FontDecoder("default")
+
+
+# ------------------------------------------------ embedded font programs
+# Round 5: when a font dict carries NO /ToUnicode and no usable /Encoding,
+# the mapping often still lives in the embedded font program itself — a
+# TrueType 'cmap' table (/FontFile2) or a Type1 builtin /Encoding array
+# (/FontFile). The reference recovers these classes by rasterizing + OCR
+# (/root/reference/app/services/dsocr_model.py:144-174); a text-first
+# parser recovers them by reading the tables. Pure functions of bytes,
+# hardened against truncated/corrupt programs (return None, never raise).
+
+_MAX_CMAP_ENTRIES = 0x20000  # corrupt-font cap (same spirit as _MAX_BFRANGE)
+
+
+def _u16(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 2], "big")
+
+
+def _u32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 4], "big")
+
+
+def sfnt_cmap_subtables(font: bytes) -> dict[tuple[int, int], bytes]:
+    """sfnt font program → {(platformID, encodingID): subtable bytes} for
+    every 'cmap' encoding record whose offset is in bounds. Accepts the
+    0x00010000 and 'true' scaler types (plain TrueType; 'OTTO'/CFF programs
+    have no TrueType cmap semantics we rely on beyond the same table, so
+    they are accepted too). Returns {} on anything unparseable."""
+    out: dict[tuple[int, int], bytes] = {}
+    if len(font) < 12:
+        return out
+    num_tables = _u16(font, 4)
+    if num_tables > 512:
+        return out
+    cmap_off = cmap_len = None
+    for t in range(num_tables):
+        rec = 12 + 16 * t
+        if rec + 16 > len(font):
+            return out
+        if font[rec : rec + 4] == b"cmap":
+            cmap_off = _u32(font, rec + 8)
+            cmap_len = _u32(font, rec + 12)
+            break
+    if cmap_off is None or cmap_off + 4 > len(font):
+        return out
+    cmap = font[cmap_off : min(cmap_off + (cmap_len or 0), len(font))] or (
+        font[cmap_off:]
+    )
+    n_sub = _u16(cmap, 2)
+    if n_sub > 64:
+        return out
+    for s in range(n_sub):
+        rec = 4 + 8 * s
+        if rec + 8 > len(cmap):
+            break
+        plat, enc = _u16(cmap, rec), _u16(cmap, rec + 2)
+        off = _u32(cmap, rec + 4)
+        if off < len(cmap):
+            out[(plat, enc)] = cmap[off:]
+    return out
+
+
+def _parse_cmap_format4(sub: bytes) -> dict[int, int] | None:
+    """Format 4 (segment mapping to delta values) → {code → glyph id},
+    zero glyphs omitted. Handles both idDelta and glyphIdArray segments."""
+    if len(sub) < 14 or _u16(sub, 0) != 4:
+        return None
+    seg_x2 = _u16(sub, 6)
+    seg = seg_x2 // 2
+    if seg == 0 or 14 + 4 * seg_x2 > len(sub) + seg_x2:
+        return None
+    end_base = 14
+    start_base = end_base + seg_x2 + 2  # + reservedPad
+    delta_base = start_base + seg_x2
+    ro_base = delta_base + seg_x2
+    if ro_base + seg_x2 > len(sub):
+        return None
+    out: dict[int, int] = {}
+    for k in range(seg):
+        end = _u16(sub, end_base + 2 * k)
+        start = _u16(sub, start_base + 2 * k)
+        if start > end or (start == 0xFFFF and end == 0xFFFF):
+            continue
+        delta = _u16(sub, delta_base + 2 * k)
+        ro = _u16(sub, ro_base + 2 * k)
+        if end - start + 1 > _MAX_CMAP_ENTRIES - len(out):
+            end = start + (_MAX_CMAP_ENTRIES - len(out)) - 1
+        for c in range(start, end + 1):
+            if c == 0xFFFF:
+                continue
+            if ro == 0:
+                g = (c + delta) & 0xFFFF
+            else:
+                # offset is in bytes from THIS idRangeOffset entry
+                pos = ro_base + 2 * k + ro + 2 * (c - start)
+                if pos + 2 > len(sub):
+                    continue
+                g = _u16(sub, pos)
+                if g != 0:
+                    g = (g + delta) & 0xFFFF
+            if g != 0:
+                out[c] = g
+        if len(out) >= _MAX_CMAP_ENTRIES:
+            break
+    return out or None
+
+
+def _parse_cmap_format12(sub: bytes) -> dict[int, int] | None:
+    """Format 12 (segmented coverage, 32-bit) → {codepoint → glyph id}."""
+    if len(sub) < 16 or _u16(sub, 0) != 12:
+        return None
+    n_groups = _u32(sub, 12)
+    if n_groups > _MAX_CMAP_ENTRIES:
+        n_groups = _MAX_CMAP_ENTRIES
+    out: dict[int, int] = {}
+    for g in range(n_groups):
+        rec = 16 + 12 * g
+        if rec + 12 > len(sub):
+            break
+        start, end, gid0 = _u32(sub, rec), _u32(sub, rec + 4), _u32(sub, rec + 8)
+        if start > end or end > 0x10FFFF:
+            continue
+        span = min(end - start + 1, _MAX_CMAP_ENTRIES - len(out))
+        for i in range(span):
+            out[start + i] = gid0 + i
+        if len(out) >= _MAX_CMAP_ENTRIES:
+            break
+    return out or None
+
+
+def _parse_cmap_format0(sub: bytes) -> dict[int, int] | None:
+    """Format 0 (byte encoding table) → {code 0..255 → glyph id}, zero
+    glyphs omitted."""
+    if len(sub) < 6 + 256 or _u16(sub, 0) != 0:
+        return None
+    return {c: sub[6 + c] for c in range(256) if sub[6 + c] != 0} or None
+
+
+def _unicode_subtable(font: bytes) -> dict[int, int] | None:
+    """Best Unicode cmap subtable of an sfnt program → {codepoint → gid}:
+    (3,10) and (0,4+) format 12 first (full Unicode), then (3,1)/(0,*)
+    format 4 (BMP)."""
+    subs = sfnt_cmap_subtables(font)
+    for key in ((3, 10), (0, 4), (0, 6), (0, 5)):
+        if key in subs:
+            m = _parse_cmap_format12(subs[key]) or _parse_cmap_format4(
+                subs[key]
+            )
+            if m:
+                return m
+    for key in ((3, 1), (0, 3), (0, 2), (0, 1), (0, 0)):
+        if key in subs:
+            m = _parse_cmap_format4(subs[key]) or _parse_cmap_format12(
+                subs[key]
+            )
+            if m:
+                return m
+    return None
+
+
+def truetype_gid_to_unicode(font: bytes) -> dict[int, str] | None:
+    """Reverse Unicode cmap: {glyph id → text}. The recovery map for
+    Type0/Identity-H composite fonts whose show codes are glyph ids (CID ==
+    GID under /CIDToGIDMap /Identity) with NO /ToUnicode: the embedded
+    program's own unicode→gid table, inverted. When several codepoints
+    share a glyph the LOWEST codepoint wins (deterministic; the typical
+    collisions are case pairs in decorative fonts)."""
+    uni = _unicode_subtable(font)
+    if not uni:
+        return None
+    out: dict[int, str] = {}
+    for cp in sorted(uni):
+        gid = uni[cp]
+        if gid not in out and not (0xD800 <= cp <= 0xDFFF):
+            out[gid] = chr(cp)
+    return out or None
+
+
+def truetype_simple_code_map(font: bytes) -> dict[int, str | None] | None:
+    """Byte-code → text map for a SIMPLE (1-byte-code) TrueType font with
+    no /Encoding entry, per the ISO 32000-1 §9.6.6.4 lookup order:
+
+      * a (3,1) Microsoft Unicode subtable: the code is looked up AS its
+        Unicode value — mapped codes decode to chr(code), unmapped to None
+        (lost);
+      * else a (1,0) Macintosh subtable (format 0): the code indexes the
+        table directly and carries MacRomanEncoding semantics — mapped
+        codes decode through the Annex D MacRoman table;
+      * else a (3,0) symbol subtable: glyphs exist only at 0xF000+code and
+        carry NO Unicode semantics — every code maps to None (the honest
+        all-lost map), which the caller surfaces as succeeded_empty.
+
+    Returns None when the program has no usable subtable at all (caller
+    keeps the default byte path). Control whitespace (9/10/13) is left
+    unmapped so it passes through the decoder's whitespace branch."""
+    subs = sfnt_cmap_subtables(font)
+    ws = (9, 10, 13)
+    if (3, 1) in subs:
+        m = _parse_cmap_format4(subs[(3, 1)])
+        if m:
+            return {
+                c: (chr(c) if c in m else None)
+                for c in range(256)
+                if c not in ws
+            }
+    if (1, 0) in subs:
+        m = _parse_cmap_format0(subs[(1, 0)]) or _parse_cmap_format4(
+            subs[(1, 0)]
+        )
+        if m:
+            return {
+                c: (MAC_ROMAN.get(c) if c in m else None)
+                for c in range(256)
+                if c not in ws
+            }
+    if (3, 0) in subs:
+        m = _parse_cmap_format4(subs[(3, 0)])
+        if m:
+            return {c: None for c in range(256) if c not in ws}
+    return None
+
+
+# --------------------------------------------------- Type1 builtin encoding
+_T1_STD_ENC_RE = re.compile(rb"/Encoding\s+StandardEncoding\s+def")
+_T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([A-Za-z0-9._-]+)\s+put")
+
+
+def parse_type1_builtin_encoding(
+    font: bytes,
+) -> dict[int, str | None] | str | None:
+    """Builtin /Encoding of an embedded Type1 program (/FontFile): the
+    cleartext portion (everything before ``eexec``; PFB segment headers
+    stripped) either declares ``/Encoding StandardEncoding def`` (returns
+    the string 'standard') or builds a custom array via ``dup <code>
+    </name> put`` entries (returns {code → text-or-None} through the AGL).
+    Returns None when no /Encoding is found (caller keeps the default
+    path)."""
+    if font[:1] == b"\x80":
+        # PFB: strip 6-byte segment headers (type 1/2 data segments)
+        out = bytearray()
+        i = 0
+        while i + 6 <= len(font) and font[i] == 0x80:
+            seg_type = font[i + 1]
+            if seg_type == 3:
+                break
+            seg_len = int.from_bytes(font[i + 2 : i + 6], "little")
+            out += font[i + 6 : i + 6 + seg_len]
+            i += 6 + seg_len
+        font = bytes(out)
+    clear = font.split(b"eexec", 1)[0]
+    enc_at = clear.find(b"/Encoding")
+    if enc_at < 0:
+        return None
+    tail = clear[enc_at:]
+    if _T1_STD_ENC_RE.match(tail):
+        return "standard"
+    # the array form ends at 'readonly def' / 'def'; bound the scan there
+    end = tail.find(b" def")
+    body = tail if end < 0 else tail[: end + 4]
+    out_map: dict[int, str | None] = {}
+    for m in _T1_DUP_RE.finditer(body):
+        code = int(m.group(1))
+        if 0 <= code <= 255:
+            out_map[code] = glyph_to_unicode(
+                m.group(2).decode("ascii", "replace")
+            )
+    return out_map or None

@@ -74,9 +74,9 @@ def test_strict_matches_fast_on_golden_corpus():
                                 "latin1", "utf8_bom", "utf16", "html_cjk"):
             _compare(row["html"], cfg)
             n_html += 1
-    # corpus v7 added non-HTML classes (table dilution) and the html_cjk
-    # class — the threshold tracks the HTML-family share of 500 docs
-    assert n_html > 300
+    # the threshold tracks the HTML-family share of 500 docs; it shifts
+    # when the class table grows (v8: 269) because doc_class re-hashes
+    assert n_html > 250
 
 
 def test_strict_matches_fast_on_wrapped_modes():

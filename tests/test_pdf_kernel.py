@@ -1136,3 +1136,194 @@ def test_standard_encoding_curly_quotes_and_ligatures():
     res = extract_pdf_detailed(pdf)
     assert res[0][0].text == "’A‘ﬁ–ß"
     assert res[0][1] is False
+
+
+# ------------------------------------------------ embedded font programs
+def _multi_obj_pdf(stream: bytes, extra_objs: list[bytes],
+                   font_obj: bytes) -> bytes:
+    """Like _font_pdf but with additional objects 6..N after the font
+    (for FontDescriptor / FontFile chains)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        font_obj,
+    ] + extra_objs
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    out += b"trailer\n<< /Root 1 0 R >>\n"
+    return bytes(out)
+
+
+def test_embedded_tt_cid_recovery_end_to_end():
+    """Type0/Identity-H, NO ToUnicode, embedded TrueType whose (3,1) cmap
+    maps unicode -> gid+0x100: text must round-trip byte-exactly through
+    the reversed cmap (a gid==unicode assumption would emit garbage)."""
+    from pbx_ds_ocr_server_spark.corpus import (
+        make_pdf,
+        pdf_pages_for,
+    )
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    pages = pdf_pages_for(
+        "embedded truetype cmap recovery works here with enough words to"
+        " fill both of the requested pages completely", 2
+    )
+    pdf = make_pdf(pages, font="embedded_tt")
+    res = extract_pdf_detailed(pdf)
+    want = ["\n\n".join(s for _, _, s in page) for page in pages]
+    assert [p[0].text for p in res] == want
+    assert all(p[1] is False for p in res)
+
+
+def test_embedded_tt_unmapped_gid_flags_lost():
+    from pbx_ds_ocr_server_spark.corpus import (
+        make_pdf,
+        pdf_pages_for,
+    )
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    # the font's cmap covers only this page's chars; splice in a show op
+    # with a gid the table does not know -> that text is lost + flagged
+    pages = pdf_pages_for("known words only", 1)
+    pdf = make_pdf(pages, font="embedded_tt")
+    bad = b"BT /F1 12 Tf 72 500 Td <fff0> Tj ET"
+    pdf2 = pdf.replace(b"ET\nendstream", b"ET\n" + bad + b"\nendstream", 1)
+    res = extract_pdf_detailed(pdf2)
+    assert res[0][1] is True  # unmapped gid -> blind-spot flag
+    assert "known words only" in res[0][0].text
+
+
+def test_truetype_cmap_format4_both_segment_forms():
+    """Hand-built format 4 with one idDelta segment and one glyphIdArray
+    segment; both must parse, zero glyphs omitted, sentinel skipped."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        _parse_cmap_format4,
+    )
+
+    def u16s(vals):
+        return b"".join(v.to_bytes(2, "big") for v in vals)
+
+    # segs: [0x41..0x43] delta +5; [0x61..0x62] via glyph array (7, 0)
+    seg_count = 3  # + sentinel
+    end_codes = [0x43, 0x62, 0xFFFF]
+    start_codes = [0x41, 0x61, 0xFFFF]
+    deltas = [5, 0, 1]
+    # glyph array right after ro array; seg 1's ro entry is at index 1:
+    # bytes from that entry to array start = 2*(3-1) = 4
+    ros = [0, 4, 0]
+    glyph_array = [7, 0]  # 0x61 -> 7, 0x62 -> unmapped (gid 0)
+    body = (
+        u16s(end_codes) + b"\x00\x00" + u16s(start_codes)
+        + u16s(deltas) + u16s(ros) + u16s(glyph_array)
+    )
+    sub = u16s([4, 14 + len(body), 0, seg_count * 2, 4, 1, 2]) + body
+    m = _parse_cmap_format4(sub)
+    assert m == {0x41: 0x46, 0x42: 0x47, 0x43: 0x48, 0x61: 7}
+
+
+def test_truetype_parsers_survive_corrupt_programs():
+    from pbx_ds_ocr_server_spark.corpus import make_truetype_cmap_font
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        truetype_gid_to_unicode,
+        truetype_simple_code_map,
+    )
+
+    good = make_truetype_cmap_font(set("abc"))
+    assert truetype_gid_to_unicode(good)
+    for bad in (b"", b"\x00\x01\x00\x00", good[:20], good[:40],
+                b"OTTO" + b"\x00" * 60, good[:60] + b"\xff" * 8):
+        assert truetype_gid_to_unicode(bad) in (None, {}) or isinstance(
+            truetype_gid_to_unicode(bad), dict
+        )
+        truetype_simple_code_map(bad)  # must not raise
+
+
+def test_simple_truetype_31_cmap_codes_as_unicode():
+    """Simple /TrueType font, NO /Encoding, embedded program with a (3,1)
+    cmap: mapped byte codes decode as their Unicode value, unmapped codes
+    are lost+flagged (9.6.6.4 lookup order)."""
+    from pbx_ds_ocr_server_spark.corpus import make_truetype_cmap_font
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    tt = make_truetype_cmap_font(set("Hi there"))
+    extra = [
+        b"<< /Type /FontDescriptor /FontName /S /Flags 32"
+        b" /FontFile2 7 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tt), tt),
+    ]
+    stream = b"BT /F1 12 Tf 72 700 Td (Hi there) Tj 0 -20 Td (Hz) Tj ET"
+    pdf = _multi_obj_pdf(
+        stream,
+        extra,
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /S"
+        b" /FontDescriptor 6 0 R >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    # 'z' is not in the font's charset -> lost; the rest decodes
+    assert "Hi there" in res[0][0].text
+    assert "Hz" not in res[0][0].text and "H" in res[0][0].text
+    assert res[0][1] is True
+
+
+def test_type1_builtin_encoding_decodes_and_flags():
+    """Simple Type1 font, NO /Encoding entry in the font dict: the
+    embedded program's builtin /Encoding array (dup N /name put) decodes
+    through the AGL; glyph-index names (g42) stay lost."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    t1 = (
+        b"%!PS-AdobeFont-1.0: Synth 001.001\n"
+        b"/FontName /Synth def\n"
+        b"/Encoding 256 array\n"
+        b"0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 65 /eacute put\ndup 66 /afii10017 put\ndup 67 /ffi put\n"
+        b"dup 68 /g42 put\n"
+        b"readonly def\n"
+        b"currentfile eexec\n\x01\x02binary"
+    )
+    extra = [
+        b"<< /Type /FontDescriptor /FontName /Synth /Flags 4"
+        b" /FontFile 7 0 R >>",
+        b"<< /Length %d /Length1 %d >>\nstream\n%s\nendstream"
+        % (len(t1), len(t1), t1),
+    ]
+    stream = b"BT /F1 12 Tf 72 700 Td <41424344> Tj ET"
+    pdf = _multi_obj_pdf(
+        stream,
+        extra,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Synth"
+        b" /FontDescriptor 6 0 R >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "éАﬃ"
+    assert res[0][1] is True  # the g42 glyph-index name is honest-lost
+
+
+def test_agl_round5_names():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import glyph_to_unicode
+
+    assert glyph_to_unicode("afii10017") == "А"
+    assert glyph_to_unicode("afii10023") == "Ё"
+    assert glyph_to_unicode("afii10049") == "Я"
+    assert glyph_to_unicode("afii10065") == "а"
+    assert glyph_to_unicode("afii10071") == "ё"
+    assert glyph_to_unicode("afii10097") == "я"
+    assert glyph_to_unicode("afii61352") == "№"
+    assert glyph_to_unicode("ffi") == "ﬃ"
+    assert glyph_to_unicode("longs") == "ſ"
+    assert glyph_to_unicode("dotlessi") == "ı"
+    # glyph-INDEX names carry no Unicode: must stay lost
+    assert glyph_to_unicode("g42") is None
+    assert glyph_to_unicode("cid123") is None
