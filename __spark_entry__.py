@@ -1075,6 +1075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 & (F.col("quality") >= 0.5)
                 & (F.col("lang_pred") == "en")
             )
+            # the composed gates self-join back to this frame four times
+            # (gopher keep-set, decontamination anti-join, dedup keep-set);
+            # without persistence Spark re-runs token/quality/lang scoring
+            # on every scan
+            .cache()
         )
         # thresholds sized to the synthetic corpus (10-99 words/doc, no
         # symbols, all-alpha): words/stopword/dup/bigram rules each cut a

@@ -703,9 +703,13 @@ def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
     chunk such docs first, :func:`chunk_documents`). BFD shares FFD's
     ≤ ~22% worst-case waste vs optimal bin packing, fills at least as
     tightly in practice, and — unlike the round-4 first-fit linear scan —
-    places each doc in O(log packs) via a capacity-sorted open-pack list
-    (bisect on (remaining, pack_id)), so a small budget over a large
-    bucket no longer degrades to O(rows × packs).
+    FINDS each doc's pack in O(log packs) via bisect on a capacity-sorted
+    open-pack list. The pop/insort maintenance is still an O(packs)
+    memmove, but that is a C-speed block copy, not the Python compare
+    loop the old scan ran: the measured 20k-doc/10k-pack tripwire case
+    dropped from minutes to ~a second. Truly huge buckets (≥10⁶ open
+    packs) would want a balanced tree; raise ``n_buckets`` first — that
+    is the designed scale knob.
 
     This is the grouped-map (applyInPandas) tier: the per-bucket
     best-fit loop is inherently sequential state the window/agg algebra

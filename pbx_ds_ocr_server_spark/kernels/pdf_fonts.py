@@ -559,7 +559,10 @@ def _parse_cmap_format12(sub: bytes) -> dict[int, int] | None:
             continue
         span = min(end - start + 1, _MAX_CMAP_ENTRIES - len(out))
         for i in range(span):
-            out[start + i] = gid0 + i
+            # omit glyph 0 (.notdef) like the format 0/4 parsers — an
+            # inverted map must never decode "no glyph" as real text
+            if gid0 + i != 0:
+                out[start + i] = gid0 + i
         if len(out) >= _MAX_CMAP_ENTRIES:
             break
     return out or None
@@ -629,14 +632,18 @@ def truetype_simple_code_map(font: bytes) -> dict[int, str | None] | None:
 
     Returns None when the program has no usable subtable at all (caller
     keeps the default byte path). Control whitespace (9/10/13) is left
-    unmapped so it passes through the decoder's whitespace branch."""
+    unmapped so it passes through the decoder's whitespace branch, and
+    0x20 always decodes as a space even when the subset cmap omits the
+    space glyph — subset fonts routinely draw word gaps with TJ offsets
+    and leave U+0020 unmapped, and losing every space would glue words
+    together where the pre-recovery default path preserved them."""
     subs = sfnt_cmap_subtables(font)
     ws = (9, 10, 13)
     if (3, 1) in subs:
         m = _parse_cmap_format4(subs[(3, 1)])
         if m:
             return {
-                c: (chr(c) if c in m else None)
+                c: (chr(c) if c in m or c == 0x20 else None)
                 for c in range(256)
                 if c not in ws
             }
@@ -646,7 +653,11 @@ def truetype_simple_code_map(font: bytes) -> dict[int, str | None] | None:
         )
         if m:
             return {
-                c: (MAC_ROMAN.get(c) if c in m else None)
+                c: (
+                    MAC_ROMAN.get(c)
+                    if c in m or c == 0x20
+                    else None
+                )
                 for c in range(256)
                 if c not in ws
             }

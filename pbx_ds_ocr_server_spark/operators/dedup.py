@@ -250,6 +250,58 @@ def _pair_estimates(sigs: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _candidate_pair_estimates(
+    sig: DataFrame, bands: tuple[tuple[str, ...], ...], k: int
+) -> DataFrame:
+    """(a, b, est_jaccard) for LSH candidate pairs with the signature
+    columns CARRIED THROUGH the band self-join: the (expensive) signature
+    subtree is evaluated exactly twice — once per side of the one melted
+    self-join — instead of four times as with ``lsh_candidate_pairs`` +
+    ``_pair_estimates`` (pairs join + two per-side estimate joins). The
+    price is a wider shuffle row (2k extra hex columns); at the k=64
+    production point that is ~4 KB/row on a relation of |docs|×bands rows,
+    still far cheaper than re-running the shingle-explode aggregation
+    twice. Values are identical to the two-step form (same estimator,
+    same rounding)."""
+
+    def melt(side: str, prefix: str) -> DataFrame:
+        return sig.select(
+            F.col("id").alias(side),
+            *[F.col(f"s{i}").alias(f"{prefix}{i}") for i in range(k)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.concat_ws(
+                                "|", *[F.col(c) for c in band]
+                            ).alias("key"),
+                        )
+                        for i, band in enumerate(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            side,
+            *[f"{prefix}{i}" for i in range(k)],
+            F.col("bk.band_id").alias("band_id"),
+            F.col("bk.key").alias("key"),
+        )
+
+    matches = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        melt("a", "xa")
+        .join(melt("b", "yb"), ["band_id", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
+        .select("a", "b", "est_jaccard")
+        .distinct()
+    )
+
+
 def minhash_jaccard_estimate(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -264,8 +316,7 @@ def minhash_jaccard_estimate(
     estimate can't decide — the payload texts are never touched here.
     → (a, b, est_jaccard)."""
     sigs = minhash_signatures(df, id_col, text_col, k=k)
-    cand = lsh_candidate_pairs(sigs, bands=banding(k, num_bands))
-    return _pair_estimates(sigs, cand, k)
+    return _candidate_pair_estimates(sigs, banding(k, num_bands), k)
 
 
 def paragraph_dedup(
@@ -580,17 +631,21 @@ def dedup_near(
             " the trade-off must be the caller's choice."
         )
     sigs = minhash_signatures(df, id_col, text_col, k=num_hashes)
-    cand = lsh_candidate_pairs(sigs, bands=banding(num_hashes, num_bands))
+    bands = banding(num_hashes, num_bands)
     accepted = None
     if estimate_band is not None:
         lo, hi = estimate_band
         if not (0.0 <= lo <= hi <= 1.0):
             raise ValueError(f"estimate_band must satisfy 0 ≤ lo ≤ hi ≤ 1, got {estimate_band}")
-        est = _pair_estimates(sigs, cand, num_hashes)
+        # fused candidates+estimates: signatures ride the band self-join,
+        # so the signature subtree runs twice, not four times
+        est = _candidate_pair_estimates(sigs, bands, num_hashes)
         accepted = est.filter(F.col("est_jaccard") >= hi).select("a", "b")
         cand = est.filter(
             (F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi)
         ).select("a", "b")
+    else:
+        cand = lsh_candidate_pairs(sigs, bands=bands)
     # verify candidates with exact jaccard (restricted via semi joins)
     cand_ids = cand.select(F.col("a").alias("id")).unionByName(
         cand.select(F.col("b").alias("id"))

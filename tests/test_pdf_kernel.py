@@ -1327,3 +1327,36 @@ def test_agl_round5_names():
     # glyph-INDEX names carry no Unicode: must stay lost
     assert glyph_to_unicode("g42") is None
     assert glyph_to_unicode("cid123") is None
+
+
+def test_format12_notdef_and_subset_space_handling():
+    """Review fixes: a format-12 group mapping to glyph 0 (.notdef) must
+    not invert into real text, and a subset (3,1) cmap that omits U+0020
+    must still decode 0x20 bytes as spaces (subset fonts draw word gaps
+    with TJ offsets; losing every space would glue words together)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        _parse_cmap_format12,
+        truetype_simple_code_map,
+    )
+    from pbx_ds_ocr_server_spark.corpus import make_truetype_cmap_font
+
+    def u16(v):
+        return v.to_bytes(2, "big")
+
+    def u32(v):
+        return v.to_bytes(4, "big")
+
+    # format 12 with two groups: 'A'->0 (.notdef) and 'B'->7
+    sub = (
+        u16(12) + u16(0) + u32(16 + 24) + u32(0) + u32(2)
+        + u32(0x41) + u32(0x41) + u32(0)
+        + u32(0x42) + u32(0x42) + u32(7)
+    )
+    m = _parse_cmap_format12(sub)
+    assert m == {0x42: 7}
+
+    tt = make_truetype_cmap_font(set("Hello"))  # no space in the charset
+    cmap = truetype_simple_code_map(tt)
+    assert cmap[0x20] == " "
+    assert cmap[ord("H")] == "H"
+    assert cmap[ord("z")] is None
