@@ -893,9 +893,10 @@ def _embedded_cid_decoder(
     Identity (or unknown) CMap: under /CIDToGIDMap /Identity the 2-byte
     show codes ARE glyph ids, and the embedded TrueType program's own
     Unicode cmap, inverted, maps them back to text (ISO 32000-1 §9.7.4.2 +
-    §9.10.2's "use the font's internal information" clause). A non-Identity
-    /CIDToGIDMap STREAM breaks the CID==GID identity, so recovery honestly
-    declines (honest empty beats a wrong gid interpretation)."""
+    §9.10.2's "use the font's internal information" clause). A
+    /CIDToGIDMap STREAM (subset fonts renumbering glyphs) is honored:
+    gid = big-endian uint16 at offset 2·CID, composed BEFORE the reverse
+    cmap lookup; a truncated map or gid 0 keeps the honest lost path."""
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
         truetype_gid_to_unicode,
     )
@@ -910,7 +911,7 @@ def _embedded_cid_decoder(
         arr = objects.get(int(rm.group(1)), b"")
         fm = _FIRST_REF_RE.search(arr)
         desc_font = objects.get(int(fm.group(1))) if fm else None
-    if not desc_font or _CIDTOGID_STREAM_RE.search(desc_font):
+    if not desc_font:
         return None
     prog = _font_program(objects, desc_font, _FONTFILE2_RE, decrypt)
     if not prog:
@@ -918,6 +919,22 @@ def _embedded_cid_decoder(
     gid2uni = truetype_gid_to_unicode(prog)
     if not gid2uni:
         return None
+    c2g = _CIDTOGID_STREAM_RE.search(desc_font)
+    if c2g:
+        oid = int(c2g.group(1))
+        cmap_bytes, _ = _stream_data(objects.get(oid, b""), oid, decrypt)
+        if not cmap_bytes:
+            return None  # declared stream map we cannot read: decline
+        cid2uni: dict[int, str] = {}
+        for cid in range(len(cmap_bytes) // 2):
+            gid = int.from_bytes(cmap_bytes[2 * cid : 2 * cid + 2], "big")
+            if gid:
+                s = gid2uni.get(gid)
+                if s is not None:
+                    cid2uni[cid] = s
+        if not cid2uni:
+            return None
+        return FontDecoder("cmap", cmap=cid2uni, width=2)
     return FontDecoder("cmap", cmap=gid2uni, width=2)
 
 

@@ -1360,3 +1360,50 @@ def test_format12_notdef_and_subset_space_handling():
     assert cmap[0x20] == " "
     assert cmap[ord("H")] == "H"
     assert cmap[ord("z")] is None
+
+
+def test_cidtogidmap_stream_composes_with_embedded_cmap():
+    """Subset fonts renumber glyphs via a /CIDToGIDMap STREAM: show codes
+    are CIDs, the stream maps CID->GID (uint16 at 2*cid), and only then
+    does the embedded cmap's reverse map give text. cid 0 rows and gids
+    the cmap lacks stay lost."""
+    from pbx_ds_ocr_server_spark.corpus import make_truetype_cmap_font
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    tt = make_truetype_cmap_font(set("AB"))  # unicode -> ord+0x100
+    gid_a, gid_b = ord("A") + 0x100, ord("B") + 0x100
+    c2g = bytearray(14)
+    c2g[10:12] = gid_a.to_bytes(2, "big")   # cid 5 -> gid of 'A'
+    c2g[12:14] = gid_b.to_bytes(2, "big")   # cid 6 -> gid of 'B'
+    stream = b"BT /F1 12 Tf 72 700 Td <00050006> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Sub"
+        b" /CIDToGIDMap 8 0 R /FontDescriptor 7 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /Sub /Flags 4"
+        b" /FontFile2 9 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(c2g), bytes(c2g)),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tt), tt),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    out += b"trailer\n<< /Root 1 0 R >>\n"
+    res = extract_pdf_detailed(bytes(out))
+    assert res[0][0].text == "AB"
+    assert res[0][1] is False
+
+    # an unmapped cid (beyond the stream) is lost + flagged
+    pdf2 = bytes(out).replace(b"<00050006>", b"<000500060099>")
+    res2 = extract_pdf_detailed(pdf2)
+    assert res2[0][0].text == "AB"
+    assert res2[0][1] is True

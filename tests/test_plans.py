@@ -168,3 +168,37 @@ def test_contamination_report_broadcasts_eval_shingles(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fused_estimate_plan_has_single_self_join(spark):
+    """_candidate_pair_estimates exists to halve evaluations of the
+    signature subtree: its plan must contain exactly ONE join (the band
+    self-join) — the two-step form's plan carries three. A regression
+    back to per-side estimate joins would re-run the shingle aggregation
+    twice more."""
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        _candidate_pair_estimates,
+        _pair_estimates,
+        banding,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sigs = minhash_signatures(docs)
+    fused_plan = _candidate_pair_estimates(
+        sigs, banding(4, 2), 4
+    )._jdf.queryExecution().executedPlan().toString()
+    two_step_plan = _pair_estimates(
+        sigs, lsh_candidate_pairs(sigs, banding(4, 2)), 4
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    def n_joins(plan):
+        return len(re.findall(r"Join|SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan))
+
+    assert n_joins(fused_plan) < n_joins(two_step_plan)
+    # the melted self-join is the only join in the fused plan
+    assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", fused_plan)) == 1
