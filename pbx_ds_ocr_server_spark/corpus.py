@@ -34,8 +34,9 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 8  # v8: + pdf_embedded_tt (text recoverable only via the
-                    #     embedded TrueType cmap); v7: pdf_winansi /
+CORPUS_VERSION = 9  # v9: + pdf_type1_builtin (codes only in the embedded
+                    #     Type1 builtin /Encoding); v8: pdf_embedded_tt
+                    #     (embedded TrueType cmap); v7: pdf_winansi /
                     #     pdf_predefined_cmap / html_cjk /
 #     pdf_incremental classes (round 4)
 
@@ -240,6 +241,32 @@ def make_truetype_cmap_font(chars: set[str], gid_shift: int = _CID_SHIFT) -> byt
     return font
 
 
+def make_type1_builtin_font(chars: set[str]) -> tuple[bytes, dict[str, int]]:
+    """Minimal Type1 program whose cleartext declares a CUSTOM builtin
+    /Encoding array: each char gets a sequential code from 0x21 (NOT its
+    ASCII value — so text recovery provably reads the dup entries) mapped
+    to its ``uniXXXX`` AGL name. Returns (program bytes, char → code).
+    The eexec tail is opaque filler: the consumer is the cleartext
+    /Encoding reader, exactly like a real extractor that never rasterizes
+    glyph programs."""
+    codes = {c: 0x21 + i for i, c in enumerate(sorted(set(chars)))}
+    if len(codes) > 0xDE:
+        raise ValueError("type1 builtin charset exceeds one byte of codes")
+    dups = "\n".join(
+        f"dup {code} /uni{ord(c):04X} put" for c, code in codes.items()
+    )
+    prog = (
+        "%!PS-AdobeFont-1.0: SynthT1 001.001\n"
+        "/FontName /SynthT1 def\n"
+        "/Encoding 256 array\n"
+        "0 1 255 {1 index exch /.notdef put} for\n"
+        f"{dups}\n"
+        "readonly def\n"
+        "currentdict end\ncurrentfile eexec\n"
+    ).encode("latin-1") + b"\x0c\x0d\x0e\x0f" * 8
+    return prog, codes
+
+
 def make_pdf(
     pages: list[list[tuple[float, float, str]]],
     streams_per_page: int = 1,
@@ -281,7 +308,14 @@ def make_pdf(
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    if font in ("cid", "embedded_tt"):
+    t1_codes: dict[str, int] = {}
+    if font == "type1_builtin":
+        t1_chars = {c for page in pages for _, _, s in page for c in s}
+        t1_font, t1_codes = make_type1_builtin_font(t1_chars)
+        show = lambda s: (  # noqa: E731
+            "<" + "".join(f"{t1_codes[c]:02x}" for c in s) + ">"
+        )
+    elif font in ("cid", "embedded_tt"):
         show = lambda s: f"<{_cid_hex(s)}>"  # noqa: E731
     elif font == "cid_noto":
         show = lambda s: f"<{''.join(f'{ord(c):04x}' for c in s)}>"  # noqa: E731
@@ -319,7 +353,29 @@ def make_pdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(stream), stream)
             )
-    if font == "embedded_tt":
+    if font == "type1_builtin":
+        # Type1 simple font with NO /Encoding entry in the font dict: the
+        # custom code→glyph-name table lives only in the embedded
+        # program's builtin /Encoding (non-ASCII codes — reading the dup
+        # entries is the only route back to text)
+        fd_ref, ff_ref = font_ref + 1, font_ref + 2
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /SynthT1"
+                f" /FontDescriptor {fd_ref} 0 R >>"
+            ).encode()
+        )
+        objs.append(
+            (
+                f"<< /Type /FontDescriptor /FontName /SynthT1 /Flags 4"
+                f" /FontFile {ff_ref} 0 R >>"
+            ).encode()
+        )
+        objs.append(
+            b"<< /Length %d /Length1 %d >>\nstream\n%s\nendstream"
+            % (len(t1_font), len(t1_font), t1_font)
+        )
+    elif font == "embedded_tt":
         # Type0/Identity-H with NO /ToUnicode: the only route back to text
         # is the embedded TrueType program's (3,1) cmap (shifted gids),
         # reached via DescendantFonts -> FontDescriptor -> FontFile2
@@ -711,6 +767,9 @@ CLASSES = (
     "pdf_incremental",    # 20  (appended update section, /Prev xref chain)
     "pdf_embedded_tt",    # 21  (Type0/Identity-H, no ToUnicode; text lives
                           #      in the embedded TrueType (3,1) cmap)
+    "pdf_type1_builtin",  # 22  (simple Type1, no /Encoding in the font
+                          #      dict; codes live in the embedded
+                          #      program's builtin /Encoding array)
 )
 
 # weights: mostly HTML, some PDFs, few degenerates/rasters
@@ -724,7 +783,7 @@ _CLASS_TABLE = (
     + ["empty", "bad_pdf", "png", "png_text", "jpeg_com"]
     + ["pdf_cid", "pdf_encrypted_rc4", "pdf_cid_noto"]
     + ["pdf_winansi", "pdf_predefined_cmap", "html_cjk", "pdf_incremental"]
-    + ["pdf_embedded_tt"]
+    + ["pdf_embedded_tt", "pdf_type1_builtin"]
 )
 
 
@@ -857,6 +916,16 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         n_pages = 1 + _h(f"npages:{doc_id}") % 3
         pages = pdf_pages_for(text, n_pages)
         payload = make_pdf(pages, font="embedded_tt")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_type1_builtin":
+        # simple Type1, custom non-ASCII codes: only the embedded
+        # program's builtin /Encoding array (dup N /uniXXXX put) maps the
+        # show bytes back to text
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf(pages, font="type1_builtin")
         expected = "\n\n".join(
             "\n\n".join(line for _, _, line in page) for page in pages if page
         )

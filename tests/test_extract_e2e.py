@@ -49,13 +49,24 @@ def test_span_offsets_reconstruct_text(result):
 
 
 def test_pdf_spans_have_page_indexes(result):
-    r = (
-        result.filter((F.col("content_type") == "pdf") & (F.col("n_pages") >= 2))
+    # sample several multi-page PDFs: whichever doc lands first under the
+    # corpus class hash may be an honest-empty one (cid_noto) or carry
+    # text on a single page — at least one sampled doc must show spans
+    # across >= 2 pages starting at page 1
+    rows = (
+        result.filter(
+            (F.col("content_type") == "pdf")
+            & (F.col("n_pages") >= 2)
+            & (F.size("spans") > 0)
+        )
         .select("spans")
-        .first()
+        .limit(20)
+        .collect()
     )
-    idx = {s.page_index for s in r.spans}
-    assert min(idx) == 1 and len(idx) >= 2
+    assert rows
+    indexes = [{s.page_index for s in r.spans} for r in rows]
+    assert all(min(idx) == 1 for idx in indexes)
+    assert any(len(idx) >= 2 for idx in indexes)
 
 
 def test_determinism_across_partitionings(spark, corpus):

@@ -1407,3 +1407,23 @@ def test_cidtogidmap_stream_composes_with_embedded_cmap():
     res2 = extract_pdf_detailed(pdf2)
     assert res2[0][0].text == "AB"
     assert res2[0][1] is True
+
+
+def test_type1_builtin_corpus_class_roundtrips():
+    """pdf_type1_builtin: sequential non-ASCII codes + builtin /Encoding
+    uniXXXX names — byte-exact recovery, nothing lost."""
+    from pbx_ds_ocr_server_spark.corpus import make_pdf, pdf_pages_for
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+
+    pages = pdf_pages_for(
+        "builtin encoding survives a round trip across two pages of words"
+        " and more words to keep the second page busy", 2
+    )
+    pdf = make_pdf(pages, font="type1_builtin")
+    res = extract_pdf_detailed(pdf)
+    assert [p[0].text for p in res] == [
+        "\n\n".join(s for _, _, s in page) for page in pages
+    ]
+    assert all(p[1] is False for p in res)

@@ -131,3 +131,44 @@ def test_pdf_decryptor_never_crashes_on_garbage(payload):
     d = pdf_decryptor(b"%PDF-1.4\n" + payload + b"\n/Encrypt 1 0 R\n%%EOF")
     if d is not None:
         d(1, b"some bytes")
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_embedded_font_parsers_never_raise_on_arbitrary_bytes(data):
+    """The round-5 embedded-font parsers run inside the extraction kernel
+    on attacker-controlled crawl bytes: any input must parse or decline,
+    never raise."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        parse_type1_builtin_encoding,
+        sfnt_cmap_subtables,
+        truetype_gid_to_unicode,
+        truetype_simple_code_map,
+    )
+
+    sfnt_cmap_subtables(data)
+    truetype_gid_to_unicode(data)
+    truetype_simple_code_map(data)
+    parse_type1_builtin_encoding(data)
+
+
+@given(st.integers(0, 10_000), st.binary(min_size=1, max_size=16))
+@settings(max_examples=100, deadline=None)
+def test_valid_truetype_with_mutations_never_raises(pos, patch):
+    """Byte-level mutations of a VALID font program (truncation, splice)
+    exercise the bounds checks the pure-random strategy rarely reaches."""
+    from pbx_ds_ocr_server_spark.corpus import make_truetype_cmap_font
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        truetype_gid_to_unicode,
+        truetype_simple_code_map,
+    )
+
+    base = make_truetype_cmap_font(set("The quick brown fox 0123"))
+    p = pos % (len(base) + 1)
+    for mutated in (
+        base[:p],                                  # truncation
+        base[:p] + patch + base[p + len(patch):],  # splice
+        base[:p] + patch,                          # truncate + garbage tail
+    ):
+        truetype_gid_to_unicode(mutated)
+        truetype_simple_code_map(mutated)
