@@ -913,18 +913,23 @@ def _embedded_cid_decoder(
         desc_font = objects.get(int(fm.group(1))) if fm else None
     if not desc_font:
         return None
+    # read the (small) CIDToGIDMap stream BEFORE parsing the (large) font
+    # program: an unreadable declared map declines without paying for the
+    # sfnt cmap parse + inversion
+    c2g = _CIDTOGID_STREAM_RE.search(desc_font)
+    cmap_bytes = None
+    if c2g:
+        oid = int(c2g.group(1))
+        cmap_bytes, _ = _stream_data(objects.get(oid, b""), oid, decrypt)
+        if not cmap_bytes:
+            return None  # declared stream map we cannot read: decline
     prog = _font_program(objects, desc_font, _FONTFILE2_RE, decrypt)
     if not prog:
         return None
     gid2uni = truetype_gid_to_unicode(prog)
     if not gid2uni:
         return None
-    c2g = _CIDTOGID_STREAM_RE.search(desc_font)
-    if c2g:
-        oid = int(c2g.group(1))
-        cmap_bytes, _ = _stream_data(objects.get(oid, b""), oid, decrypt)
-        if not cmap_bytes:
-            return None  # declared stream map we cannot read: decline
+    if cmap_bytes is not None:
         cid2uni: dict[int, str] = {}
         for cid in range(len(cmap_bytes) // 2):
             gid = int.from_bytes(cmap_bytes[2 * cid : 2 * cid + 2], "big")

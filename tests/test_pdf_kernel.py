@@ -1377,34 +1377,40 @@ def test_cidtogidmap_stream_composes_with_embedded_cmap():
     c2g = bytearray(14)
     c2g[10:12] = gid_a.to_bytes(2, "big")   # cid 5 -> gid of 'A'
     c2g[12:14] = gid_b.to_bytes(2, "big")   # cid 6 -> gid of 'B'
-    stream = b"BT /F1 12 Tf 72 700 Td <00050006> Tj ET"
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
-        b" /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub"
-        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
-        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Sub"
-        b" /CIDToGIDMap 8 0 R /FontDescriptor 7 0 R >>",
-        b"<< /Type /FontDescriptor /FontName /Sub /Flags 4"
-        b" /FontFile2 9 0 R >>",
-        b"<< /Length %d >>\nstream\n%s\nendstream"
-        % (len(c2g), bytes(c2g)),
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tt), tt),
-    ]
-    out = bytearray(b"%PDF-1.4\n")
-    for i, body in enumerate(objs, start=1):
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    out += b"trailer\n<< /Root 1 0 R >>\n"
-    res = extract_pdf_detailed(bytes(out))
+
+    def build(show_hex: bytes) -> bytes:
+        # rebuild the WHOLE document per variant so /Length stays true —
+        # a byte splice would rely on the parser ignoring /Length
+        stream = b"BT /F1 12 Tf 72 700 Td <" + show_hex + b"> Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(stream), stream),
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub"
+            b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Sub"
+            b" /CIDToGIDMap 8 0 R /FontDescriptor 7 0 R >>",
+            b"<< /Type /FontDescriptor /FontName /Sub /Flags 4"
+            b" /FontFile2 9 0 R >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(c2g), bytes(c2g)),
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tt), tt),
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        for i, body in enumerate(objs, start=1):
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+        out += b"trailer\n<< /Root 1 0 R >>\n"
+        return bytes(out)
+
+    res = extract_pdf_detailed(build(b"00050006"))
     assert res[0][0].text == "AB"
     assert res[0][1] is False
 
     # an unmapped cid (beyond the stream) is lost + flagged
-    pdf2 = bytes(out).replace(b"<00050006>", b"<000500060099>")
-    res2 = extract_pdf_detailed(pdf2)
+    res2 = extract_pdf_detailed(build(b"000500060099"))
     assert res2[0][0].text == "AB"
     assert res2[0][1] is True
 

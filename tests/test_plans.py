@@ -197,8 +197,29 @@ def test_fused_estimate_plan_has_single_self_join(spark):
     import re
 
     def n_joins(plan):
-        return len(re.findall(r"Join|SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan))
+        # every physical join operator name contains 'Join' exactly once
+        return len(re.findall(r"Join", plan))
 
     assert n_joins(fused_plan) < n_joins(two_step_plan)
     # the melted self-join is the only join in the fused plan
     assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", fused_plan)) == 1
+
+
+def test_hash_sample_mix_stays_shuffle_free(spark):
+    """The composed sampling slot (Bernoulli sample + domain mixture) is a
+    pure predicate + bounded explode: its physical plan must contain no
+    exchange and no join — at 10^12 rows a shuffle here would dwarf the
+    sampling work itself."""
+    import __spark_entry__ as entry_mod
+
+    plan = (
+        entry_mod.queries()["hash_sample_mix"](
+            spark, "/root/testdata/sf0.001"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan  # the bounded rep explode
