@@ -81,6 +81,17 @@ _AGL.update({
     "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
     "longs": "ſ", "dotlessi": "ı", "dotlessj": "ȷ",
     "afii00208": "―", "afii61352": "№",
+    # the Macintosh standard glyph order's non-MacRoman tail (also plain
+    # AGL names, so /Differences arrays using them decode too)
+    "Lslash": "Ł", "lslash": "ł", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "brokenbar": "¦", "Eth": "Ð",
+    "eth": "ð", "Yacute": "Ý", "yacute": "ý", "Thorn": "Þ",
+    "thorn": "þ", "minus": "−", "multiply": "×", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³", "onehalf": "½",
+    "onequarter": "¼", "threequarters": "¾", "franc": "₣",
+    "Gbreve": "Ğ", "gbreve": "ğ", "Idotaccent": "İ", "Scedilla": "Ş",
+    "scedilla": "ş", "Cacute": "Ć", "cacute": "ć", "Ccaron": "Č",
+    "ccaron": "č", "dcroat": "đ",
 })
 for _base, _cps in (
     (10017, list(range(0x410, 0x416)) + [0x401] + list(range(0x416, 0x430))),
@@ -604,10 +615,13 @@ def truetype_gid_to_unicode(font: bytes) -> dict[int, str] | None:
     GID under /CIDToGIDMap /Identity) with NO /ToUnicode: the embedded
     program's own unicode→gid table, inverted. When several codepoints
     share a glyph the LOWEST codepoint wins (deterministic; the typical
-    collisions are case pairs in decorative fonts)."""
+    collisions are case pairs in decorative fonts). A program with no
+    Unicode cmap subtable at all falls back to the 'post' table's glyph
+    NAMES (standard-order indices or custom names through the AGL) —
+    symbol-cmap-only subset fonts often still carry full post names."""
     uni = _unicode_subtable(font)
     if not uni:
-        return None
+        return parse_post_names(font)
     out: dict[int, str] = {}
     for cp in sorted(uni):
         gid = uni[cp]
@@ -624,11 +638,14 @@ def truetype_simple_code_map(font: bytes) -> dict[int, str | None] | None:
         Unicode value — mapped codes decode to chr(code), unmapped to None
         (lost);
       * else a (1,0) Macintosh subtable (format 0): the code indexes the
-        table directly and carries MacRomanEncoding semantics — mapped
-        codes decode through the Annex D MacRoman table;
-      * else a (3,0) symbol subtable: glyphs exist only at 0xF000+code and
-        carry NO Unicode semantics — every code maps to None (the honest
-        all-lost map), which the caller surfaces as succeeded_empty.
+        table directly; the glyph's 'post' NAME (when the table has one)
+        is authoritative, else the code carries MacRomanEncoding
+        semantics — the Annex D MacRoman table;
+      * else a (3,0) symbol subtable: glyphs live at 0xF000+code (or bare
+        code) and carry NO Unicode semantics of their own — but the
+        'post' table's glyph names recover them when present; without
+        names every code maps to None (the honest all-lost map), which
+        the caller surfaces as succeeded_empty.
 
     Returns None when the program has no usable subtable at all (caller
     keeps the default byte path). Control whitespace (9/10/13) is left
@@ -652,20 +669,115 @@ def truetype_simple_code_map(font: bytes) -> dict[int, str | None] | None:
             subs[(1, 0)]
         )
         if m:
-            return {
-                c: (
-                    MAC_ROMAN.get(c)
-                    if c in m or c == 0x20
-                    else None
-                )
-                for c in range(256)
-                if c not in ws
-            }
+            post = parse_post_names(font) or {}
+
+            def _mac(c: int) -> str | None:
+                if c in m:
+                    return post.get(m[c]) or MAC_ROMAN.get(c)
+                return " " if c == 0x20 else None
+
+            return {c: _mac(c) for c in range(256) if c not in ws}
     if (3, 0) in subs:
         m = _parse_cmap_format4(subs[(3, 0)])
         if m:
-            return {c: None for c in range(256) if c not in ws}
+            post = parse_post_names(font) or {}
+
+            def _sym(c: int) -> str | None:
+                gid = m.get(0xF000 + c, m.get(c))
+                if gid is not None and gid in post:
+                    return post[gid]
+                return " " if c == 0x20 else None
+
+            return {c: _sym(c) for c in range(256) if c not in ws}
     return None
+
+
+# -------------------------------------------------------- 'post' glyph names
+# Macintosh standard glyph order (OpenType 'post' format 1.0/2.0): index
+# 0-2 are .notdef/.null/nonmarkingreturn, 3-97 ARE ASCII 0x20-0x7E in
+# order, 98-225 ARE MacRoman bytes 0x80-0xFF in order, and 226-257 are the
+# 32 documented tail names (resolved through the AGL entries above).
+_STD_ORDER_TAIL = (
+    "Lslash", "lslash", "Scaron", "scaron", "Zcaron", "zcaron",
+    "brokenbar", "Eth", "eth", "Yacute", "yacute", "Thorn", "thorn",
+    "minus", "multiply", "onesuperior", "twosuperior", "threesuperior",
+    "onehalf", "onequarter", "threequarters", "franc", "Gbreve", "gbreve",
+    "Idotaccent", "Scedilla", "scedilla", "Cacute", "cacute", "Ccaron",
+    "ccaron", "dcroat",
+)
+
+
+def _std_order_unicode(idx: int) -> str | None:
+    if idx == 2:
+        return "\r"  # nonmarkingreturn
+    if 3 <= idx <= 97:
+        return chr(0x20 + idx - 3)
+    if 98 <= idx <= 225:
+        return bytes([0x80 + idx - 98]).decode("mac-roman")
+    if 226 <= idx <= 257:
+        return glyph_to_unicode(_STD_ORDER_TAIL[idx - 226])
+    return None  # .notdef / .null / out of the standard order
+
+
+def parse_post_names(font: bytes) -> dict[int, str] | None:
+    """sfnt 'post' table → {glyph id → text}: the glyph-NAME route to
+    Unicode for fonts whose cmap carries no Unicode subtable at all.
+    Format 1.0 (glyph order == the Macintosh standard order) and format
+    2.0 (per-glyph indices into the standard order or custom pascal-string
+    names resolved through the AGL). Unmapped/unknown names are omitted —
+    the caller's lost path keeps them honest."""
+    if len(font) < 12:
+        return None
+    num_tables = _u16(font, 4)
+    if num_tables > 512:
+        return None
+    post_off = post_len = None
+    for t in range(num_tables):
+        rec = 12 + 16 * t
+        if rec + 16 > len(font):
+            return None
+        if font[rec : rec + 4] == b"post":
+            post_off = _u32(font, rec + 8)
+            post_len = _u32(font, rec + 12)
+            break
+    if post_off is None or post_off + 4 > len(font):
+        return None  # v1.0 needs only the version word; v2.0 checks below
+    tbl = font[post_off : min(post_off + (post_len or 0), len(font))] or (
+        font[post_off:]
+    )
+    version = _u32(tbl, 0)
+    out: dict[int, str] = {}
+    if version == 0x00010000:
+        for gid in range(258):
+            s = _std_order_unicode(gid)
+            if s is not None:
+                out[gid] = s
+        return out or None
+    if version != 0x00020000 or len(tbl) < 34:
+        return None
+    n_glyphs = min(_u16(tbl, 32), 0xFFFF)
+    idx_end = 34 + 2 * n_glyphs
+    if idx_end > len(tbl):
+        return None
+    # custom pascal-string names follow the index array, in order
+    names: list[str] = []
+    p = idx_end
+    while p < len(tbl) and len(names) < n_glyphs:
+        ln = tbl[p]
+        names.append(
+            tbl[p + 1 : p + 1 + ln].decode("latin-1", "replace")
+        )
+        p += 1 + ln
+    for gid in range(n_glyphs):
+        idx = _u16(tbl, 34 + 2 * gid)
+        if idx < 258:
+            s = _std_order_unicode(idx)
+        else:
+            ci = idx - 258
+            s = glyph_to_unicode(names[ci]) if ci < len(names) else None
+        if s is not None:
+            out[gid] = s
+    return out or None
 
 
 # --------------------------------------------------- Type1 builtin encoding

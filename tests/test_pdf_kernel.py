@@ -1433,3 +1433,120 @@ def test_type1_builtin_corpus_class_roundtrips():
         "\n\n".join(s for _, _, s in page) for page in pages
     ]
     assert all(p[1] is False for p in res)
+
+
+# ------------------------------------------------------- 'post' glyph names
+def _sfnt(tables: dict) -> bytes:
+    n = len(tables)
+    out = (0x00010000).to_bytes(4, "big") + n.to_bytes(2, "big") + b"\x00" * 6
+    off = 12 + 16 * n
+    recs = b""
+    data = b""
+    for tag, body in tables.items():
+        recs += (
+            tag + b"\x00" * 4
+            + off.to_bytes(4, "big") + len(body).to_bytes(4, "big")
+        )
+        data += body
+        off += len(body)
+    return out + recs + data
+
+
+def _post2(indexes: list, custom: list) -> bytes:
+    body = (0x00020000).to_bytes(4, "big") + b"\x00" * 28
+    body += len(indexes).to_bytes(2, "big")
+    for i in indexes:
+        body += i.to_bytes(2, "big")
+    for name in custom:
+        nb = name.encode("latin-1")
+        body += bytes([len(nb)]) + nb
+    return body
+
+
+def _cmap10_format0(code_to_gid: dict) -> bytes:
+    sub = (0).to_bytes(2, "big") + (262).to_bytes(2, "big") + b"\x00\x00"
+    sub += bytes(code_to_gid.get(c, 0) for c in range(256))
+    return (
+        b"\x00\x00\x00\x01" + (1).to_bytes(2, "big") + (0).to_bytes(2, "big")
+        + (12).to_bytes(4, "big") + sub
+    )
+
+
+def test_post_table_formats_and_standard_order():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import parse_post_names
+
+    # format 2.0: gid0 .notdef, gid1 std 'A' (index 36), gid2 std 'Ä'
+    # (index 98 = MacRoman 0x80), gid3 std tail 'Scaron' (index 228),
+    # gid4 custom 'eacute', gid5 custom glyph-index name (unmappable)
+    font = _sfnt({
+        b"post": _post2([0, 36, 98, 228, 258, 259], ["eacute", "g77"]),
+    })
+    names = parse_post_names(font)
+    assert names == {1: "A", 2: "Ä", 3: "Š", 4: "é"}
+
+    # format 1.0: glyph order IS the standard order
+    f1 = _sfnt({b"post": (0x00010000).to_bytes(4, "big") + b"\x00" * 28})
+    n1 = parse_post_names(f1)
+    assert n1[3] == " " and n1[36] == "A" and n1[97] == "~"
+
+
+def test_symbol_cmap_with_post_names_recovers_text():
+    """A (3,0) symbol-cmap font was honest-all-lost; with a 'post' table
+    the glyph names recover the text (code → gid at 0xF000+c → name)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        truetype_simple_code_map,
+    )
+
+    def u16(v):
+        return v.to_bytes(2, "big")
+
+    # (3,0) format 4 mapping 0xF041..0xF042 -> gids 1..2 via idDelta
+    seg = 2
+    delta = (1 - 0xF041) & 0xFFFF
+    body = (
+        u16(0xF042) + u16(0xFFFF) + b"\x00\x00"
+        + u16(0xF041) + u16(0xFFFF)
+        + u16(delta) + u16(1)
+        + u16(0) + u16(0)
+    )
+    sub = u16(4) + u16(14 + len(body)) + u16(0) + u16(seg * 2) + u16(4) + u16(1) + u16(0) + body
+    cmap = b"\x00\x00\x00\x01" + u16(3) + u16(0) + (12).to_bytes(4, "big") + sub
+    font = _sfnt({
+        b"cmap": cmap,
+        b"post": _post2([0, 258, 259], ["eacute", "germandbls"]),
+    })
+    m = truetype_simple_code_map(font)
+    assert m[0x41] == "é" and m[0x42] == "ß"
+    assert m[0x20] == " "  # space passes through
+    assert m[0x43] is None  # unmapped code stays lost
+
+
+def test_mac_cmap_post_names_override_macroman():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        truetype_simple_code_map,
+    )
+
+    # (1,0) format 0: code 0x41 -> gid 1, 0x42 -> gid 2; post names only
+    # for gid 1 ('eacute' overrides MacRoman 'A'); gid 2 falls back to
+    # the MacRoman byte semantics ('B')
+    font = _sfnt({
+        b"cmap": _cmap10_format0({0x41: 1, 0x42: 2}),
+        b"post": _post2([0, 258], ["eacute"]),
+    })
+    m = truetype_simple_code_map(font)
+    assert m[0x41] == "é"
+    assert m[0x42] == "B"
+
+
+def test_composite_font_without_unicode_cmap_uses_post():
+    """Type0/Identity-H + embedded program whose ONLY route to text is the
+    post table (no Unicode cmap subtable): gid→name→text."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        truetype_gid_to_unicode,
+    )
+
+    font = _sfnt({
+        b"post": _post2([0, 36, 37, 258], ["udieresis"]),
+    })
+    g2u = truetype_gid_to_unicode(font)
+    assert g2u == {1: "A", 2: "B", 3: "ü"}
