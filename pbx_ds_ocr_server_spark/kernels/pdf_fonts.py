@@ -85,7 +85,7 @@ _AGL.update({
     # AGL names, so /Differences arrays using them decode too)
     "Lslash": "Ł", "lslash": "ł", "Scaron": "Š", "scaron": "š",
     "Zcaron": "Ž", "zcaron": "ž", "brokenbar": "¦", "Eth": "Ð",
-    "eth": "ð", "Yacute": "Ý", "yacute": "ý", "Thorn": "Þ",
+    "eth": "ð", "Yacute": "Ý", "Thorn": "Þ", "currency": "¤",
     "thorn": "þ", "minus": "−", "multiply": "×", "onesuperior": "¹",
     "twosuperior": "²", "threesuperior": "³", "onehalf": "½",
     "onequarter": "¼", "threequarters": "¾", "franc": "₣",
@@ -468,32 +468,41 @@ def _u32(b: bytes, i: int) -> int:
     return int.from_bytes(b[i : i + 4], "big")
 
 
-def sfnt_cmap_subtables(font: bytes) -> dict[tuple[int, int], bytes]:
-    """sfnt font program → {(platformID, encodingID): subtable bytes} for
-    every 'cmap' encoding record whose offset is in bounds. Accepts the
-    0x00010000 and 'true' scaler types (plain TrueType; 'OTTO'/CFF programs
-    have no TrueType cmap semantics we rely on beyond the same table, so
-    they are accepted too). Returns {} on anything unparseable."""
-    out: dict[tuple[int, int], bytes] = {}
+def _sfnt_table(font: bytes, tag: bytes, min_len: int = 4) -> bytes | None:
+    """Bytes of one table from an sfnt directory, or None when absent /
+    out of bounds / shorter than ``min_len``. Accepts the 0x00010000 and
+    'true' scaler types (plain TrueType; 'OTTO'/CFF programs carry the
+    same directory shape, so they parse too). The shared hardening for
+    every table consumer: 512-table cap, record bounds, length-capped
+    slice with a to-end fallback for a zero/overlong declared length."""
     if len(font) < 12:
-        return out
+        return None
     num_tables = _u16(font, 4)
     if num_tables > 512:
-        return out
-    cmap_off = cmap_len = None
+        return None
     for t in range(num_tables):
         rec = 12 + 16 * t
         if rec + 16 > len(font):
-            return out
-        if font[rec : rec + 4] == b"cmap":
-            cmap_off = _u32(font, rec + 8)
-            cmap_len = _u32(font, rec + 12)
-            break
-    if cmap_off is None or cmap_off + 4 > len(font):
+            return None
+        if font[rec : rec + 4] == tag:
+            off = _u32(font, rec + 8)
+            length = _u32(font, rec + 12)
+            if off + min_len > len(font):
+                return None
+            return font[off : min(off + (length or 0), len(font))] or (
+                font[off:]
+            )
+    return None
+
+
+def sfnt_cmap_subtables(font: bytes) -> dict[tuple[int, int], bytes]:
+    """sfnt font program → {(platformID, encodingID): subtable bytes} for
+    every 'cmap' encoding record whose offset is in bounds. Returns {} on
+    anything unparseable."""
+    out: dict[tuple[int, int], bytes] = {}
+    cmap = _sfnt_table(font, b"cmap")
+    if cmap is None:
         return out
-    cmap = font[cmap_off : min(cmap_off + (cmap_len or 0), len(font))] or (
-        font[cmap_off:]
-    )
     n_sub = _u16(cmap, 2)
     if n_sub > 64:
         return out
@@ -707,16 +716,29 @@ _STD_ORDER_TAIL = (
 )
 
 
+def _build_std_order() -> tuple[str | None, ...]:
+    """Index → text for the full 258-entry standard order, computed ONCE
+    at import (the mapInPandas hot path must not rebuild codec tables per
+    font). Index 189 is 'currency' (¤): the standard order predates the
+    Mac OS 8.5 euro revision Python's mac-roman codec implements — the
+    same divergence _build_mac_roman patches at byte 0xDB."""
+    out: list[str | None] = [None, None, "\r"]  # .notdef/.null/nonmarking
+    out += [chr(0x20 + i) for i in range(95)]  # 3..97 = ASCII
+    out += [
+        bytes([b]).decode("mac-roman") for b in range(0x80, 0x100)
+    ]  # 98..225 = MacRoman high bytes
+    out[189] = "¤"  # 'currency' — pre-euro table (98 + 0xDB - 0x80)
+    out += [glyph_to_unicode(n) for n in _STD_ORDER_TAIL]  # 226..257
+    return tuple(out)
+
+
+_STD_ORDER_UNICODE = _build_std_order()
+
+
 def _std_order_unicode(idx: int) -> str | None:
-    if idx == 2:
-        return "\r"  # nonmarkingreturn
-    if 3 <= idx <= 97:
-        return chr(0x20 + idx - 3)
-    if 98 <= idx <= 225:
-        return bytes([0x80 + idx - 98]).decode("mac-roman")
-    if 226 <= idx <= 257:
-        return glyph_to_unicode(_STD_ORDER_TAIL[idx - 226])
-    return None  # .notdef / .null / out of the standard order
+    if 0 <= idx < len(_STD_ORDER_UNICODE):
+        return _STD_ORDER_UNICODE[idx]
+    return None
 
 
 def parse_post_names(font: bytes) -> dict[int, str] | None:
@@ -726,33 +748,17 @@ def parse_post_names(font: bytes) -> dict[int, str] | None:
     2.0 (per-glyph indices into the standard order or custom pascal-string
     names resolved through the AGL). Unmapped/unknown names are omitted —
     the caller's lost path keeps them honest."""
-    if len(font) < 12:
-        return None
-    num_tables = _u16(font, 4)
-    if num_tables > 512:
-        return None
-    post_off = post_len = None
-    for t in range(num_tables):
-        rec = 12 + 16 * t
-        if rec + 16 > len(font):
-            return None
-        if font[rec : rec + 4] == b"post":
-            post_off = _u32(font, rec + 8)
-            post_len = _u32(font, rec + 12)
-            break
-    if post_off is None or post_off + 4 > len(font):
+    tbl = _sfnt_table(font, b"post")
+    if tbl is None:
         return None  # v1.0 needs only the version word; v2.0 checks below
-    tbl = font[post_off : min(post_off + (post_len or 0), len(font))] or (
-        font[post_off:]
-    )
     version = _u32(tbl, 0)
     out: dict[int, str] = {}
     if version == 0x00010000:
-        for gid in range(258):
-            s = _std_order_unicode(gid)
-            if s is not None:
-                out[gid] = s
-        return out or None
+        return {
+            gid: s
+            for gid, s in enumerate(_STD_ORDER_UNICODE)
+            if s is not None
+        }
     if version != 0x00020000 or len(tbl) < 34:
         return None
     n_glyphs = min(_u16(tbl, 32), 0xFFFF)
@@ -764,9 +770,11 @@ def parse_post_names(font: bytes) -> dict[int, str] | None:
     p = idx_end
     while p < len(tbl) and len(names) < n_glyphs:
         ln = tbl[p]
-        names.append(
-            tbl[p + 1 : p + 1 + ln].decode("latin-1", "replace")
-        )
+        if p + 1 + ln > len(tbl):
+            # truncated name: a prefix could BE a valid AGL name ('e' of
+            # 'eacute') and decode to the wrong char — stop, stay lost
+            break
+        names.append(tbl[p + 1 : p + 1 + ln].decode("latin-1", "replace"))
         p += 1 + ln
     for gid in range(n_glyphs):
         idx = _u16(tbl, 34 + 2 * gid)
