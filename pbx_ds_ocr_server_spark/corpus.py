@@ -139,13 +139,24 @@ _CID_SHIFT = 0x100
 
 
 def _cid_hex(s: str) -> str:
-    return "".join(f"{ord(c) + _CID_SHIFT:04x}" for c in s)
+    # chars whose shifted gid overflows 16 bits (ord >= 0xFF00 — fullwidth
+    # punctuation, specials) are OMITTED: a 5-hex-digit code would
+    # misalign the whole 2-byte show string and corrupt every later char.
+    # Corpus texts never reach here (pdf_pages_for filters latin-1);
+    # direct make_pdf callers get documented omission instead of garbage.
+    return "".join(
+        f"{ord(c) + _CID_SHIFT:04x}" for c in s if ord(c) + _CID_SHIFT <= 0xFFFF
+    )
 
 
 def _tounicode_cmap(chars: set[str]) -> bytes:
     """ToUnicode CMap for the shifted synthetic CID font: one bfrange covers
     printable ASCII, bfchar entries (chunked ≤100, per spec) cover the rest."""
-    extra = sorted(c for c in chars if not (0x20 <= ord(c) <= 0x7E))
+    extra = sorted(
+        c
+        for c in chars
+        if not (0x20 <= ord(c) <= 0x7E) and ord(c) + _CID_SHIFT <= 0xFFFF
+    )
     lines = [
         "/CIDInit /ProcSet findresource begin",
         "12 dict begin",
@@ -182,8 +193,11 @@ def make_truetype_cmap_font(chars: set[str], gid_shift: int = _CID_SHIFT) -> byt
     of assuming gid == unicode. Segments use the glyphIdArray form (the
     harder of format 4's two encodings) so the parser's offset arithmetic
     is exercised end-to-end. Real-renderer tables (glyf/head/...) are
-    deliberately absent: the consumer is the text-first cmap reader."""
-    cps = sorted({ord(c) for c in chars if ord(c) <= 0xFFFE})
+    deliberately absent: the consumer is the text-first cmap reader.
+    Chars whose shifted gid would overflow 16 bits (ord >= 0x10000 -
+    gid_shift) are omitted, matching _cid_hex's show-string omission —
+    they come back honest-lost, never misaligned."""
+    cps = sorted({ord(c) for c in chars if ord(c) + gid_shift <= 0xFFFF})
     if not cps:
         cps = [0x20]
     # contiguous runs -> segments
@@ -248,10 +262,11 @@ def make_type1_builtin_font(chars: set[str]) -> tuple[bytes, dict[str, int]]:
     to its ``uniXXXX`` AGL name. Returns (program bytes, char → code).
     The eexec tail is opaque filler: the consumer is the cleartext
     /Encoding reader, exactly like a real extractor that never rasterizes
-    glyph programs."""
-    codes = {c: 0x21 + i for i, c in enumerate(sorted(set(chars)))}
-    if len(codes) > 0xDE:
-        raise ValueError("type1 builtin charset exceeds one byte of codes")
+    glyph programs. One byte of codes holds 0xDE chars: overflow chars
+    (unreachable from the corpus — pdf_pages_for's latin-1 filter caps
+    distinct chars below that) are omitted from the code table AND from
+    the show strings, never a crashed generation task."""
+    codes = {c: 0x21 + i for i, c in enumerate(sorted(set(chars))[:0xDE])}
     dups = "\n".join(
         f"dup {code} /uni{ord(c):04X} put" for c, code in codes.items()
     )
@@ -313,7 +328,8 @@ def make_pdf(
         t1_chars = {c for page in pages for _, _, s in page for c in s}
         t1_font, t1_codes = make_type1_builtin_font(t1_chars)
         show = lambda s: (  # noqa: E731
-            "<" + "".join(f"{t1_codes[c]:02x}" for c in s) + ">"
+            "<" + "".join(f"{t1_codes[c]:02x}" for c in s if c in t1_codes)
+            + ">"
         )
     elif font in ("cid", "embedded_tt"):
         show = lambda s: f"<{_cid_hex(s)}>"  # noqa: E731

@@ -460,28 +460,40 @@ def stratified_sample(df, k: int, group_col: str = "lang",
     group are pathologically clustered). Two map-side-combined scans of two
     narrow columns replace an all-data sort on ≤|groups| reducers — the
     right trade at any scale where this operator matters. The auto path
-    collects ONE ROW PER GROUP to the driver, so the counts scan carries
-    a ``LIMIT auto_max_groups + 1``: when the limit is hit the prefilter
-    is silently disabled — with that many groups the window already has
-    that many reducers and the prefilter buys nothing, while collecting
-    the full group domain would be a driver-memory hazard. (The
-    cardinality guard rides the counts scan itself — no separate probe
-    job.) Pass a float to pin the rate (caller guarantees adequacy), or
-    ``None`` to disable the prefilter (tiny frames)."""
+    collects ONE ROW PER GROUP to the driver, so it is GUARDED by an
+    ``approx_count_distinct`` probe first — a deliberate extra job: the
+    HLL sketch shuffles a few KB regardless of cardinality, whereas
+    skipping it and bounding the counts scan with a LIMIT would still
+    execute the full one-row-per-group aggregation shuffle in exactly the
+    high-cardinality regime the guard exists for (limits cannot push
+    below an aggregation). Above ``auto_max_groups`` the prefilter is
+    silently disabled — the window already has that many reducers and
+    collecting the group domain would be a driver-memory hazard; the
+    counts collect also carries a LIMIT as a belt-and-braces bound for
+    the ±2% HLL underestimate case. Pass a float to pin the rate (caller
+    guarantees adequacy), or ``None`` to disable the prefilter (tiny
+    frames, saves the probe job)."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(key_col).cast("string"))
     rate: float | None = None
     if pre_rate == "auto":
-        rows = (
-            df.groupBy(group_col)
-            .agg(F.count("*").alias("n"))
-            .limit(auto_max_groups + 1)
-            .collect()
-        )
-        counts = (
-            {} if len(rows) > auto_max_groups else {r[0]: r[1] for r in rows}
-        )
+        approx_groups = df.agg(
+            F.approx_count_distinct(group_col).alias("g")
+        ).collect()[0]["g"]
+        counts: dict = {}
+        if approx_groups <= auto_max_groups:
+            rows = (
+                df.groupBy(group_col)
+                .agg(F.count("*").alias("n"))
+                .limit(2 * auto_max_groups + 1)
+                .collect()
+            )
+            counts = (
+                {}
+                if len(rows) > 2 * auto_max_groups
+                else {r[0]: r[1] for r in rows}
+            )
         if counts:
             cand = 10.0 * k / min(counts.values())
             while cand < 1.0:

@@ -533,15 +533,22 @@ def _parse_cmap_format4(sub: bytes) -> dict[int, int] | None:
     if ro_base + seg_x2 > len(sub):
         return None
     out: dict[int, int] = {}
+    scanned = 0  # bound WORK, not just entries: a crafted font can declare
+    # thousands of overlapping segments whose codes all miss (out-of-bounds
+    # idRangeOffset / zero glyphs), so an entries-only cap never triggers
+    # and the loop pins an executor core — cap codes visited instead
     for k in range(seg):
+        if scanned >= _MAX_CMAP_ENTRIES:
+            break
         end = _u16(sub, end_base + 2 * k)
         start = _u16(sub, start_base + 2 * k)
         if start > end or (start == 0xFFFF and end == 0xFFFF):
             continue
         delta = _u16(sub, delta_base + 2 * k)
         ro = _u16(sub, ro_base + 2 * k)
-        if end - start + 1 > _MAX_CMAP_ENTRIES - len(out):
-            end = start + (_MAX_CMAP_ENTRIES - len(out)) - 1
+        if end - start + 1 > _MAX_CMAP_ENTRIES - scanned:
+            end = start + (_MAX_CMAP_ENTRIES - scanned) - 1
+        scanned += end - start + 1
         for c in range(start, end + 1):
             if c == 0xFFFF:
                 continue
@@ -557,8 +564,6 @@ def _parse_cmap_format4(sub: bytes) -> dict[int, int] | None:
                     g = (g + delta) & 0xFFFF
             if g != 0:
                 out[c] = g
-        if len(out) >= _MAX_CMAP_ENTRIES:
-            break
     return out or None
 
 

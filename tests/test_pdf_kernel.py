@@ -1550,3 +1550,31 @@ def test_composite_font_without_unicode_cmap_uses_post():
     })
     g2u = truetype_gid_to_unicode(font)
     assert g2u == {1: "A", 2: "B", 3: "ü"}
+
+
+def test_hostile_format4_font_is_work_bounded():
+    """A crafted cmap declaring many overlapping full-range segments whose
+    codes all miss (out-of-bounds idRangeOffset) must not pin a core: the
+    scan budget caps codes VISITED, not just entries added (a review
+    finding — the entries-only cap never triggered because out stayed
+    empty; 1024 such segments measured 11.5 s before the fix)."""
+    import time
+
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        _parse_cmap_format4,
+    )
+
+    def u16s(vals):
+        return b"".join(v.to_bytes(2, "big") for v in vals)
+
+    seg = 1024  # + sentinel
+    n = seg + 1
+    ends = [0xFFFE] * seg + [0xFFFF]
+    starts = [0x0000] * seg + [0xFFFF]
+    deltas = [0] * seg + [1]
+    ros = [0xFFF0] * seg + [0]  # far out of bounds: every lookup misses
+    body = u16s(ends) + b"\x00\x00" + u16s(starts) + u16s(deltas) + u16s(ros)
+    sub = u16s([4, 14 + len(body), 0, n * 2, 4, 1, 2]) + body
+    t0 = time.time()
+    assert _parse_cmap_format4(sub) is None
+    assert time.time() - t0 < 2.0
