@@ -862,6 +862,7 @@ _DESC_FONTS_INLINE_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
 _DESC_FONTS_REF_RE = re.compile(rb"/DescendantFonts\s+(\d+)\s+\d+\s+R")
 _FONT_DESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
 _FONTFILE2_RE = re.compile(rb"/FontFile2\s+(\d+)\s+\d+\s+R")
+_FONTFILE3_RE = re.compile(rb"/FontFile3\s+(\d+)\s+\d+\s+R")
 _FONTFILE_RE = re.compile(rb"/FontFile\s+(\d+)\s+\d+\s+R")
 _CIDTOGID_STREAM_RE = re.compile(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R")
 _FIRST_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -948,11 +949,13 @@ def _embedded_simple_decoder(
 ) -> "FontDecoder | None":
     """Recovery for a SIMPLE font with no /Encoding entry whose mapping
     lives in the embedded program: a TrueType cmap subtable
-    ((3,1)/(1,0)/(3,0) per §9.6.6.4) or a Type1 builtin /Encoding array
-    (glyph names → AGL). Returns None when no program or no usable table —
-    the caller keeps the default byte path."""
+    ((3,1)/(1,0)/(3,0) per §9.6.6.4), a CFF/Type1C program's
+    Encoding+charset tables (/FontFile3), or a Type1 builtin /Encoding
+    array (glyph names → AGL). Returns None when no program or no usable
+    table — the caller keeps the default byte path."""
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
         STANDARD,
+        cff_simple_code_map,
         parse_type1_builtin_encoding,
         truetype_simple_code_map,
     )
@@ -960,6 +963,11 @@ def _embedded_simple_decoder(
     prog = _font_program(objects, body, _FONTFILE2_RE, decrypt)
     if prog:
         cmap = truetype_simple_code_map(prog)
+        if cmap is not None:
+            return FontDecoder("differences", diffs=cmap)
+    prog = _font_program(objects, body, _FONTFILE3_RE, decrypt)
+    if prog:
+        cmap = cff_simple_code_map(prog)
         if cmap is not None:
             return FontDecoder("differences", diffs=cmap)
     prog = _font_program(objects, body, _FONTFILE_RE, decrypt)

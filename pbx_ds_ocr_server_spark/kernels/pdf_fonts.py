@@ -793,6 +793,256 @@ def parse_post_names(font: bytes) -> dict[int, str] | None:
     return out or None
 
 
+# ----------------------------------------------------- CFF (Type1C) fonts
+# /FontFile3 /Subtype /Type1C: the compact font format (Adobe TN #5176).
+# For TEXT recovery only the structural tables matter: INDEX walks, the
+# Top DICT's charset/Encoding/CharStrings offsets, charset gid→SID, and
+# SID→text through the standard-strings order (generated — SIDs 1..95 are
+# ASCII in order, 96..149 are the StandardEncoding high block in code
+# order, exactly the STANDARD table read ascending) or the String INDEX's
+# custom names through the AGL. Glyph programs are never interpreted.
+
+
+def _build_cff_standard_sids() -> tuple[str | None, ...]:
+    out: list[str | None] = [None]  # SID 0 = .notdef
+    out += [chr(0x20 + i) for i in range(95)]  # SIDs 1..95
+    for code in range(0o241, 0o400):
+        s = STANDARD.get(code)
+        if s is not None:
+            out.append(s)  # SIDs 96..149 in StandardEncoding code order
+    return tuple(out)
+
+
+_CFF_STANDARD_SIDS = _build_cff_standard_sids()
+
+
+def _cff_index(data: bytes, pos: int):
+    """One CFF INDEX at ``pos`` → (items, next_pos) or None on corruption."""
+    if pos + 2 > len(data):
+        return None
+    count = _u16(data, pos)
+    if count == 0:
+        return [], pos + 2
+    if count > 0x4000 or pos + 3 > len(data):
+        return None
+    off_size = data[pos + 2]
+    if not (1 <= off_size <= 4):
+        return None
+    off_base = pos + 3
+    data_base = off_base + (count + 1) * off_size - 1
+    if data_base > len(data):
+        return None
+    offs = []
+    for i in range(count + 1):
+        o = int.from_bytes(
+            data[off_base + i * off_size : off_base + (i + 1) * off_size],
+            "big",
+        )
+        offs.append(o)
+    if offs[0] != 1 or any(
+        offs[i] > offs[i + 1] for i in range(count)
+    ) or data_base + offs[-1] > len(data):
+        return None
+    items = [
+        data[data_base + offs[i] : data_base + offs[i + 1]]
+        for i in range(count)
+    ]
+    return items, data_base + offs[-1]
+
+
+def _cff_top_dict(body: bytes) -> dict[int, list[int]]:
+    """Top DICT bytes → {operator: operands} (integer operands only; reals
+    are parsed but discarded — the offsets we need are integers)."""
+    out: dict[int, list[int]] = {}
+    operands: list[int] = []
+    i = 0
+    n = len(body)
+    while i < n:
+        b0 = body[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250 and i + 1 < n:
+            operands.append((b0 - 247) * 256 + body[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254 and i + 1 < n:
+            operands.append(-(b0 - 251) * 256 - body[i + 1] - 108)
+            i += 2
+        elif b0 == 28 and i + 2 < n:
+            operands.append(
+                int.from_bytes(body[i + 1 : i + 3], "big", signed=True)
+            )
+            i += 3
+        elif b0 == 29 and i + 4 < n:
+            operands.append(
+                int.from_bytes(body[i + 1 : i + 5], "big", signed=True)
+            )
+            i += 5
+        elif b0 == 30:  # real: nibble-encoded, terminated by 0xF nibble
+            i += 1
+            while i < n:
+                byte = body[i]
+                i += 1
+                if (byte & 0x0F) == 0x0F or (byte >> 4) == 0x0F:
+                    break
+            operands.append(0)
+        elif b0 == 12 and i + 1 < n:
+            out[0x0C00 | body[i + 1]] = operands
+            operands = []
+            i += 2
+        elif b0 <= 21:
+            out[b0] = operands
+            operands = []
+            i += 1
+        else:
+            return out  # corrupt operand byte: keep what parsed
+    return out
+
+
+def _cff_sid_text(sid: int, strings: list[bytes]) -> str | None:
+    if 0 <= sid < len(_CFF_STANDARD_SIDS):
+        return _CFF_STANDARD_SIDS[sid]
+    if sid < 391:
+        return None  # ISOAdobe extended block we do not table: honest lost
+    ci = sid - 391
+    if ci < len(strings):
+        return glyph_to_unicode(strings[ci].decode("latin-1", "replace"))
+    return None
+
+
+def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
+    """Byte-code → text for a SIMPLE (non-CID) Type1C font: code→gid via
+    the font's Encoding (format 0/1 or the Standard default), gid→SID via
+    charset (format 0/1/2 or the ISOAdobe identity default), SID→text via
+    the standard strings / String INDEX + AGL. Returns None when the
+    program is unusable (caller keeps the default path); CID-keyed CFFs
+    (ROS present) return None — their charset maps to CIDs, not names."""
+    try:
+        if len(data) < 4 or data[0] != 1:
+            return None
+        pos = data[2]  # hdrSize
+        r = _cff_index(data, pos)  # Name INDEX
+        if r is None:
+            return None
+        _, pos = r
+        r = _cff_index(data, pos)  # Top DICT INDEX
+        if r is None or not r[0]:
+            return None
+        tops, pos = r
+        r = _cff_index(data, pos)  # String INDEX
+        if r is None:
+            return None
+        strings, pos = r
+        top = _cff_top_dict(tops[0])
+        if 0x0C1E in top:  # ROS → CID-keyed: charset is CIDs, decline
+            return None
+        cs_off = top.get(17, [0])[-1] if top.get(17) else 0
+        if not cs_off:
+            return None
+        r = _cff_index(data, cs_off)  # CharStrings INDEX → glyph count
+        if r is None:
+            return None
+        n_glyphs = len(r[0])
+        if n_glyphs == 0:
+            return None
+        # gid → SID via charset
+        charset_off = top.get(15, [0])[-1] if top.get(15) else 0
+        gid_sid: dict[int, int] = {}
+        if charset_off == 0:
+            for g in range(min(n_glyphs, 229)):
+                gid_sid[g] = g  # ISOAdobe: SID == gid
+        elif charset_off in (1, 2):
+            return None  # Expert charsets: glyphs we do not table
+        else:
+            if charset_off >= len(data):
+                return None
+            fmt = data[charset_off]
+            p = charset_off + 1
+            gid = 1
+            if fmt == 0:
+                while gid < n_glyphs and p + 2 <= len(data):
+                    gid_sid[gid] = _u16(data, p)
+                    p += 2
+                    gid += 1
+            elif fmt in (1, 2):
+                step = 3 if fmt == 1 else 4
+                while gid < n_glyphs and p + step <= len(data):
+                    first = _u16(data, p)
+                    n_left = (
+                        data[p + 2] if fmt == 1 else _u16(data, p + 2)
+                    )
+                    for k in range(n_left + 1):
+                        if gid >= n_glyphs:
+                            break
+                        gid_sid[gid] = first + k
+                        gid += 1
+                    p += step
+            else:
+                return None
+        # code → gid via Encoding
+        enc_off = top.get(16, [0])[-1] if top.get(16) else 0
+        code_gid: dict[int, int] = {}
+        if enc_off == 0:  # Standard encoding: code→name==STANDARD text;
+            # keep only codes whose glyph actually exists in the charset
+            sid_gids = {s: g for g, s in gid_sid.items()}
+            for code in range(256):
+                s = STANDARD.get(code)
+                if s is None:
+                    continue
+                # find the SID bearing this text in the standard block
+                for sid in range(len(_CFF_STANDARD_SIDS)):
+                    if _CFF_STANDARD_SIDS[sid] == s and sid in sid_gids:
+                        code_gid[code] = sid_gids[sid]
+                        break
+        elif enc_off == 1:
+            return None  # Expert encoding
+        else:
+            if enc_off >= len(data):
+                return None
+            fmt = data[enc_off] & 0x7F  # high bit = supplements follow
+            p = enc_off + 1
+            if fmt == 0:
+                if p >= len(data):
+                    return None
+                n_codes = data[p]
+                p += 1
+                for i in range(n_codes):
+                    if p + i >= len(data):
+                        break
+                    code_gid[data[p + i]] = i + 1
+            elif fmt == 1:
+                if p >= len(data):
+                    return None
+                n_ranges = data[p]
+                p += 1
+                gid = 1
+                for _ in range(n_ranges):
+                    if p + 2 > len(data):
+                        break
+                    first, n_left = data[p], data[p + 1]
+                    for k in range(n_left + 1):
+                        code_gid[first + k] = gid
+                        gid += 1
+                    p += 2
+            else:
+                return None
+        if not code_gid:
+            return None
+        ws = (9, 10, 13)
+        out: dict[int, str | None] = {}
+        for c in range(256):
+            if c in ws:
+                continue
+            gid = code_gid.get(c)
+            if gid is None:
+                out[c] = " " if c == 0x20 else None
+                continue
+            out[c] = _cff_sid_text(gid_sid.get(gid, -1), strings)
+        return out
+    except (IndexError, ValueError):
+        return None
+
+
 # --------------------------------------------------- Type1 builtin encoding
 _T1_STD_ENC_RE = re.compile(rb"/Encoding\s+StandardEncoding\s+def")
 _T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([A-Za-z0-9._-]+)\s+put")

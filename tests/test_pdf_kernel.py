@@ -1578,3 +1578,115 @@ def test_hostile_format4_font_is_work_bounded():
     t0 = time.time()
     assert _parse_cmap_format4(sub) is None
     assert time.time() - t0 < 2.0
+
+
+# ----------------------------------------------------------- CFF (Type1C)
+def _cff_index_bytes(items: list) -> bytes:
+    if not items:
+        return b"\x00\x00"
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    out = len(items).to_bytes(2, "big") + b"\x01"
+    for o in offs:
+        out += bytes([o])
+    return out + b"".join(items)
+
+
+def _make_cff(sids: list, strings: list, enc_codes=None) -> bytes:
+    """Minimal Type1C font: gids 1..n carry ``sids``; ``enc_codes[i]`` maps
+    to gid i+1 (format-0 Encoding) or the Standard default when None."""
+    header = bytes([1, 0, 4, 2])
+    name_idx = _cff_index_bytes([b"Synth"])
+    string_idx = _cff_index_bytes([s.encode() for s in strings])
+    gsubr = b"\x00\x00"
+    charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+    encoding = (
+        b"" if enc_codes is None
+        else b"\x00" + bytes([len(enc_codes)]) + bytes(enc_codes)
+    )
+    charstrings = _cff_index_bytes([b"\x0e"] * (1 + len(sids)))
+
+    def topdict(cs_off, enc_off, chst_off):
+        out = b"\x1d" + cs_off.to_bytes(4, "big") + b"\x0f"
+        if enc_off:
+            out += b"\x1d" + enc_off.to_bytes(4, "big") + b"\x10"
+        out += b"\x1d" + chst_off.to_bytes(4, "big") + b"\x11"
+        return out
+
+    # two passes: sizes first (offsets 0), then the real offsets
+    td = topdict(0, 0 if enc_codes is None else 1, 0)
+    for _ in range(2):
+        td_idx = _cff_index_bytes([td])
+        base = len(header) + len(name_idx) + len(td_idx) + len(string_idx) + len(gsubr)
+        cs_off = base
+        enc_off = 0 if enc_codes is None else base + len(charset)
+        chst_off = base + len(charset) + len(encoding)
+        td = topdict(cs_off, enc_off, chst_off)
+    return (
+        header + name_idx + _cff_index_bytes([td]) + string_idx + gsubr
+        + charset + encoding + charstrings
+    )
+
+
+def test_cff_code_map_custom_encoding_and_strings():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cff_simple_code_map,
+    )
+
+    # gid1 = SID 34 ('A'), gid2 = SID 391 (custom 'eacute'),
+    # gid3 = SID 150 (ISOAdobe extended: not tabled -> lost)
+    cff = _make_cff([34, 391, 150], ["eacute"], enc_codes=[0x41, 0x42, 0x43])
+    m = cff_simple_code_map(cff)
+    assert m[0x41] == "A"
+    assert m[0x42] == "é"
+    assert m[0x43] is None
+    assert m[0x20] == " "  # space glyphless but never lost
+    assert m[0x44] is None
+
+
+def test_cff_standard_encoding_default():
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cff_simple_code_map,
+    )
+
+    # no Encoding entry -> Standard: code 0x41 maps through STANDARD to
+    # the glyph bearing SID 34; 'B' (SID 35) is absent from the charset
+    cff = _make_cff([34, 109], [])  # gid2 = SID 109 ('fi' ligature)
+    m = cff_simple_code_map(cff)
+    assert m[0x41] == "A"
+    assert m[0x42] is None
+    assert m[0o256] == "ﬁ"  # StandardEncoding fi code reaches gid2
+
+
+def test_cff_fontfile3_end_to_end_and_hardening():
+    from pbx_ds_ocr_server_spark.kernels.pdf_extract import (
+        extract_pdf_detailed,
+    )
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cff_simple_code_map,
+    )
+
+    sids = [0x41 - 0x20 + 1 + (ord(c) - 0x41) for c in "ABC"]  # A, B, C
+    cff = _make_cff(sids, [], enc_codes=[0x61, 0x62, 0x63])  # a->A b->B c->C
+    extra = [
+        b"<< /Type /FontDescriptor /FontName /Synth /Flags 4"
+        b" /FontFile3 7 0 R >>",
+        b"<< /Length %d /Subtype /Type1C >>\nstream\n%s\nendstream"
+        % (len(cff), cff),
+    ]
+    stream = b"BT /F1 12 Tf 72 700 Td (abc) Tj ET"
+    pdf = _multi_obj_pdf(
+        stream,
+        extra,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Synth"
+        b" /FontDescriptor 6 0 R >>",
+    )
+    res = extract_pdf_detailed(pdf)
+    assert res[0][0].text == "ABC"  # the CFF Encoding remap is authoritative
+    assert res[0][1] is False
+
+    # hardening: truncations/garbage must decline, never raise
+    for bad in (b"", b"\x01", cff[:10], cff[:30], cff[:-3],
+                b"\x02" + cff[1:], cff[:40] + b"\xff" * 8):
+        cff_simple_code_map(bad)

@@ -140,6 +140,7 @@ def test_embedded_font_parsers_never_raise_on_arbitrary_bytes(data):
     on attacker-controlled crawl bytes: any input must parse or decline,
     never raise."""
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cff_simple_code_map,
         parse_type1_builtin_encoding,
         sfnt_cmap_subtables,
         truetype_gid_to_unicode,
@@ -150,6 +151,7 @@ def test_embedded_font_parsers_never_raise_on_arbitrary_bytes(data):
     truetype_gid_to_unicode(data)
     truetype_simple_code_map(data)
     parse_type1_builtin_encoding(data)
+    cff_simple_code_map(data)
 
 
 @given(st.integers(0, 10_000), st.binary(min_size=1, max_size=16))
