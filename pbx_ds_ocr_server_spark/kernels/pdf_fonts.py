@@ -805,7 +805,11 @@ def parse_post_names(font: bytes) -> dict[int, str] | None:
 
 def _build_cff_standard_sids() -> tuple[str | None, ...]:
     out: list[str | None] = [None]  # SID 0 = .notdef
-    out += [chr(0x20 + i) for i in range(95)]  # SIDs 1..95
+    # SIDs 1..95 are the StandardEncoding NAMES for codes 0x20..0x7E in
+    # order — NOT raw ASCII: SID 8 is quoteright (U+2019) and SID 65
+    # quoteleft (U+2018), the same two overrides the STANDARD table
+    # carries, so build from it rather than chr()
+    out += [STANDARD[c] for c in range(0x20, 0x7F)]
     for code in range(0o241, 0o400):
         s = STANDARD.get(code)
         if s is not None:
@@ -814,6 +818,12 @@ def _build_cff_standard_sids() -> tuple[str | None, ...]:
 
 
 _CFF_STANDARD_SIDS = _build_cff_standard_sids()
+# first-occurrence reverse lookup for the Standard-default encoding path
+# (a per-font linear scan would cost ~38k comparisons in the hot path)
+_CFF_TEXT_TO_SID: dict[str, int] = {}
+for _sid, _txt in enumerate(_CFF_STANDARD_SIDS):
+    if _txt is not None and _txt not in _CFF_TEXT_TO_SID:
+        _CFF_TEXT_TO_SID[_txt] = _sid
 
 
 def _cff_index(data: bytes, pos: int):
@@ -937,7 +947,9 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
         if 0x0C1E in top:  # ROS → CID-keyed: charset is CIDs, decline
             return None
         cs_off = top.get(17, [0])[-1] if top.get(17) else 0
-        if not cs_off:
+        # negative/absurd DICT offsets would WRAP via Python negative
+        # indexing and read the buffer tail as a table — reject outright
+        if not (4 <= cs_off < len(data)):
             return None
         r = _cff_index(data, cs_off)  # CharStrings INDEX → glyph count
         if r is None:
@@ -954,8 +966,8 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
         elif charset_off in (1, 2):
             return None  # Expert charsets: glyphs we do not table
         else:
-            if charset_off >= len(data):
-                return None
+            if not (4 <= charset_off < len(data)):
+                return None  # negative offsets must not wrap to the tail
             fmt = data[charset_off]
             p = charset_off + 1
             gid = 1
@@ -979,9 +991,10 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
                     p += step
             else:
                 return None
-        # code → gid via Encoding
+        # code → gid via Encoding (supplements map code → SID directly)
         enc_off = top.get(16, [0])[-1] if top.get(16) else 0
         code_gid: dict[int, int] = {}
+        code_sid_sup: dict[int, int] = {}
         if enc_off == 0:  # Standard encoding: code→name==STANDARD text;
             # keep only codes whose glyph actually exists in the charset
             sid_gids = {s: g for g, s in gid_sid.items()}
@@ -989,17 +1002,16 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
                 s = STANDARD.get(code)
                 if s is None:
                     continue
-                # find the SID bearing this text in the standard block
-                for sid in range(len(_CFF_STANDARD_SIDS)):
-                    if _CFF_STANDARD_SIDS[sid] == s and sid in sid_gids:
-                        code_gid[code] = sid_gids[sid]
-                        break
+                sid = _CFF_TEXT_TO_SID.get(s)
+                if sid is not None and sid in sid_gids:
+                    code_gid[code] = sid_gids[sid]
         elif enc_off == 1:
             return None  # Expert encoding
         else:
-            if enc_off >= len(data):
-                return None
-            fmt = data[enc_off] & 0x7F  # high bit = supplements follow
+            if not (4 <= enc_off < len(data)):
+                return None  # negative offsets must not wrap to the tail
+            raw_fmt = data[enc_off]
+            fmt = raw_fmt & 0x7F  # high bit = supplements follow
             p = enc_off + 1
             if fmt == 0:
                 if p >= len(data):
@@ -1010,6 +1022,7 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
                     if p + i >= len(data):
                         break
                     code_gid[data[p + i]] = i + 1
+                p += n_codes
             elif fmt == 1:
                 if p >= len(data):
                     return None
@@ -1026,18 +1039,35 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
                     p += 2
             else:
                 return None
-        if not code_gid:
+            if raw_fmt & 0x80 and p < len(data):
+                # Supplement array: nSups × (Card8 code, SID) — the
+                # standard way accented duplicate codes share a glyph
+                n_sups = data[p]
+                p += 1
+                for _ in range(n_sups):
+                    if p + 3 > len(data):
+                        break
+                    code_sid_sup[data[p]] = _u16(data, p + 1)
+                    p += 3
+        if not code_gid and not code_sid_sup:
             return None
         ws = (9, 10, 13)
         out: dict[int, str | None] = {}
         for c in range(256):
             if c in ws:
                 continue
-            gid = code_gid.get(c)
-            if gid is None:
-                out[c] = " " if c == 0x20 else None
-                continue
-            out[c] = _cff_sid_text(gid_sid.get(gid, -1), strings)
+            if c in code_sid_sup:
+                t = _cff_sid_text(code_sid_sup[c], strings)
+            else:
+                gid = code_gid.get(c)
+                t = (
+                    _cff_sid_text(gid_sid.get(gid, -1), strings)
+                    if gid is not None
+                    else None
+                )
+            # the space guarantee holds even when 0x20 maps to a glyph
+            # whose SID we cannot decode — spaces must never glue words
+            out[c] = t if t is not None else (" " if c == 0x20 else None)
         return out
     except (IndexError, ValueError):
         return None

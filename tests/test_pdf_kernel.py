@@ -1690,3 +1690,73 @@ def test_cff_fontfile3_end_to_end_and_hardening():
     for bad in (b"", b"\x01", cff[:10], cff[:30], cff[:-3],
                 b"\x02" + cff[1:], cff[:40] + b"\xff" * 8):
         cff_simple_code_map(bad)
+
+
+def test_cff_fifth_review_findings():
+    """SID 8/65 are the CURLY quotes (TN5176 Appendix A, matching the
+    STANDARD overrides); negative DICT offsets must not wrap to the
+    buffer tail; Encoding supplements (code -> SID pairs) decode; a 0x20
+    mapped to an undecodable glyph still emits a space."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        _CFF_STANDARD_SIDS,
+        cff_simple_code_map,
+    )
+
+    assert _CFF_STANDARD_SIDS[8] == "’" and _CFF_STANDARD_SIDS[65] == "‘"
+
+    # curly quotes through a custom encoding
+    cff = _make_cff([8, 65], [], enc_codes=[0x27, 0x60])
+    m = cff_simple_code_map(cff)
+    assert m[0x27] == "’" and m[0x60] == "‘"
+    # ...and through the Standard default (code 0x27 -> quoteright glyph)
+    m2 = cff_simple_code_map(_make_cff([8], []))
+    assert m2[0x27] == "’"
+
+    # negative charset offset (operand byte 132 = -7) must decline, not
+    # read the tail of the program as a charset
+    base = _make_cff([34], [], enc_codes=[0x41])
+    # patch the charset operand: find the 5-byte 0x1d operand before 0x0f
+    i = base.index(b"\x0f", 4) - 4
+    neg = base[: i - 1] + bytes([132]) + base[i + 4 :]
+    assert cff_simple_code_map(neg) is None
+
+    # supplements: format 0x80|0 with zero base codes + one supplement
+    # mapping code 0x45 -> SID 34 ('A'); needs a custom encoding blob, so
+    # rebuild with the two-pass layout inline
+    enc_sup = b"\x80\x00\x01\x45" + (34).to_bytes(2, "big")
+
+    def make_with_enc(sids, enc_blob):
+        header = bytes([1, 0, 4, 2])
+        name_idx = _cff_index_bytes([b"Synth"])
+        string_idx = _cff_index_bytes([])
+        gsubr = b"\x00\x00"
+        charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+        charstrings = _cff_index_bytes([b"\x0e"] * (1 + len(sids)))
+
+        def topdict(cs, enc, chst):
+            return (
+                b"\x1d" + cs.to_bytes(4, "big") + b"\x0f"
+                + b"\x1d" + enc.to_bytes(4, "big") + b"\x10"
+                + b"\x1d" + chst.to_bytes(4, "big") + b"\x11"
+            )
+
+        td = topdict(0, 0, 0)
+        for _ in range(2):
+            td_idx = _cff_index_bytes([td])
+            b0 = (
+                len(header) + len(name_idx) + len(td_idx)
+                + len(string_idx) + len(gsubr)
+            )
+            td = topdict(b0, b0 + len(charset),
+                         b0 + len(charset) + len(enc_blob))
+        return (
+            header + name_idx + _cff_index_bytes([td]) + string_idx
+            + gsubr + charset + enc_blob + charstrings
+        )
+
+    ms = cff_simple_code_map(make_with_enc([34], enc_sup))
+    assert ms[0x45] == "A"
+
+    # 0x20 encoded to an untabled ISOAdobe-extended SID still yields ' '
+    msp = cff_simple_code_map(_make_cff([200], [], enc_codes=[0x20]))
+    assert msp[0x20] == " "
