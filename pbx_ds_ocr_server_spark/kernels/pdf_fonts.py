@@ -818,12 +818,20 @@ def _build_cff_standard_sids() -> tuple[str | None, ...]:
 
 
 _CFF_STANDARD_SIDS = _build_cff_standard_sids()
-# first-occurrence reverse lookup for the Standard-default encoding path
-# (a per-font linear scan would cost ~38k comparisons in the hot path)
-_CFF_TEXT_TO_SID: dict[str, int] = {}
-for _sid, _txt in enumerate(_CFF_STANDARD_SIDS):
-    if _txt is not None and _txt not in _CFF_TEXT_TO_SID:
-        _CFF_TEXT_TO_SID[_txt] = _sid
+
+
+def _build_text_to_sid() -> dict[str, int]:
+    """First-occurrence reverse lookup for the Standard-default encoding
+    path (a per-font linear scan would cost ~38k comparisons in the hot
+    path)."""
+    out: dict[str, int] = {}
+    for sid, txt in enumerate(_CFF_STANDARD_SIDS):
+        if txt is not None and txt not in out:
+            out[txt] = sid
+    return out
+
+
+_CFF_TEXT_TO_SID = _build_text_to_sid()
 
 
 def _cff_index(data: bytes, pos: int):
@@ -1041,13 +1049,20 @@ def cff_simple_code_map(data: bytes) -> dict[int, str | None] | None:
                 return None
             if raw_fmt & 0x80 and p < len(data):
                 # Supplement array: nSups × (Card8 code, SID) — the
-                # standard way accented duplicate codes share a glyph
+                # standard way accented duplicate codes share a glyph.
+                # Only SIDs the charset actually defines count: every
+                # other path requires the glyph to exist (a renderer
+                # would show .notdef), so the honest-lost rule applies
+                # to dangling supplement SIDs too.
+                font_sids = set(gid_sid.values())
                 n_sups = data[p]
                 p += 1
                 for _ in range(n_sups):
                     if p + 3 > len(data):
                         break
-                    code_sid_sup[data[p]] = _u16(data, p + 1)
+                    sup_sid = _u16(data, p + 1)
+                    if sup_sid in font_sids:
+                        code_sid_sup[data[p]] = sup_sid
                     p += 3
         if not code_gid and not code_sid_sup:
             return None

@@ -1712,12 +1712,16 @@ def test_cff_fifth_review_findings():
     m2 = cff_simple_code_map(_make_cff([8], []))
     assert m2[0x27] == "’"
 
-    # negative charset offset (operand byte 132 = -7) must decline, not
-    # read the tail of the program as a charset
+    # negative charset offset must decline, not wrap via Python indexing
+    # and read the tail of the program as a charset. Patch the VALUE of
+    # the 5-byte 0x1d operand in place (same length, so the Top DICT and
+    # every other offset stay valid and the guard is actually reached —
+    # a length-changing splice would fail earlier at the CharStrings
+    # INDEX and leave the guard uncovered)
     base = _make_cff([34], [], enc_codes=[0x41])
-    # patch the charset operand: find the 5-byte 0x1d operand before 0x0f
     i = base.index(b"\x0f", 4) - 4
-    neg = base[: i - 1] + bytes([132]) + base[i + 4 :]
+    neg = base[:i] + (-7).to_bytes(4, "big", signed=True) + base[i + 4:]
+    assert neg.index(b"\x0f", 4) == i + 4  # operand slot, unchanged layout
     assert cff_simple_code_map(neg) is None
 
     # supplements: format 0x80|0 with zero base codes + one supplement
@@ -1756,6 +1760,12 @@ def test_cff_fifth_review_findings():
 
     ms = cff_simple_code_map(make_with_enc([34], enc_sup))
     assert ms[0x45] == "A"
+    # a supplement pointing at a SID the charset does NOT define is a
+    # dangling mapping (a renderer would show .notdef) — honest lost,
+    # while the base encoding keeps working (format 0, 1 code -> gid 1)
+    dangling = b"\x80\x01\x41" + b"\x01\x45" + (99).to_bytes(2, "big")
+    md = cff_simple_code_map(make_with_enc([34], dangling))
+    assert md[0x41] == "A" and md[0x45] is None
 
     # 0x20 encoded to an untabled ISOAdobe-extended SID still yields ' '
     msp = cff_simple_code_map(_make_cff([200], [], enc_codes=[0x20]))
