@@ -46,9 +46,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master)
     try:
+        src = spark.read.parquet(args.input)
+        missing = [c for c in ("url", "html") if c not in src.columns]
+        if missing:
+            # fail with an actionable message instead of an analysis
+            # exception from deep inside the bucketing plan — the classic
+            # mistake is pointing --input at a raw documents table
+            # (doc_id, text, ...) instead of the page table
+            print(
+                f"error: input {args.input} lacks required column(s)"
+                f" {missing}: the job reads a Common-Crawl-style page"
+                f" table (url:string, html:binary, ...); found columns"
+                f" {src.columns}",
+                file=sys.stderr,
+            )
+            return 2
         res = run_extract_job(
             spark,
-            spark.read.parquet(args.input),
+            src,
             args.output,
             run_id=args.run_id,
             cfg=cfg,
