@@ -1078,7 +1078,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the composed gates self-join back to this frame four times
             # (gopher keep-set, decontamination anti-join, dedup keep-set);
             # without persistence Spark re-runs token/quality/lang scoring
-            # on every scan
+            # on every scan. CALLER CONTRACT: the returned DataFrame is
+            # lazy, so this function cannot unpersist after the final
+            # materialization — callers that invoke this query repeatedly
+            # in one session must spark.catalog.clearCache() between
+            # invocations (bench.py does) or the InMemoryRelation
+            # accumulates per call.
             .cache()
         )
         # thresholds sized to the synthetic corpus (10-99 words/doc, no

@@ -932,7 +932,11 @@ def _embedded_cid_decoder(
         return None
     if cmap_bytes is not None:
         cid2uni: dict[int, str] = {}
-        for cid in range(len(cmap_bytes) // 2):
+        # Show-string codes are 2 bytes wide, so CIDs above 0xFFFF are
+        # unreachable — cap the loop so a Flate-bombed /CIDToGIDMap stream
+        # can't expand to millions of dict entries on an executor (same
+        # spirit as _MAX_CMAP_ENTRIES for cmap parsing).
+        for cid in range(min(len(cmap_bytes) // 2, 0x10000)):
             gid = int.from_bytes(cmap_bytes[2 * cid : 2 * cid + 2], "big")
             if gid:
                 s = gid2uni.get(gid)
