@@ -229,6 +229,95 @@ def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
     """
 
 
+def _exactsubstr_chunks_sql(k: int = 8, min_docs: int = 2) -> str:
+    """Mirror of operators/dedup.exact_substr_dedup (span discovery via
+    k-shingle hashes shared by >= min_docs distinct docs, gaps-and-islands
+    extent merge, token subtraction) composed with the chunk_documents
+    expression, over the same even-doc_id boiler injection the Spark query
+    applies. Window frames, the 1-based inclusive extent convention, and
+    the md5-of-space-joined-window shingle hash are pinned identically on
+    both sides."""
+    norm = r"regexp_replace(trim(text), '\s+', ' ', 'g')"
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '{_BOILER_PARA} ' || text ELSE text END AS text
+            FROM documents
+        ),
+        w AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM inj),
+        p AS (
+            SELECT doc_id, i AS s,
+                   md5(array_to_string(
+                       list_slice(ws, i, i + {k} - 1), ' ')) AS h
+            FROM w, UNNEST(generate_series(1, len(ws) - {k} + 1)) AS t(i)
+            WHERE len(ws) >= {k}
+        ),
+        dup AS (
+            SELECT h FROM p
+            GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        hits AS (
+            SELECT doc_id, s, s + {k} - 1 AS e FROM p
+            WHERE h IN (SELECT h FROM dup)
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM hits
+        ),
+        isl2 AS (
+            SELECT doc_id, s, e,
+                   sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS gid
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, min(s) AS s, max(e) AS e
+            FROM isl2 GROUP BY doc_id, gid
+        ),
+        nrem AS (
+            SELECT doc_id, sum(e - s + 1) AS n_removed
+            FROM spans GROUP BY doc_id
+        ),
+        toks AS (
+            SELECT doc_id, i, ws[i] AS tok
+            FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.i, t.tok FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = t.doc_id
+                  AND t.i >= sp.s AND t.i <= sp.e)
+        ),
+        clean AS (
+            SELECT w.doc_id,
+                   coalesce(kk.text_clean, '') AS text_clean,
+                   coalesce(n.n_removed, 0) AS n_removed
+            FROM w
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok, ' ' ORDER BY i) AS text_clean
+                       FROM kept GROUP BY doc_id) kk USING (doc_id)
+            LEFT JOIN nrem n USING (doc_id)
+        ),
+        cw AS (SELECT doc_id, n_removed,
+                      string_split(text_clean, ' ') AS ws
+               FROM clean)
+        SELECT doc_id, CAST(kc AS BIGINT) AS chunk_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               array_to_string(list_slice(ws, kc*48+1, kc*48+64), ' ')
+                   AS chunk,
+               CAST(n_removed AS BIGINT) AS n_removed
+        FROM cw, UNNEST(generate_series(0,
+            CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT))) AS t(kc)
+    """
+
+
 def _token_counts_cjk_sql() -> str:
     """Mirror of functions/text.token_count_cjk over the same deterministic
     mixed-script injection the Spark query applies (doc_id < 50 gets CJK
@@ -918,14 +1007,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["paragraph_dedup"] = paragraph_dedup_q
 
-    def chunk_documents_q(spark, sf):
+    def exactsubstr_chunks_q(spark, sf):
+        # ExactSubstr duplicate-span removal (Lee et al. "Deduplicating
+        # Training Data" / the RefinedWeb pass) feeding the chunker.
+        # Round-6 fold: subsumes the r1-r5 chunk_documents slot — the
+        # chunk expression is byte-identical, its input is now the
+        # span-subtracted text, and n_removed rides along so the span
+        # arithmetic itself is hash-checked. The even-doc boiler
+        # injection guarantees cross-doc duplicated ≥8-token runs; any
+        # natural shared 8-grams in the corpus are removed identically on
+        # both sides.
         from pbx_ds_ocr_server_spark.functions.text import chunk_documents
+        from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
 
-        return chunk_documents(
-            _docs(spark, sf).select("doc_id", "text"), window=64, stride=48
+        docs = _docs(spark, sf).select("doc_id", "text")
+        injected = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(_BOILER_PARA + " "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
         )
+        cleaned = exact_substr_dedup(injected, k=8)
+        chunks = chunk_documents(
+            cleaned.select("doc_id", F.col("text_clean").alias("text")),
+            window=64,
+            stride=48,
+        )
+        return chunks.join(cleaned.select("doc_id", "n_removed"), "doc_id")
 
-    q["chunk_documents"] = chunk_documents_q
+    q["exactsubstr_chunks"] = exactsubstr_chunks_q
 
     def sequence_pack_q(spark, sf):
         # 16 buckets at sf0.01 keeps several docs per (bucket, pack) so the
@@ -1476,16 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_status_counts": _status_counts_sql(),
         "token_counts_cjk": _token_counts_cjk_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
-        "chunk_documents": f"""
-            WITH w AS (SELECT doc_id, string_split({NORM}, ' ') AS ws
-                       FROM documents)
-            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-                   CAST(len(ws) AS BIGINT) AS n_words,
-                   array_to_string(list_slice(ws, k*48+1, k*48+64), ' ')
-                       AS chunk
-            FROM w, UNNEST(generate_series(0,
-                CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT))) AS t(k)
-        """,
+        "exactsubstr_chunks": _exactsubstr_chunks_sql(),
         "sequence_pack": _sequence_pack_sql(),
         "nfc_norm": """
             WITH docs_nfc AS (

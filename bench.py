@@ -326,7 +326,8 @@ HEADLINE = [
     "ann_lsh_histogram",
     "multimodal_meta",
     "nfc_norm",
-    "chunk_documents",
+    # round-6 fold: ExactSubstr span removal feeding the chunker
+    "exactsubstr_chunks",
     "sequence_pack",
     "tpch_q1",
     "top_orders_per_customer",

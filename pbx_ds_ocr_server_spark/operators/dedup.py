@@ -857,3 +857,144 @@ def embedding_neardup_lsh(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+# ----------------------------------------------------- ExactSubstr removal
+def exact_substr_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Merged duplicated-span extents per document — the discovery half of
+    the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" ExactSubstr pass (the RefinedWeb recipe runs the same tier).
+    A span is duplicated when a ``k``-token window of the normalized text
+    occurs verbatim in at least ``min_docs`` DISTINCT documents; every
+    occurrence is marked (the canonical pass removes all copies — keeping
+    one is exact dedup's job, not this tier's).
+
+    Returns (id, s, e): 1-based inclusive token extents, overlapping
+    extents merged per document (gaps-and-islands over a window ordered by
+    start). Deliberately BUCKETED, never suffix-array-global: the suffix
+    array the paper builds is a single-machine structure; the distributed
+    equivalent is the k-shingle hash group-by below, which finds exactly
+    the same ≥k-token shared spans (any shared run of length L ≥ k is
+    covered by its L−k+1 shared k-windows, which merge back into one
+    extent here).
+
+    Plan shape / scale: every shuffle keys on the shingle hash or the doc
+    id — shingle positions → groupBy(h) for the distinct-doc count (map-side
+    combined) → equi-join positions⋈dup-hashes on h (AQE-skew-splittable)
+    → window + two aggregations all partitioned by id (one exchange,
+    reused: HashPartitioning(id) satisfies the (id, gid) grouping). No
+    all-pairs join anywhere — unlike pairwise Jaccard, the distinct-doc
+    COUNT per hash never explodes on hot shingles, so no df cap is needed
+    for correctness (hot boilerplate shingles are exactly the spans the
+    pass exists to remove).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token window removes words)")
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", words(text_col).alias("ws"))
+    pos = (
+        base.filter(F.size("ws") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ws)-{k}+1),"
+                    f" i -> md5(concat_ws(' ', slice(ws, i, {k}))))"
+                )
+            ).alias("p0", "h"),
+        )
+        .select("id", (F.col("p0") + 1).alias("s"), "h")
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = pos.join(dup, "h").select(
+        "id", "s", (F.col("s") + k - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        hits.withColumn("pe", F.max("e").over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("pe").isNull() | (F.col("s") > F.col("pe")), 1
+            ).otherwise(0),
+        )
+        .withColumn("gid", F.sum("new_isl").over(w_run))
+    )
+    return isl.groupBy("id", "gid").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    ).select(F.col("id").alias(id_col), "s", "e")
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr duplicate-span REMOVAL: subtract every merged extent
+    from :func:`exact_substr_spans` out of its document and reassemble the
+    survivors in order. Returns (id, n_words, n_removed, text_clean) —
+    n_removed is the size of the union of covered token positions (extents
+    are disjoint after merging, so a plain sum is exact).
+
+    The subtraction is a per-document JVM array filter over the collected
+    extents (O(tokens × extents) with extents small by construction —
+    merging collapses every run of overlapping windows to one row); docs
+    with no duplicated span pass through whole via the left join."""
+    spans = exact_substr_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+    )
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", words(text_col).alias("ws"))
+    return (
+        base.join(
+            per_doc.withColumnRenamed(id_col, "id"), "id", "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.size("ws").cast("bigint").alias("n_words"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.when(
+                F.col("spans").isNull(), F.concat_ws(" ", F.col("ws"))
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "filter(ws, (w, i) -> not exists(spans,"
+                        " sp -> i+1 >= sp.s AND i+1 <= sp.e))"
+                    ),
+                )
+            )
+            .alias("text_clean"),
+        )
+    )

@@ -552,3 +552,98 @@ def test_fused_candidate_estimates_match_two_step_form(spark):
     assert sorted(map(tuple, fused.collect())) == sorted(
         map(tuple, two_step.collect())
     )
+
+
+# ----------------------------------------------------- ExactSubstr removal
+@pytest.fixture(scope="module")
+def es_docs(spark):
+    rows = [
+        (1, "a b c d e f g h unique1 tail one two"),
+        # shares a..h with doc 1 AND x..v (9 tokens -> two merged windows)
+        # with doc 3; its own prefix2/and survive
+        (2, "prefix2 a b c d e f g h and x y z q r s t u v"),
+        (3, "x y z q r s t u v solo3 words here"),
+        (4, "totally different content nothing shared at all here ok"),
+        (5, "short doc"),  # < k tokens: no shingles, passes through whole
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_substr_spans_merge_overlapping_windows(es_docs):
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_spans
+
+    spans = {
+        (r.doc_id, r.s, r.e)
+        for r in exact_substr_spans(es_docs, k=8).collect()
+    }
+    # doc 2's 9-token run x..v produces two overlapping 8-windows that must
+    # merge into ONE extent [11, 19]; a..h sits at [2, 9]
+    assert spans == {(1, 1, 8), (2, 2, 9), (2, 11, 19), (3, 1, 9)}
+
+
+def test_exact_substr_dedup_subtracts_all_occurrences(es_docs):
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
+
+    out = {
+        r.doc_id: (r.n_words, r.n_removed, r.text_clean)
+        for r in exact_substr_dedup(es_docs, k=8).collect()
+    }
+    # the canonical pass removes EVERY occurrence (keep-one is exact
+    # dedup's job); untouched docs pass through byte-identical
+    assert out[1] == (12, 8, "unique1 tail one two")
+    assert out[2] == (19, 17, "prefix2 and")
+    assert out[3] == (12, 9, "solo3 words here")
+    assert out[4] == (9, 0, "totally different content nothing shared at all here ok")
+    assert out[5] == (2, 0, "short doc")
+
+
+def test_exact_substr_full_duplicate_empties_both_copies(spark):
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
+
+    txt = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id int, text string"
+    )
+    out = {r.doc_id: (r.n_removed, r.text_clean)
+           for r in exact_substr_dedup(df, k=8).collect()}
+    assert out == {1: (10, ""), 2: (10, "")}
+
+
+def test_exact_substr_within_doc_repeat_alone_does_not_fire(spark):
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
+
+    # the same 8-gram twice in ONE doc: distinct-doc count is 1, so the
+    # cross-document pass must leave it alone (that's repetition_metrics'
+    # domain, not ExactSubstr's)
+    rep = "a b c d e f g h " * 2 + "tail"
+    df = spark.createDataFrame(
+        [(1, rep), (2, "nothing in common with the other document at all")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.n_removed for r in exact_substr_dedup(df, k=8).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_exact_substr_rejects_degenerate_k(es_docs):
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
+
+    with pytest.raises(ValueError):
+        exact_substr_dedup(es_docs, k=1)
+
+
+def test_exact_substr_shuffles_key_on_hash_or_id_only(spark):
+    """100 TB guard: every planned shuffle in the ExactSubstr plan must key
+    on the shingle hash or the doc id — no all-pairs join, no cartesian,
+    no rogue repartitioning (the VERDICT r5 acceptance criterion)."""
+    import re
+
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = exact_substr_dedup(docs.select("doc_id", "text"), k=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys, "expected at least one planned shuffle"
+    assert set(keys) <= {"h", "id", "doc_id"}, keys
