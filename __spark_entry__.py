@@ -229,6 +229,59 @@ def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
     """
 
 
+def _multimodal_meta_sql() -> str:
+    """Mirror of the multimodal_meta slot: predicts EVERY column — header
+    metadata AND decoded-pixel features — in closed form from doc_id, per
+    the synthetic_gradient_png formulas (operators/multimodal.py): width =
+    8 + id%9, height = 8 + id%7, base luma = id%64, pixel(x,y) = base+x+y,
+    grey for even ids / equal-channel RGB for odd. The luminance histogram
+    of the gradient is trapezoidal, so entropy is a pure function of
+    (width, height) — computed here by a 63-row lookup CTE."""
+    return """
+        WITH dims AS (
+            SELECT w, h FROM UNNEST(generate_series(8, 16)) a(w),
+                             UNNEST(generate_series(8, 14)) b(h)
+        ),
+        ent AS (
+            SELECT w, h, -sum(p * log2(p)) AS e FROM (
+                SELECT w, h,
+                       (least(t, w - 1, h - 1, w + h - 2 - t) + 1)
+                           / CAST(w * h AS DOUBLE) AS p
+                FROM dims, UNNEST(generate_series(0, w + h - 2)) tt(t)
+            ) GROUP BY w, h
+        )
+        SELECT d.doc_id AS id,
+               CASE WHEN d.doc_id % 3 = 0 THEN NULL
+                    ELSE CAST(octet_length(encode(d.text)) AS BIGINT)
+                    END AS n_bytes,
+               CASE WHEN d.doc_id % 3 = 0 THEN 'png' ELSE 'binary'
+                    END AS kind,
+               CASE WHEN d.doc_id % 3 = 0
+                    THEN CAST(8 + d.doc_id % 9 AS INT) END AS width,
+               CASE WHEN d.doc_id % 3 = 0
+                    THEN CAST(8 + d.doc_id % 7 AS INT) END AS height,
+               CASE WHEN d.doc_id % 3 = 0 THEN NULL ELSE md5(d.text)
+                    END AS digest,
+               CASE WHEN d.doc_id % 3 = 0
+                    THEN CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END
+                              AS INT) END AS channels,
+               CASE WHEN d.doc_id % 3 = 0
+                    THEN CAST((8 + d.doc_id % 9) * (8 + d.doc_id % 7)
+                              AS BIGINT) END AS n_px,
+               CASE WHEN d.doc_id % 3 = 0
+                    THEN round(d.doc_id % 64
+                               + (8 + d.doc_id % 9 - 1) / 2.0
+                               + (8 + d.doc_id % 7 - 1) / 2.0, 4)
+                    END AS luma_mean,
+               round(ent.e, 4) AS luma_entropy,
+               CASE WHEN d.doc_id % 3 = 0 THEN CAST(1 AS INT) END AS dims_ok
+        FROM documents d
+        LEFT JOIN ent ON d.doc_id % 3 = 0
+                     AND ent.w = 8 + d.doc_id % 9
+                     AND ent.h = 8 + d.doc_id % 7
+    """
+
+
 def _exactsubstr_chunks_sql(k: int = 8, min_docs: int = 2) -> str:
     """Mirror of operators/dedup.exact_substr_dedup (span discovery via
     k-shingle hashes shared by >= min_docs distinct docs, gaps-and-islands
@@ -808,13 +861,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_brute_top5"] = ann_brute_top5
     q["ann_lsh_histogram"] = ann_lsh_histogram
 
-    # --- multimodal tier (binary plumbing; decode itself is stubbed) ---
+    # --- multimodal tier: header metadata + REAL pixel decode (round 6) ---
     def multimodal_meta(spark, sf):
-        payloads = _docs(spark, sf).select(
-            "doc_id", F.encode("text", "utf-8").alias("payload")
+        # every 3rd doc carries a deterministic gradient PNG (per-row
+        # filter cycle: all five unfilter paths run), the rest their utf-8
+        # text bytes. The oracle predicts every column in closed form from
+        # doc_id — decoded dims/mean/entropy included — so a hash-green
+        # row proves the pure-Python pixel decode reproduced every pixel.
+        # PNG byte length/digest aren't SQL-predictable (zlib), so those
+        # two stay text-rows-only by construction.
+        from pbx_ds_ocr_server_spark.operators.multimodal import (
+            png_pixel_features,
+            with_synthetic_png_payloads,
         )
-        return binary_metadata(payloads, id_col="doc_id").select(
-            "id", "n_bytes", "kind", "digest"
+
+        payloads = with_synthetic_png_payloads(
+            _docs(spark, sf).select("doc_id", "text"), every=3
+        )
+        meta = binary_metadata(payloads, id_col="id")
+        pix = png_pixel_features(payloads, id_col="id")
+        is_text = F.col("kind") != "png"
+        return meta.join(pix, "id").select(
+            "id",
+            F.when(is_text, F.col("n_bytes")).alias("n_bytes"),
+            "kind",
+            "width",
+            "height",
+            F.when(is_text, F.col("digest")).alias("digest"),
+            "channels",
+            "n_px",
+            F.round("luma_mean", 4).alias("luma_mean"),
+            F.round("luma_entropy", 4).alias("luma_entropy"),
+            # int, not boolean: a nullable bool round-trips as None-vs-NaN
+            # dtype soup in the pandas compare; 1/0/NULL is stable
+            F.col("dims_ok").cast("int").alias("dims_ok"),
         )
 
     q["multimodal_meta"] = multimodal_meta
@@ -1790,10 +1870,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN s USING (label, dim)
         """,
         "ann_lsh_histogram": lsh_hist_sql,
-        "multimodal_meta": (
-            "SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT)"
-            " AS n_bytes, 'binary' AS kind, md5(text) AS digest FROM documents"
-        ),
+        "multimodal_meta": _multimodal_meta_sql(),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
