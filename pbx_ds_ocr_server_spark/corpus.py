@@ -34,11 +34,13 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 # bump when synthesis logic changes — cache keys (e.g. bench staging paths)
 # include it so stale staged corpora are never reused
-CORPUS_VERSION = 9  # v9: + pdf_type1_builtin (codes only in the embedded
-                    #     Type1 builtin /Encoding); v8: pdf_embedded_tt
-                    #     (embedded TrueType cmap); v7: pdf_winansi /
-                    #     pdf_predefined_cmap / html_cjk /
-#     pdf_incremental classes (round 4)
+CORPUS_VERSION = 10  # v10: + pdf_type3 (Differences-only Type3 charprocs
+                     #      font) and pdf_cid_cff (Identity-H CIDFontType0
+                     #      with an embedded CID-keyed CFF; Latin CIDs
+                     #      recovered via the Adobe ordering prefix);
+                     # v9: pdf_type1_builtin; v8: pdf_embedded_tt;
+                     # v7: pdf_winansi / pdf_predefined_cmap / html_cjk /
+                     #     pdf_incremental classes (round 4)
 
 NAV = (
     '<nav class="top"><ul>'
@@ -282,6 +284,59 @@ def make_type1_builtin_font(chars: set[str]) -> tuple[bytes, dict[str, int]]:
     return prog, codes
 
 
+def _cff_index(items: list[bytes]) -> bytes:
+    """CFF INDEX with 1-byte offsets (synthetic fonts stay tiny)."""
+    if not items:
+        return b"\x00\x00"
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return (
+        len(items).to_bytes(2, "big")
+        + b"\x01"
+        + bytes(offs)
+        + b"".join(items)
+    )
+
+
+def make_cidkeyed_cff(n_cids: int = 96) -> bytes:
+    """Minimal CID-KEYED CFF (/FontFile3 /Subtype /CIDFontType0C shape):
+    Top DICT carries the ROS operator (SIDs for the custom Registry and
+    Ordering strings + supplement), the charset holds CIDs 1..n, not glyph
+    names. The text layer deliberately does NOT decode through this
+    program — `kernels/pdf_fonts.cff_simple_code_map` declines CID-keyed
+    fonts by design; the pdf_cid_cff corpus class recovers its Latin CIDs
+    through the descendant font's /CIDSystemInfo ordering instead."""
+    header = bytes([1, 0, 4, 2])
+    name_idx = _cff_index([b"SynthCID"])
+    string_idx = _cff_index([b"Adobe", b"Japan1"])  # SIDs 391, 392
+    gsubr = b"\x00\x00"
+    charset = b"\x00" + b"".join(
+        cid.to_bytes(2, "big") for cid in range(1, n_cids)
+    )
+    charstrings = _cff_index([b"\x0e"] * n_cids)  # endchar per glyph
+
+    def topdict(chset_off: int, cstr_off: int) -> bytes:
+        return (
+            b"\x1c\x01\x87\x1c\x01\x88\x8d\x0c\x1e"  # 391 392 2 ROS
+            + b"\x1d" + chset_off.to_bytes(4, "big") + b"\x0f"  # charset
+            + b"\x1d" + cstr_off.to_bytes(4, "big") + b"\x11"  # CharStrings
+        )
+
+    td = topdict(0, 0)
+    for _ in range(2):  # sizes first, then real offsets
+        td_idx = _cff_index([td])
+        base = (
+            len(header) + len(name_idx) + len(td_idx)
+            + len(string_idx) + len(gsubr)
+        )
+        td = topdict(base, base + len(charset))
+    return (
+        header + name_idx + _cff_index([td]) + string_idx + gsubr
+        + charset + charstrings
+    )
+
+
 def make_pdf(
     pages: list[list[tuple[float, float, str]]],
     streams_per_page: int = 1,
@@ -324,11 +379,35 @@ def make_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     t1_codes: dict[str, int] = {}
+    t3_codes: dict[str, int] = {}
     if font == "type1_builtin":
         t1_chars = {c for page in pages for _, _, s in page for c in s}
         t1_font, t1_codes = make_type1_builtin_font(t1_chars)
         show = lambda s: (  # noqa: E731
             "<" + "".join(f"{t1_codes[c]:02x}" for c in s if c in t1_codes)
+            + ">"
+        )
+    elif font == "type3":
+        # sequential non-ASCII codes, same overflow discipline as
+        # type1_builtin: chars past the 0xDE-slot table (unreachable —
+        # pdf_pages_for's latin-1 filter caps the alphabet) are omitted
+        # from show strings, never a crash
+        t3_chars = sorted(
+            {c for page in pages for _, _, s in page for c in s}
+        )[:0xDE]
+        t3_codes = {c: 0x21 + i for i, c in enumerate(t3_chars)}
+        show = lambda s: (  # noqa: E731
+            "<" + "".join(f"{t3_codes[c]:02x}" for c in s if c in t3_codes)
+            + ">"
+        )
+    elif font == "cid_latin":
+        # Identity-H over a classic Adobe ordering: show codes are CIDs,
+        # Latin prefix CID = ord - 31 (callers pre-filter to ASCII)
+        show = lambda s: (  # noqa: E731
+            "<"
+            + "".join(
+                f"{ord(c) - 31:04x}" for c in s if 32 <= ord(c) <= 126
+            )
             + ">"
         )
     elif font in ("cid", "embedded_tt"):
@@ -369,7 +448,67 @@ def make_pdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(stream), stream)
             )
-    if font == "type1_builtin":
+    if font == "type3":
+        # Type3 charprocs font: per ISO 32000-1 §9.6.5 its /Encoding
+        # /Differences IS the authoritative code→glyph-name table — the
+        # uniXXXX names route back to text through the AGL machinery (a
+        # parser that skips Type3 fonts loses a perfectly-decodable doc);
+        # the glyph procedures themselves only DRAW (d0 + painting ops)
+        proc_ref = font_ref + 1
+        diffs = " ".join(
+            f"{code} /uni{ord(c):04X}"
+            for c, code in sorted(t3_codes.items(), key=lambda kv: kv[1])
+        )
+        charprocs = " ".join(
+            f"/uni{ord(c):04X} {proc_ref} 0 R" for c in t3_codes
+        )
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10]"
+                f" /FontMatrix [0.001 0 0 0.001 0 0]"
+                f" /CharProcs << {charprocs} >>"
+                f" /Encoding << /Type /Encoding /Differences [{diffs}] >>"
+                f" /FirstChar 33 /LastChar 255 >>"
+            ).encode()
+        )
+        proc = b"10 0 d0 0 0 m 10 10 l S"
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(proc), proc)
+        )
+    elif font == "cid_latin":
+        # Type0/Identity-H + CIDFontType0 with an embedded CID-KEYED CFF
+        # and NO /ToUnicode: the program's charset maps to CIDs, not glyph
+        # names (cff_simple_code_map declines by design); the recoverable
+        # route is the /CIDSystemInfo ordering's published Latin prefix
+        # (CIDs 1-95 = U+0020..U+007E)
+        desc_ref, fd_ref, ff_ref = font_ref + 1, font_ref + 2, font_ref + 3
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCIDCFF"
+                f" /Encoding /Identity-H /DescendantFonts [{desc_ref} 0 R]"
+                f" >>"
+            ).encode()
+        )
+        objs.append(
+            (
+                f"<< /Type /Font /Subtype /CIDFontType0"
+                f" /BaseFont /SynthCIDCFF"
+                f" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                f" /Supplement 2 >> /FontDescriptor {fd_ref} 0 R >>"
+            ).encode()
+        )
+        objs.append(
+            (
+                f"<< /Type /FontDescriptor /FontName /SynthCIDCFF /Flags 4"
+                f" /FontFile3 {ff_ref} 0 R >>"
+            ).encode()
+        )
+        cff = make_cidkeyed_cff()
+        objs.append(
+            b"<< /Subtype /CIDFontType0C /Length %d >>\nstream\n%s\nendstream"
+            % (len(cff), cff)
+        )
+    elif font == "type1_builtin":
         # Type1 simple font with NO /Encoding entry in the font dict: the
         # custom code→glyph-name table lives only in the embedded
         # program's builtin /Encoding (non-ASCII codes — reading the dup
@@ -786,6 +925,11 @@ CLASSES = (
     "pdf_type1_builtin",  # 22  (simple Type1, no /Encoding in the font
                           #      dict; codes live in the embedded
                           #      program's builtin /Encoding array)
+    "pdf_type3",          # 23  (Type3 charprocs font; /Differences is the
+                          #      only code->text route)
+    "pdf_cid_cff",        # 24  (Identity-H CIDFontType0, embedded
+                          #      CID-keyed CFF, no ToUnicode; Latin CIDs
+                          #      recovered via the Adobe-Japan1 ordering)
 )
 
 # weights: mostly HTML, some PDFs, few degenerates/rasters
@@ -800,6 +944,7 @@ _CLASS_TABLE = (
     + ["pdf_cid", "pdf_encrypted_rc4", "pdf_cid_noto"]
     + ["pdf_winansi", "pdf_predefined_cmap", "html_cjk", "pdf_incremental"]
     + ["pdf_embedded_tt", "pdf_type1_builtin"]
+    + ["pdf_type3", "pdf_cid_cff"]
 )
 
 
@@ -942,6 +1087,32 @@ def synthesize_row(doc_id: int, text: str, lang: str) -> dict:
         n_pages = 1 + _h(f"npages:{doc_id}") % 3
         pages = pdf_pages_for(text, n_pages)
         payload = make_pdf(pages, font="type1_builtin")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_type3":
+        # Type3 charprocs font: /Encoding /Differences (uniXXXX names) is
+        # the authoritative, and only, code->text route (§9.6.5) — the
+        # glyph procedures just draw
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(text, n_pages)
+        payload = make_pdf(pages, font="type3")
+        expected = "\n\n".join(
+            "\n\n".join(line for _, _, line in page) for page in pages if page
+        )
+    elif cls == "pdf_cid_cff":
+        # Identity-H + CID-keyed CFF descendant, no ToUnicode: the CFF
+        # charset holds CIDs (the simple-font CFF reader declines by
+        # design); text comes back through the /CIDSystemInfo ordering's
+        # Latin CID prefix — pages pre-filtered to ASCII so every shown
+        # CID is in the recoverable 1-95 range
+        n_pages = 1 + _h(f"npages:{doc_id}") % 3
+        pages = pdf_pages_for(
+            "Latin text recovered via the Adobe ordering prefix " + text,
+            n_pages,
+            charset="ascii",
+        )
+        payload = make_pdf(pages, font="cid_latin")
         expected = "\n\n".join(
             "\n\n".join(line for _, _, line in page) for page in pages if page
         )

@@ -887,6 +887,52 @@ def _font_program(
     return data or None
 
 
+def _descendant_font(
+    objects: dict[int, bytes], body: bytes
+) -> bytes | None:
+    """The (single) descendant CIDFont dict of a Type0 font — inline
+    ``/DescendantFonts [N 0 R]`` or the indirect-array form."""
+    dm = _DESC_FONTS_INLINE_RE.search(body)
+    if dm:
+        return objects.get(int(dm.group(1)))
+    rm = _DESC_FONTS_REF_RE.search(body)
+    if not rm:
+        return None
+    arr = objects.get(int(rm.group(1)), b"")
+    fm = _FIRST_REF_RE.search(arr)
+    return objects.get(int(fm.group(1))) if fm else None
+
+
+_ORDERING_RE = re.compile(rb"/Ordering\s*\(\s*([A-Za-z0-9\-]+)\s*\)")
+
+
+def _ordering_latin_decoder(
+    objects: dict[int, bytes], body: bytes
+) -> "FontDecoder | None":
+    """Round 6: recovery for an Identity-H/V composite font (code == CID)
+    with no /ToUnicode and no usable embedded program — the shape a
+    CID-keyed CFF (/FontFile3 /CIDFontType0C) or a non-embedded
+    CIDFontType0 lands in. When the descendant's /CIDSystemInfo names one
+    of the classic Adobe orderings, the collection's published Latin
+    prefix (CIDs 1-95 = U+0020..U+007E, identical across the
+    Japan1/GB1/CNS1/Korea1 UCS2 CMap resources) decodes directly; CIDs
+    beyond it stay unmapped — honest partial, never mojibake. Reference
+    analog: the visual render path handles these for free,
+    /root/reference/app/services/dsocr_model.py:144-174."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        CID_LATIN_ORDERINGS,
+        cid_latin_cmap,
+    )
+
+    desc = _descendant_font(objects, body)
+    if not desc:
+        return None
+    om = _ORDERING_RE.search(desc)
+    if not om or om.group(1) not in CID_LATIN_ORDERINGS:
+        return None
+    return FontDecoder("cmap", cmap=cid_latin_cmap(), width=2)
+
+
 def _embedded_cid_decoder(
     objects: dict[int, bytes], body: bytes, decrypt
 ) -> "FontDecoder | None":
@@ -902,16 +948,7 @@ def _embedded_cid_decoder(
         truetype_gid_to_unicode,
     )
 
-    dm = _DESC_FONTS_INLINE_RE.search(body)
-    if dm:
-        desc_font = objects.get(int(dm.group(1)))
-    else:
-        rm = _DESC_FONTS_REF_RE.search(body)
-        if not rm:
-            return None
-        arr = objects.get(int(rm.group(1)), b"")
-        fm = _FIRST_REF_RE.search(arr)
-        desc_font = objects.get(int(fm.group(1))) if fm else None
+    desc_font = _descendant_font(objects, body)
     if not desc_font:
         return None
     # read the (small) CIDToGIDMap stream BEFORE parsing the (large) font
@@ -1031,6 +1068,14 @@ def _font_decoder(
         emb = _embedded_cid_decoder(objects, body, decrypt)
         if emb is not None:
             return emb
+        if cls == "identity":
+            # round 6: an explicit Identity CMap means code == CID, so a
+            # classic-ordering /CIDSystemInfo still yields the collection's
+            # Latin CID prefix (the CID-keyed-CFF / non-embedded
+            # CIDFontType0 shape)
+            lat = _ordering_latin_decoder(objects, body)
+            if lat is not None:
+                return lat
         return FontDecoder("cid_unknown")
     enc_body = None
     em = _ENC_REF_RE.search(body)

@@ -222,6 +222,22 @@ def classify_predefined_cmap(name: bytes) -> str | None:
     return _CMAP_CODECS.get(stem)
 
 
+# The classic Adobe character collections all open with the same Latin
+# prefix: their published *-UCS2 CMap resources (Adobe-Japan1-UCS2,
+# Adobe-GB1-UCS2, Adobe-CNS1-UCS2, Adobe-Korea1-UCS2) map CIDs 1-95 to the
+# proportional-Latin set U+0020..U+007E in code order. That prefix is the
+# dependency-free recoverable slice of a CID-keyed font with no ToUnicode:
+# beyond it the mapping needs the full ordering tables (tens of thousands
+# of CJK entries) and stays honestly unmapped.
+CID_LATIN_ORDERINGS = frozenset((b"Japan1", b"GB1", b"CNS1", b"Korea1"))
+
+
+def cid_latin_cmap() -> dict[int, str]:
+    """CID → text for the shared Latin prefix (CIDs 1-95 = U+0020..U+007E)
+    of the :data:`CID_LATIN_ORDERINGS` character collections."""
+    return {i: chr(i + 31) for i in range(1, 96)}
+
+
 def glyph_to_unicode(name: str) -> str | None:
     """AGL glyph name → text, or None when unknown (caller flags as lost)."""
     if name in _AGL:

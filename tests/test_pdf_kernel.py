@@ -1770,3 +1770,136 @@ def test_cff_fifth_review_findings():
     # 0x20 encoded to an untabled ISOAdobe-extended SID still yields ' '
     msp = cff_simple_code_map(_make_cff([200], [], enc_codes=[0x20]))
     assert msp[0x20] == " "
+
+
+# ------------------------------------------------ round 6: Type3 + CID CFF
+def _r6_xref_pdf(objs: list[bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offs:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>"
+        f"\nstartxref\n{xref}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
+
+def _r6_one_page_pdf(stream: bytes, font_objs: list[bytes]) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    ] + font_objs
+    return _r6_xref_pdf(objs)
+
+
+def test_type3_differences_decode():
+    """Type3 charprocs font: /Encoding /Differences is the code→text
+    route (§9.6.5); non-identity codes prove the table is actually read."""
+    text = "type three glyphs"
+    codes = {c: 0xA1 + i for i, c in enumerate(sorted(set(text)))}
+    diffs = " ".join(
+        f"{code} /uni{ord(c):04X}"
+        for c, code in sorted(codes.items(), key=lambda kv: kv[1])
+    )
+    shown = "".join(f"{codes[c]:02x}" for c in text)
+    stream = f"BT /F1 12 Tf 72 700 Td <{shown}> Tj ET".encode()
+    charprocs = " ".join(f"/uni{ord(c):04X} 6 0 R" for c in codes)
+    font = (
+        f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10]"
+        f" /FontMatrix [0.001 0 0 0.001 0 0]"
+        f" /CharProcs << {charprocs} >>"
+        f" /Encoding << /Differences [{diffs}] >> >>"
+    ).encode()
+    proc = b"<< /Length 8 >>\nstream\n10 0 d0\nendstream"
+    pages = extract_pdf(_r6_one_page_pdf(stream, [font, proc]))
+    assert [p.text for p in pages] == [text]
+
+
+def test_type3_non_agl_names_stay_honest_lost():
+    """Custom glyph names (/g1, /g2) carry no text semantics — honest
+    empty, never a guessed byte value."""
+    stream = b"BT /F1 12 Tf 72 700 Td <a1a2> Tj ET"
+    font = (
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10]"
+        b" /FontMatrix [0.001 0 0 0.001 0 0]"
+        b" /CharProcs << /g1 6 0 R /g2 6 0 R >>"
+        b" /Encoding << /Differences [161 /g1 /g2] >> >>"
+    )
+    proc = b"<< /Length 8 >>\nstream\n10 0 d0\nendstream"
+    pages = extract_pdf(_r6_one_page_pdf(stream, [font, proc]))
+    assert [p.text for p in pages] == [""]
+
+
+def _cid_latin_pdf(text: str, ordering: bytes = b"Japan1") -> bytes:
+    shown = "".join(
+        f"{ord(c) - 31:04x}" if 32 <= ord(c) <= 126 else f"{0x2710:04x}"
+        for c in text
+    )
+    stream = f"BT /F1 12 Tf 72 700 Td <{shown}> Tj ET".encode()
+    t0 = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /S"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>"
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /S"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (" + ordering
+        + b") /Supplement 2 >> >>"
+    )
+    return _r6_one_page_pdf(stream, [t0, desc])
+
+
+def test_cid_latin_ordering_prefix_decodes():
+    """Identity-H + classic Adobe ordering, no ToUnicode: CIDs 1-95 are
+    the collection's published Latin prefix (U+0020..U+007E)."""
+    text = "Latin prefix ~ Z 0"
+    for ordering in (b"Japan1", b"GB1", b"CNS1", b"Korea1"):
+        pages = extract_pdf(_cid_latin_pdf(text, ordering))
+        assert [p.text for p in pages] == [text], ordering
+
+
+def test_cid_latin_beyond_prefix_stays_partial():
+    """CIDs past the Latin prefix need the full ordering tables — honest
+    partial: the mapped chars come back, the CJK CID does not."""
+    pages = extract_pdf(_cid_latin_pdf("abc中"))
+    assert [p.text for p in pages] == ["abc"]
+
+
+def test_cid_unknown_ordering_stays_empty():
+    """An Identity/unknown ordering has no Latin-prefix claim — honest
+    empty, never a guessed mapping."""
+    pages = extract_pdf(_cid_latin_pdf("abc", ordering=b"Identity"))
+    assert [p.text for p in pages] == [""]
+
+
+def test_cidkeyed_cff_program_declines_simple_map():
+    """The corpus's CID-keyed CFF (ROS in the Top DICT) must be refused by
+    the SIMPLE-font CFF reader — its charset holds CIDs, not names."""
+    from pbx_ds_ocr_server_spark.corpus import make_cidkeyed_cff
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cff_simple_code_map,
+    )
+
+    assert cff_simple_code_map(make_cidkeyed_cff()) is None
+
+
+def test_cid_cff_corpus_class_round_trip():
+    """pdf_cid_cff end-to-end: the embedded CID-keyed CFF declines, the
+    ordering's Latin prefix recovers the full ASCII text."""
+    from pbx_ds_ocr_server_spark.corpus import make_pdf as _mk
+    from pbx_ds_ocr_server_spark.corpus import pdf_pages_for
+
+    pages_in = pdf_pages_for(
+        "ordering prefix recovery end to end", 2, charset="ascii"
+    )
+    pages = extract_pdf(_mk(pages_in, font="cid_latin"))
+    expected = ["\n\n".join(s for _, _, s in pg) for pg in pages_in]
+    assert [p.text for p in pages] == expected
