@@ -504,6 +504,122 @@ def _ann_ivf_kmeans_sql(
     """
 
 
+def _ann_ivf_pq_sql(
+    m: int = 2, ks: int = 4, iters: int = 2, k: int = 5, dims: int = 64,
+) -> str:
+    """Mirror of operators/pq.ivf_pq_topk: the ivf_topk coarse stage (best
+    label by rounded centroid cosine, tie lowest label), then per-subspace
+    unrolled Lloyd's (centroid_round_dp=5, same init/tie/empty-cluster
+    rules as the ann_ivf_kmeans mirror), nearest-code assignment, and
+    asymmetric-distance tables rounded to 5dp per entry before the ADC
+    sum — bit-identical to the driver-side adc_tables half-away rounding."""
+    sub = dims // m
+    parts = [
+        f"""q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE vec_id = 0),
+        centl AS (
+            SELECT label, i - 1 AS dim,
+                   round(avg(embedding[i]::DOUBLE), 5) AS centroid
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+            GROUP BY 1, 2
+        ),
+        cent AS (
+            SELECT label, list(centroid ORDER BY dim) AS cvec
+            FROM centl GROUP BY label
+        ),
+        best AS (
+            SELECT label FROM cent, q
+            ORDER BY round(list_cosine_similarity(cvec, q.e), 5) DESC,
+                     label ASC
+            LIMIT 1
+        ),
+        base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings e JOIN best ON e.label = best.label
+            WHERE vec_id <> 0
+        ),
+        init AS (
+            SELECT vec_id, rn - 1 AS ci FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM base)
+            WHERE rn <= {ks}
+        )"""
+    ]
+    for s in range(m):
+        off = s * sub
+        parts.append(f"""ms{s} AS (
+            SELECT vec_id, d - 1 AS dim, v[d + {off}] AS val
+            FROM base, UNNEST(generate_series(1, {sub})) AS t(d)
+        ),
+        s{s}c0 AS (
+            SELECT i.ci, mm.dim, mm.val AS c
+            FROM init i JOIN ms{s} mm ON mm.vec_id = i.vec_id
+        )""")
+        for it in range(1, iters + 1):
+            prev = f"s{s}c{it - 1}"
+            parts.append(f"""s{s}a{it} AS (
+            SELECT mm.vec_id, {prev}.ci,
+                   sum((mm.val - {prev}.c) * (mm.val - {prev}.c)) AS dist
+            FROM ms{s} mm JOIN {prev} ON mm.dim = {prev}.dim
+            GROUP BY 1, 2
+        ),
+        s{s}asg{it} AS (
+            SELECT vec_id, ci AS cluster FROM (
+                SELECT vec_id, ci, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, ci) AS rn
+                FROM s{s}a{it})
+            WHERE rn = 1
+        ),
+        s{s}u{it} AS (
+            SELECT g.cluster AS ci, mm.dim, round(avg(mm.val), 5) AS c
+            FROM ms{s} mm JOIN s{s}asg{it} g USING (vec_id) GROUP BY 1, 2
+        ),
+        s{s}c{it} AS (
+            SELECT p.ci, p.dim, coalesce(u.c, p.c) AS c
+            FROM {prev} p LEFT JOIN s{s}u{it} u
+              ON u.ci = p.ci AND u.dim = p.dim
+        )""")
+        cz = f"s{s}c{iters}"
+        parts.append(f"""code{s} AS (
+            SELECT vec_id, ci AS code FROM (
+                SELECT mm.vec_id, {cz}.ci, row_number() OVER (
+                    PARTITION BY mm.vec_id ORDER BY
+                    sum((mm.val - {cz}.c) * (mm.val - {cz}.c)), {cz}.ci
+                ) AS rn
+                FROM ms{s} mm JOIN {cz} ON mm.dim = {cz}.dim
+                GROUP BY 1, 2)
+            WHERE rn = 1
+        ),
+        qm{s} AS (
+            SELECT d - 1 AS dim, e[d + {off}] AS val
+            FROM q, UNNEST(generate_series(1, {sub})) AS t(d)
+        ),
+        dt{s} AS (
+            SELECT {cz}.ci,
+                   floor(sum((qm.val - {cz}.c) * (qm.val - {cz}.c))
+                         * 100000 + 0.5) / 100000 AS d
+            FROM qm{s} qm JOIN {cz} ON qm.dim = {cz}.dim
+            GROUP BY 1
+        )""")
+    adc = " + ".join(f"dt{s}.d" for s in range(m))
+    joins = " ".join(
+        f"JOIN code{s} ON code{s}.vec_id = b.vec_id"
+        f" JOIN dt{s} ON dt{s}.ci = code{s}.code"
+        for s in range(m)
+    )
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT b.vec_id AS neighbor, round({adc}, 5) AS adc
+        FROM base b {joins}
+        ORDER BY round({adc}, 5) ASC, b.vec_id ASC
+        LIMIT {k}
+    """
+
+
 # --------------------------------------------------------------- entry
 
 def _sequence_pack_sql(budget: int = 512, n_buckets: int = 16) -> str:
@@ -1017,20 +1133,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "label", "dim", "centroid"
         )
 
-    def ann_ivf_top5(spark, sf):
-        from pbx_ds_ocr_server_spark.operators.similarity import ivf_topk
+    def ann_ivf_pq_top5(spark, sf):
+        # round-6 fold: subsumes ann_ivf_top5 — the coarse stage (per-label
+        # centroid nearest by rounded cosine, tie lowest label) is
+        # byte-identical to ivf_topk's; the within-list ranking is now
+        # product-quantization ADC (per-list codebooks via the unrolled-
+        # Lloyd-mirrorable kmeans_fit at 5dp, m=2 subspaces × 4 codes,
+        # asymmetric-distance tables rounded 5dp both sides)
+        from pbx_ds_ocr_server_spark.operators.pq import ivf_pq_topk
 
         emb = _emb(spark, sf)
         qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-        return ivf_topk(
+        return ivf_pq_topk(
             emb.filter(F.col("vec_id") != 0),
             [float(x) for x in qvec],
             k=5,
+            m=2,
+            ks=4,
+            iters=2,
             round_dp=5,
+            centroid_round_dp=5,
         )
 
     q["label_centroids"] = label_centroids_q
-    q["ann_ivf_top5"] = ann_ivf_top5
+    q["ann_ivf_pq_top5"] = ann_ivf_pq_top5
 
     # --- composed near-dedup (components oracle-checked individually) ---
     def dedup_near_keepers(spark, sf):
@@ -1478,25 +1604,6 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
-    ann_ivf_sql = f"""
-        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
-        cent AS (
-            SELECT label, list(centroid ORDER BY dim) AS cvec
-            FROM ({centroids_sql}) GROUP BY label
-        ),
-        best AS (
-            SELECT label FROM cent, q
-            ORDER BY round(list_cosine_similarity(cvec, q.e), 5) DESC, label ASC
-            LIMIT 1
-        )
-        SELECT vec_id AS neighbor,
-               round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5) AS cos
-        FROM embeddings, q, best
-        WHERE vec_id <> 0 AND embeddings.label = best.label
-        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.e), 5) DESC,
-                 vec_id ASC
-        LIMIT 5
-    """
 
     sessionization_sql = """
         WITH flagged AS (
@@ -2000,7 +2107,7 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * top.top_bg / s.n_words, 6) AS top_bigram_frac
             FROM stats s JOIN top ON s.doc_id = top.doc_id
         """,
-        "ann_ivf_top5": ann_ivf_sql,
+        "ann_ivf_pq_top5": _ann_ivf_pq_sql(),
         "ann_ivf_kmeans_top5": _ann_ivf_kmeans_sql(),
         "dedup_near_keepers": dedup_near_sql,
         "dedup_near_transitive": dedup_near_transitive_sql,

@@ -1,0 +1,229 @@
+"""Product-quantization ANN (IVF-PQ) — the compression tier between the
+IVF variants and 100 TB.
+
+Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+2011): split each D-dim vector into ``m`` subvectors, learn a small
+codebook per subspace (Lloyd's — reuses :func:`operators.kmeans.kmeans_fit`
+on array slices), store each vector as ``m`` small integer codes, and rank
+candidates by ASYMMETRIC distance (ADC): the query stays full-precision,
+per-subspace distances to every codebook centroid are computed ONCE into a
+lookup table, and a candidate's approximate distance is the sum of ``m``
+table lookups on its codes — no vector bytes touched at query time.
+
+Scale story: the storage/IO win is the point. At D=64 float32, raw vectors
+are 256 B/row; m=8 one-byte codes are 8 B/row (32× compression) — a 100 TB
+embedding store's candidate lists shrink to low-TB code tables that scan at
+memory speed, and the scan is a pure column expression (element_at on a
+literal lookup array — JVM-side, no shuffle beyond the coarse IVF filter).
+
+Reproducibility: ``centroid_round_dp`` pins per-iteration centroid rounding
+exactly like `ann_ivf_kmeans_top5`'s unrolled-Lloyd mirror, and the ADC
+lookup tables are rounded to the same dp before summing, so the driver
+hash-checks the whole tier against a DuckDB replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.kmeans import kmeans_fit
+from pbx_ds_ocr_server_spark.operators.similarity import as_double_array
+
+
+def _sub_slice(vec: Column, sub: int, sub_dims: int) -> Column:
+    return F.slice(vec, sub * sub_dims + 1, sub_dims)
+
+
+def pq_fit(
+    df: DataFrame,
+    dims: int,
+    m: int = 2,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_round_dp: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: ``codebooks[s][c]`` is the c-th centroid of
+    subspace s (dims/m components). One Lloyd's run per subspace over the
+    sliced vectors — same init rule (smallest md5(id)) and same rounded
+    per-iteration means as :func:`kmeans_fit`, hence the same cross-engine
+    reproducibility story."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub_dims = dims // m
+    v = as_double_array(vec_col)
+    out = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col).alias(id_col),
+            _sub_slice(v, s, sub_dims).alias(vec_col),
+        )
+        out.append(
+            kmeans_fit(
+                sliced,
+                k=ks,
+                iters=iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroid_round_dp=centroid_round_dp,
+            )
+        )
+    return out
+
+
+def _argmin_code(vec: Column, codebook: list[list[float]]) -> Column:
+    """Index of the nearest codebook centroid (ties → lowest index) as a
+    pure column expression — the encode step."""
+    from pbx_ds_ocr_server_spark.operators.kmeans import _sqdist
+
+    best_idx = F.lit(0)
+    best_dist = _sqdist(vec, codebook[0])
+    for i, cent in enumerate(codebook[1:], start=1):
+        d = _sqdist(vec, cent)
+        better = d < best_dist
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_dist = F.when(better, d).otherwise(best_dist)
+    return best_idx.cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → (id, codes array<int>): m nearest-centroid indices.
+    The compressed representation — m small ints instead of dims floats."""
+    m = len(codebooks)
+    sub_dims = len(codebooks[0][0])
+    v = as_double_array(vec_col)
+    codes = F.array(
+        *[
+            _argmin_code(_sub_slice(v, s, sub_dims), codebooks[s])
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_col), codes.alias("codes"))
+
+
+def adc_tables(
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    round_dp: int | None = None,
+) -> list[list[float]]:
+    """Asymmetric-distance lookup tables: ``dt[s][c]`` = squared distance
+    from the query's s-th subvector to codebook centroid c. Computed once,
+    driver-side (m × ks tiny). ``round_dp`` pins the entries so the SQL
+    mirror's independently-summed tables agree bit-for-bit."""
+    import math
+
+    def _round_half_away(x: float, dp: int) -> float:
+        # Spark F.round / DuckDB round() semantics (half AWAY from zero),
+        # not Python round()'s banker's rule; distances are nonnegative
+        return math.floor(x * 10**dp + 0.5) / 10**dp
+
+    m = len(codebooks)
+    sub_dims = len(codebooks[0][0])
+    out = []
+    for s in range(m):
+        qs = query_vec[s * sub_dims : (s + 1) * sub_dims]
+        row = []
+        for cent in codebooks[s]:
+            d = sum((a - b) * (a - b) for a, b in zip(qs, cent))
+            row.append(
+                _round_half_away(d, round_dp) if round_dp is not None else d
+            )
+        out.append(row)
+    return out
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    dt: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Rank coded vectors by ADC = Σ_s dt[s][codes[s]] — m literal-array
+    lookups per row, ascending distance, ties → lowest id. The scan never
+    touches vector bytes."""
+    adc = None
+    for s, row in enumerate(dt):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in row]),
+            F.col("codes")[s] + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes_df.select(
+            F.col(id_col).alias("neighbor"),
+            F.round(adc, round_dp).alias("adc"),
+        )
+        .orderBy(F.asc("adc"), F.asc("neighbor"))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    m: int = 2,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 5,
+    centroid_round_dp: int | None = None,
+) -> DataFrame:
+    """End-to-end IVF-PQ: coarse-select the best inverted list (per-label
+    centroid nearest the query by rounded cosine — identical to
+    :func:`operators.similarity.ivf_topk`'s coarse stage), fit per-list PQ
+    codebooks, encode the list, rank by ADC. Returns (neighbor, adc).
+
+    Codebooks here are per-list (fit on the selected list, not on global
+    residuals as Jégou's IVFADC does) — the oracle-mirrorable simplification:
+    the Lloyd's replay stays k·m tiny runs over one list. At production
+    scale the fit is a one-off build step; the query path is the cheap
+    part being demonstrated."""
+    from pbx_ds_ocr_server_spark.operators.dedup import cosine
+    from pbx_ds_ocr_server_spark.operators.similarity import label_centroids
+
+    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cvec = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+            ).alias("dims")
+        )
+        .select(
+            "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
+        )
+    )
+    best = (
+        cvec.select(
+            "label",
+            F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos"),
+        )
+        .orderBy(F.desc("ccos"), F.asc("label"))
+        .first()
+    )
+    cand = df.filter(F.col(label_col) == best["label"])
+    codebooks = pq_fit(
+        cand,
+        dims=len(query_vec),
+        m=m,
+        ks=ks,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_round_dp=centroid_round_dp,
+    )
+    dt = adc_tables(query_vec, codebooks, round_dp=centroid_round_dp)
+    codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(codes, dt, k=k, id_col=id_col, round_dp=round_dp)

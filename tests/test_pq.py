@@ -1,0 +1,103 @@
+"""IVF-PQ: codebooks, codes, asymmetric distance — round-6 ANN tier."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbx_ds_ocr_server_spark.operators.pq import (
+    adc_tables,
+    ivf_pq_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+)
+
+DIMS = 8
+
+
+def _clustered_rows(n_per=12, seed=5):
+    """Four well-separated clusters in 8 dims, labels = cluster id."""
+    rng = random.Random(seed)
+    centers = [
+        [10, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10, 0, 0, 0, 0, 0],
+        [0, 0, 0, 10, 0, 0, 0, 0],
+    ]
+    rows = []
+    vid = 1
+    for li, c in enumerate(centers):
+        for _ in range(n_per):
+            rows.append(
+                (vid, f"c{li}", [x + rng.uniform(-1, 1) for x in c])
+            )
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        _clustered_rows(), "vec_id bigint, label string, embedding array<double>"
+    )
+
+
+def test_pq_fit_shapes_and_determinism(vecs):
+    cb1 = pq_fit(vecs, dims=DIMS, m=2, ks=4, iters=2, centroid_round_dp=5)
+    cb2 = pq_fit(vecs, dims=DIMS, m=2, ks=4, iters=2, centroid_round_dp=5)
+    assert cb1 == cb2  # rounded Lloyd's is exactly reproducible
+    assert len(cb1) == 2 and all(len(b) == 4 for b in cb1)
+    assert all(len(c) == DIMS // 2 for b in cb1 for c in b)
+
+
+def test_pq_encode_compression_ratio(vecs):
+    cb = pq_fit(vecs, dims=DIMS, m=2, ks=4, iters=2, centroid_round_dp=5)
+    codes = pq_encode(vecs, cb).collect()
+    assert all(len(r.codes) == 2 for r in codes)
+    assert all(0 <= c < 4 for r in codes for c in r.codes)
+    # the storage claim: m code bytes replace dims float64 components
+    raw_bytes, code_bytes = DIMS * 8, 2 * 1
+    assert raw_bytes / code_bytes == 32
+
+
+def test_adc_tables_round_half_away():
+    # d^2 = 0.125^2 = 0.015625 exactly: the 5dp tie must round AWAY from
+    # zero (0.01563, the Spark/DuckDB rule); Python round()'s banker's
+    # rule would give 0.01562
+    cb = [[[0.0], [1.0]]]
+    dt = adc_tables([0.125], cb, round_dp=5)
+    assert dt[0][0] == 0.01563
+    assert round(0.015625, 5) == 0.01562  # the trap being avoided
+
+
+def test_adc_ranks_own_cluster_first(spark, vecs):
+    """ADC over codes must rank the query's cluster ahead of the others —
+    the recall property that makes the compression usable."""
+    cb = pq_fit(vecs, dims=DIMS, m=2, ks=4, iters=3, centroid_round_dp=5)
+    query = [10.0, 0, 0, 0, 0, 0, 0, 0]  # cluster c0's center
+    dt = adc_tables(query, cb, round_dp=5)
+    codes = pq_encode(vecs, cb)
+    top = pq_adc_topk(codes, dt, k=12).collect()
+    got = {r.neighbor for r in top}
+    c0_ids = {r[0] for r in _clustered_rows() if r[1] == "c0"}
+    # every top-12 hit is from the query's cluster (centers 14+ apart,
+    # jitter ±1 — PQ cells cannot confuse them)
+    assert got <= c0_ids and len(got) == 12
+
+
+def test_ivf_pq_topk_end_to_end(spark, vecs):
+    query = [0, 0, 10.0, 0, 0, 0, 0, 0]  # cluster c2's center
+    out = ivf_pq_topk(
+        vecs, query, k=5, m=2, ks=4, iters=2, centroid_round_dp=5
+    ).collect()
+    assert len(out) == 5
+    c2_ids = {r[0] for r in _clustered_rows() if r[1] == "c2"}
+    assert {r.neighbor for r in out} <= c2_ids
+    # ascending ADC with (adc, id) tie-break
+    assert [r.adc for r in out] == sorted(r.adc for r in out)
+
+
+def test_pq_fit_rejects_indivisible_dims(vecs):
+    with pytest.raises(ValueError):
+        pq_fit(vecs, dims=DIMS, m=3)
