@@ -820,9 +820,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: lang_id_table(
         _docs(spark, sf).select("doc_id", "text")
     )
-    q["quality_scores"] = lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", quality_score("text").alias("quality")
-    )
+    # round-6 fold: the slot also hash-checks the hashed-bigram linear
+    # quality classifier (fastText-shape; functions/text.quality_clf_score)
+    # per document — weights/bucket-rule/fold-order/squash pinned on both
+    # sides via the co-located qclf_sql mirror
+    def quality_scores_q(spark, sf):
+        from pbx_ds_ocr_server_spark.functions.text import quality_clf_score
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            quality_clf_score("text").alias("clf"),
+        )
+
+    q["quality_scores"] = quality_scores_q
     # (fingerprints is not registered standalone: the identical fingerprint
     # expression is dedup_exact_groups' group key, hash-checked there)
     q["simhash"] = lambda spark, sf: simhash_table(
@@ -1440,6 +1451,9 @@ def oracle_sql() -> dict[str, str]:
         f"round(least({TOKENS} / 50.0, 1.0) * 0.4 "
         f"+ least(5.0 * {stop_ratio}, 1.0) * 0.3 + {alpha} * 0.3, 6)"
     )
+    from pbx_ds_ocr_server_spark.functions.text import qclf_sql
+
+    _qclf = qclf_sql("text")
 
     paras_sql = f"""
         WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
@@ -1797,7 +1811,10 @@ def oracle_sql() -> dict[str, str]:
               ELSE 'und' END AS lang_pred
             FROM documents
         """,
-        "quality_scores": f"SELECT doc_id, {quality} AS quality FROM documents",
+        "quality_scores": (
+            f"SELECT doc_id, {quality} AS quality, {_qclf} AS clf"
+            " FROM documents"
+        ),
         "simhash": _simhash_sql(),
         "pii_scrub": f"""
             SELECT doc_id,

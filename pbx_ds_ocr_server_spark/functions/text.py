@@ -846,3 +846,110 @@ def simhash_bands_table(df, id_col: str = "doc_id", text_col: str = "text"):
             total = total + bit.cast("bigint") * F.lit(1 << i).cast("bigint")
         outs.append(total.alias(f"s{j}"))
     return counted.select(F.col("id").alias(id_col), *outs)
+
+
+# ------------------------------------- hashed-ngram linear quality classifier
+# The scorer shape real curation stacks actually run (fastText's linear
+# model over hashed n-gram features, cf. CCNet's quality LM and the
+# fastText supervised classifier): hash each word bigram into B buckets,
+# average the bucket weights, squash to (0, 1). Weights here are a FIXED
+# md5-derived literal vector (a stand-in for trained parameters — swapping
+# in real fastText weights is a constant-table change, the dataflow is
+# identical); everything is pure column algebra, so the score mirrors into
+# ANSI SQL and the driver hash-checks it per document.
+QCLF_BUCKETS = 64
+QCLF_BIAS = -0.1
+
+
+def qclf_weights(n_buckets: int = QCLF_BUCKETS) -> list[float]:
+    """Deterministic pseudo-trained weights in [-1, 1], 6dp — the same
+    literal values render into the Spark plan and the DuckDB mirror."""
+    import hashlib
+
+    out = []
+    for j in range(n_buckets):
+        h = int(hashlib.md5(f"qclf:{j}".encode()).hexdigest()[:8], 16)
+        out.append(round(h / float(1 << 32) * 2.0 - 1.0, 6))
+    return out
+
+
+def _qclf_bucket(bigram: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(bigram), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def quality_clf_score(
+    col: Column | str,
+    n_buckets: int = QCLF_BUCKETS,
+    bias: float = QCLF_BIAS,
+    round_dp: int = 5,
+) -> Column:
+    """Linear classifier score in (0, 1): sigmoid-shaped squash of
+    bias + mean over word bigrams of W[md5-bucket(bigram)].
+
+    The squash is the ALGEBRAIC sigmoid 0.5 + 0.5·z/(1+|z|), not the
+    logistic: it uses only +·/|·| so Spark's JVM and DuckDB's libm produce
+    bit-identical doubles (exp() can differ by an ulp across engines and
+    flip a rounded hash-gate). Monotone in z, so any threshold gate is
+    order-equivalent to the logistic's. Documents with fewer than two
+    words score the bias alone. Zero UDFs, zero shuffles — a pure
+    predicate that pushes down like hash_sample."""
+    W = F.array(*[F.lit(w) for w in qclf_weights(n_buckets)])
+    ws = words(col)
+    bigr = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    contrib = F.transform(
+        bigr,
+        lambda b: F.element_at(
+            W, (_qclf_bucket(b, n_buckets) + 1).cast("int")
+        ),
+    )
+    n_bi = F.size(bigr)
+    # sequential left fold — the same summation order as DuckDB list_sum
+    z = F.lit(float(bias)) + F.when(
+        n_bi > 0,
+        F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x) / n_bi,
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)), round_dp
+    )
+
+
+def quality_clf_gate(df, threshold: float = 0.5, text_col: str = "text"):
+    """The classifier as a curation gate: keep rows scoring ≥ threshold —
+    the drop-in alternative to the rule-based gopher_filter."""
+    return df.filter(quality_clf_score(text_col) >= F.lit(threshold))
+
+
+def qclf_sql(text_expr: str = "text", n_buckets: int = QCLF_BUCKETS,
+             bias: float = QCLF_BIAS, round_dp: int = 5) -> str:
+    """The DuckDB mirror of quality_clf_score over ``text_expr`` — kept
+    next to the Spark expression so the weight literals, bucket rule,
+    fold order (list_sum == sequential) and squash algebra cannot drift
+    apart."""
+    w_lit = "[" + ", ".join(repr(w) for w in qclf_weights(n_buckets)) + "]"
+    norm = f"regexp_replace(trim({text_expr}), '\\s+', ' ', 'g')"
+    ws = f"string_split({norm}, ' ')"
+    bg = (
+        f"list_transform(generate_series(1, greatest(len({ws}) - 1, 0)),"
+        f" i -> {ws}[i] || ' ' || {ws}[i + 1])"
+    )
+    contrib = (
+        f"list_transform({bg}, b -> list_extract({w_lit},"
+        f" CAST(CAST(concat('0x', substr(md5(b), 1, 8)) AS UBIGINT)"
+        f" % {n_buckets} + 1 AS INT)))"
+    )
+    z = (
+        f"({bias!r} + CASE WHEN len({bg}) > 0"
+        f" THEN list_sum({contrib}) / len({bg}) ELSE 0.0 END)"
+    )
+    return f"round(0.5 + 0.5 * {z} / (1.0 + abs({z})), {round_dp})"

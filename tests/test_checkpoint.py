@@ -177,3 +177,39 @@ def test_write_table_parquet_and_iceberg_seam(spark, tmp_path):
     assert "spark.sql.catalog" in str(ei.value)
     with pytest.raises(ValueError, match="unknown sink format"):
         write_table(df, out, fmt="orcish")
+
+
+def _has_iceberg_runtime(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_write_table_iceberg_e2e_append_readback(spark, tmp_path):
+    """Runs ONLY when the iceberg-spark-runtime jar is on the classpath
+    (absent in this sandbox — the seam test above pins the actionable
+    error instead): real createOrReplace + append + read-back + snapshot
+    count through the same write_table seam, no code changes."""
+    if not _has_iceberg_runtime(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    from pbx_ds_ocr_server_spark.sources.writer import write_table
+
+    spark.conf.set(
+        "spark.sql.catalog.lakeci", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lakeci.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.lakeci.warehouse", str(tmp_path / "warehouse")
+    )
+    df = spark.range(5).withColumnRenamed("id", "x")
+    write_table(df, "lakeci.db.t", fmt="iceberg", mode="replace")
+    write_table(df, "lakeci.db.t", fmt="iceberg", mode="append")
+    assert spark.table("lakeci.db.t").count() == 10
+    snaps = spark.sql(
+        "SELECT count(*) FROM lakeci.db.t.snapshots"
+    ).first()[0]
+    assert snaps >= 2  # one per commit — expiry would prune these

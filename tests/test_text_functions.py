@@ -1,5 +1,6 @@
 """Text-analysis column functions — semantics beyond the oracle gate."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pbx_ds_ocr_server_spark.functions.text import token_count, token_count_cjk
@@ -352,3 +353,82 @@ def test_gopher_symbol_rule_counts_occurrences(spark):
     flags = {r.doc_id: r for r in gopher_flags(df).collect()}
     # 3 of 63 words ≈ 0.048 either way — both must pass
     assert flags[1].ok_symbols and flags[2].ok_symbols
+
+
+# ----------------------------------------- hashed-ngram quality classifier
+def test_quality_clf_matches_python_recompute(spark):
+    import hashlib
+
+    from pbx_ds_ocr_server_spark.functions.text import (
+        QCLF_BIAS,
+        qclf_weights,
+        quality_clf_score,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "single"),
+        (3, ""),
+        (4, "and the and the and the repeated bigrams here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.clf
+        for r in df.select(
+            "doc_id", quality_clf_score("text").alias("clf")
+        ).collect()
+    }
+    W = qclf_weights()
+    import math
+
+    for doc_id, text in rows:
+        ws = " ".join(text.split()).split(" ")
+        bigr = [f"{a} {b}" for a, b in zip(ws, ws[1:])] if len(ws) >= 2 else []
+        z = QCLF_BIAS
+        if bigr:
+            acc = 0.0
+            for b in bigr:
+                h = int(hashlib.md5(b.encode()).hexdigest()[:8], 16)
+                acc += W[h % 64]
+            z = QCLF_BIAS + acc / len(bigr)
+        want = math.floor(
+            (0.5 + 0.5 * z / (1.0 + abs(z))) * 1e5 + 0.5
+        ) / 1e5
+        assert got[doc_id] == pytest.approx(want, abs=1e-9), (doc_id, text)
+
+
+def test_quality_clf_short_docs_score_bias_only(spark):
+    from pbx_ds_ocr_server_spark.functions.text import (
+        QCLF_BIAS,
+        quality_clf_score,
+    )
+
+    df = spark.createDataFrame([(1, "word"), (2, "")], "doc_id int, text string")
+    vals = {r.doc_id: r.c for r in
+            df.select("doc_id", quality_clf_score("text").alias("c")).collect()}
+    z = QCLF_BIAS
+    expect = round(0.5 + 0.5 * z / (1 + abs(z)), 5)
+    assert vals[1] == vals[2] == pytest.approx(expect, abs=1e-9)
+
+
+def test_quality_clf_gate_filters_and_pushes_down(spark):
+    from pbx_ds_ocr_server_spark.functions.text import (
+        quality_clf_gate,
+        quality_clf_score,
+    )
+    from pbx_ds_ocr_server_spark.plans import count_exchanges
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    scored = docs.select(quality_clf_score("text").alias("c"))
+    vals = [r.c for r in scored.collect()]
+    assert len(set(vals)) > 10  # real spread, not a constant
+    thr = sorted(vals)[len(vals) // 2]
+    kept = quality_clf_gate(docs, threshold=thr).count()
+    assert 0 < kept < len(vals)
+    # a pure predicate: no shuffle, no UDF in the plan
+    gated = quality_clf_gate(docs, threshold=thr)
+    assert count_exchanges(gated) == 0
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
