@@ -518,11 +518,15 @@ def _ann_ivf_pq_sql(
         f"""q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
                  WHERE vec_id = 0),
         centl AS (
+            -- SAME frame as the Spark side (emb.filter(vec_id != 0)):
+            -- including the query vector would shift its label's rounded
+            -- centroid and could flip the coarse pick across engines
             SELECT label, i - 1 AS dim,
                    round(avg(embedding[i]::DOUBLE), 5) AS centroid
             FROM embeddings,
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
+            WHERE vec_id <> 0
             GROUP BY 1, 2
         ),
         cent AS (
@@ -1002,9 +1006,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             with_synthetic_png_payloads,
         )
 
-        payloads = with_synthetic_png_payloads(
-            _docs(spark, sf).select("doc_id", "text"), every=3
+        from pbx_ds_ocr_server_spark.partitioning import (
+            ensure_min_partitions,
         )
+
+        # fan the NARROW (doc_id, text) frame out BEFORE synthesis (driver
+        # parquet is single-row-group -> one partition; the per-row zlib
+        # encode + scanline decode would otherwise run on 1 of 32 cores)
+        # and cache the payloads: the metadata and pixel branches would
+        # otherwise each re-run the synthesis lineage. Same clearCache
+        # caller contract as corpus_curation.
+        payloads = with_synthetic_png_payloads(
+            ensure_min_partitions(
+                _docs(spark, sf).select("doc_id", "text")
+            ),
+            every=3,
+        ).cache()
         meta = binary_metadata(payloads, id_col="id")
         pix = png_pixel_features(payloads, id_col="id")
         is_text = F.col("kind") != "png"
@@ -1245,7 +1262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.concat(F.lit(_BOILER_PARA + " "), F.col("text")),
             ).otherwise(F.col("text")).alias("text"),
         )
-        cleaned = exact_substr_dedup(injected, k=8)
+        # the chunker branch and the n_removed join both read this frame;
+        # without persistence the whole span-discovery pipeline (shingle
+        # groupBy + dup join + window merge) is planned TWICE (differing
+        # column pruning defeats ReusedExchange — measured 18 exchanges
+        # uncached vs 9). Same caller contract as corpus_curation: repeat
+        # callers must clearCache between invocations (bench.py does).
+        cleaned = exact_substr_dedup(injected, k=8).cache()
         chunks = chunk_documents(
             cleaned.select("doc_id", F.col("text_clean").alias("text")),
             window=64,

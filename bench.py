@@ -412,6 +412,10 @@ DRIFT_WINDOW = 5  # trailing runs consulted
 # Prune entries once the history window is all post-change runs.
 EXPECTED_DRIFT = {
     "sequence_pack": "slot now runs BOTH packers + join (round-5 fold)",
+    "quality_scores": "slot now also computes the hashed-bigram classifier"
+                      " column (round-6 fold)",
+    "multimodal_meta": "header-only metadata -> real PNG synthesis + pixel"
+                       " decode + feature join (round 6)",
 }
 
 

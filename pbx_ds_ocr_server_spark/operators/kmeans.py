@@ -31,6 +31,20 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def argmin_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared distance (ties → lowest
+    index) as a pure column expression — shared by cluster assignment and
+    PQ encoding so the tie-break rule cannot drift between them."""
+    best_idx = F.lit(0)
+    best_dist = _sqdist(vec, centroids[0])
+    for i, cent in enumerate(centroids[1:], start=1):
+        d = _sqdist(vec, cent)
+        better = d < best_dist
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_dist = F.when(better, d).otherwise(best_dist)
+    return best_idx.cast("int")
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -38,15 +52,9 @@ def assign_clusters(
 ) -> DataFrame:
     """Add a ``cluster`` column: argmin of squared distance to the given
     centroids (ties → lowest index). Pure column expressions."""
-    v = as_double_array(vec_col)
-    best_idx = F.lit(0)
-    best_dist = _sqdist(v, centroids[0])
-    for i, cent in enumerate(centroids[1:], start=1):
-        d = _sqdist(v, cent)
-        better = d < best_dist
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_dist = F.when(better, d).otherwise(best_dist)
-    return df.withColumn("cluster", best_idx.cast("int"))
+    return df.withColumn(
+        "cluster", argmin_centroid(as_double_array(vec_col), centroids)
+    )
 
 
 def kmeans_fit(

@@ -73,21 +73,6 @@ def pq_fit(
     return out
 
 
-def _argmin_code(vec: Column, codebook: list[list[float]]) -> Column:
-    """Index of the nearest codebook centroid (ties → lowest index) as a
-    pure column expression — the encode step."""
-    from pbx_ds_ocr_server_spark.operators.kmeans import _sqdist
-
-    best_idx = F.lit(0)
-    best_dist = _sqdist(vec, codebook[0])
-    for i, cent in enumerate(codebook[1:], start=1):
-        d = _sqdist(vec, cent)
-        better = d < best_dist
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_dist = F.when(better, d).otherwise(best_dist)
-    return best_idx.cast("int")
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -95,13 +80,17 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, vec) → (id, codes array<int>): m nearest-centroid indices.
-    The compressed representation — m small ints instead of dims floats."""
+    The compressed representation — m small ints instead of dims floats.
+    The argmin (ties → lowest index) is kmeans.argmin_centroid — the SAME
+    expression cluster assignment uses, so the tie rule cannot drift."""
+    from pbx_ds_ocr_server_spark.operators.kmeans import argmin_centroid
+
     m = len(codebooks)
     sub_dims = len(codebooks[0][0])
     v = as_double_array(vec_col)
     codes = F.array(
         *[
-            _argmin_code(_sub_slice(v, s, sub_dims), codebooks[s])
+            argmin_centroid(_sub_slice(v, s, sub_dims), codebooks[s])
             for s in range(m)
         ]
     )
@@ -189,31 +178,13 @@ def ivf_pq_topk(
     the Lloyd's replay stays k·m tiny runs over one list. At production
     scale the fit is a one-off build step; the query path is the cheap
     part being demonstrated."""
-    from pbx_ds_ocr_server_spark.operators.dedup import cosine
-    from pbx_ds_ocr_server_spark.operators.similarity import label_centroids
+    from pbx_ds_ocr_server_spark.operators.similarity import ivf_best_label
 
-    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cvec = (
-        cents.groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
-            ).alias("dims")
-        )
-        .select(
-            "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
-        )
+    best = ivf_best_label(
+        df, query_vec, vec_col=vec_col, label_col=label_col,
+        round_dp=round_dp,
     )
-    best = (
-        cvec.select(
-            "label",
-            F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos"),
-        )
-        .orderBy(F.desc("ccos"), F.asc("label"))
-        .first()
-    )
-    cand = df.filter(F.col(label_col) == best["label"])
+    cand = df.filter(F.col(label_col) == best)
     codebooks = pq_fit(
         cand,
         dims=len(query_vec),

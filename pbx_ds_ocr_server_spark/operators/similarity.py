@@ -159,6 +159,36 @@ def label_centroids(
     )
 
 
+def ivf_best_label(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+):
+    """The IVF coarse stage, shared by :func:`ivf_topk` and
+    `operators/pq.ivf_pq_topk` so the selection rule cannot drift: the
+    label whose per-label centroid has the highest ROUNDED cosine to the
+    query, ties → lowest label. Raises on an empty frame (a coarse
+    quantizer over nothing is a caller bug, not an empty result)."""
+    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cvec = cents.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+        ).alias("dims")
+    ).select(
+        "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
+    )
+    scored = cvec.select(
+        "label", F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos")
+    )
+    best = scored.orderBy(F.desc("ccos"), F.asc("label")).first()
+    if best is None:
+        raise ValueError("IVF coarse stage over an empty frame")
+    return best["label"]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -173,20 +203,8 @@ def ivf_topk(
     inverted-file trade: cost drops to |list|, recall bounded by the
     quantizer. Runs as two tiny jobs + one filtered scan; no shuffle of
     vectors beyond the centroid agg."""
-    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cvec = cents.groupBy("label").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
-        ).alias("dims")
-    ).select(
-        "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
-    )
-    scored = cvec.select(
-        "label", F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos")
-    )
-    best = scored.orderBy(F.desc("ccos"), F.asc("label")).first()
-    cand = df.filter(F.col(label_col) == best["label"])
+    best = ivf_best_label(df, query_vec, vec_col, label_col, round_dp)
+    cand = df.filter(F.col(label_col) == best)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_dp)
 
 
