@@ -895,33 +895,67 @@ def quality_clf_score(
     flip a rounded hash-gate). Monotone in z, so any threshold gate is
     order-equivalent to the logistic's. Documents with fewer than two
     words score the bias alone. Zero UDFs, zero shuffles — a pure
-    predicate that pushes down like hash_sample."""
+    predicate that pushes down like hash_sample.
+
+    Expression shape: each stage is BOUND once through a one-element
+    transform() before reuse (the bigram array feeds the fold AND two
+    size() references; z feeds the squash twice). Without the binding the
+    whole upstream tree re-evaluates per reference and the tree grows past
+    whole-stage codegen's limits — measured 36 s → sub-second at sf0.1 on
+    the driver corpus."""
     W = F.array(*[F.lit(w) for w in qclf_weights(n_buckets)])
-    ws = words(col)
-    bigr = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat(
-                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+
+    def _once(col_expr, fn):
+        # evaluate col_expr exactly once: bind it as the element of a
+        # single-element array and compute fn on the lambda variable
+        return F.element_at(F.transform(F.array(col_expr), fn), 1)
+
+    def _bigrams(wsv: Column) -> Column:
+        return F.when(
+            F.size(wsv) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wsv) - 1),
+                lambda i: F.concat(
+                    F.element_at(wsv, i),
+                    F.lit(" "),
+                    F.element_at(wsv, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _z_of(bg: Column, wv: Column) -> Column:
+        contrib = F.transform(
+            bg,
+            lambda b: F.element_at(
+                wv, (_qclf_bucket(b, n_buckets) + 1).cast("int")
+            ),
+        )
+        n_bi = F.size(bg)
+        # sequential left fold — the same summation order as DuckDB
+        # list_sum in the qclf_sql mirror
+        return F.lit(float(bias)) + F.when(
+            n_bi > 0,
+            F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+            / n_bi,
+        ).otherwise(F.lit(0.0))
+
+    # every reused stage rides in ONE struct element: the tokenizer (a
+    # regex split — would otherwise re-run per bigram), the 64-literal
+    # weight array (would otherwise be rebuilt per element), the bigram
+    # array, and z each evaluate exactly once per row
+    packed = F.struct(words(col).alias("ws"), W.alias("w"))
+    score = _once(
+        packed,
+        lambda r: _once(
+            F.struct(_bigrams(r["ws"]).alias("bg"), r["w"].alias("w")),
+            lambda r2: _once(
+                _z_of(r2["bg"], r2["w"]),
+                lambda z: F.lit(0.5)
+                + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)),
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    contrib = F.transform(
-        bigr,
-        lambda b: F.element_at(
-            W, (_qclf_bucket(b, n_buckets) + 1).cast("int")
-        ),
     )
-    n_bi = F.size(bigr)
-    # sequential left fold — the same summation order as DuckDB list_sum
-    z = F.lit(float(bias)) + F.when(
-        n_bi > 0,
-        F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x) / n_bi,
-    ).otherwise(F.lit(0.0))
-    return F.round(
-        F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)), round_dp
-    )
+    return F.round(score, round_dp)
 
 
 def quality_clf_gate(df, threshold: float = 0.5, text_col: str = "text"):
