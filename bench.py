@@ -453,12 +453,16 @@ def query_drift(queries: dict[str, float]) -> dict[str, dict]:
     VM's throttle noise is ±25% on single walls even at min-of-3, so the
     20% flag is a TRIPWIRE asking for a plan diff, not proof.
 
-    History rows are NOT filtered by corpus_version: headline queries read
-    the driver-fixed sf tables (documents/embeddings/events...), which do
-    not change with the synthetic-corpus class mix, so older rows remain
-    valid comparables. Rows from the pre-round-3 single-shot timing
-    methodology were excluded at seed time (interleaved min-of-3 alone
-    moved some walls 2.5x)."""
+    History rows are NOT filtered by corpus_version. For most headline
+    queries that is sound — they read the driver-fixed sf tables
+    (documents/embeddings/events...), which do not change with the
+    synthetic-corpus class mix. The EXTRACTION family is the exception:
+    extract_* synthesize their payloads from the class table, so a class
+    mix change moves their walls by input composition — those queries get
+    EXPECTED_DRIFT entries for the transition window instead (prune once
+    the history window is all post-change runs). Rows from the
+    pre-round-3 single-shot timing methodology were excluded at seed time
+    (interleaved min-of-3 alone moved some walls 2.5x)."""
     import statistics
 
     hist = _load_history()

@@ -904,6 +904,7 @@ def _descendant_font(
 
 
 _ORDERING_RE = re.compile(rb"/Ordering\s*\(\s*([A-Za-z0-9\-]+)\s*\)")
+_REGISTRY_ADOBE_RE = re.compile(rb"/Registry\s*\(\s*Adobe\s*\)")
 
 
 def _ordering_latin_decoder(
@@ -926,6 +927,12 @@ def _ordering_latin_decoder(
 
     desc = _descendant_font(objects, body)
     if not desc:
+        return None
+    # BOTH halves of the /CIDSystemInfo must match: the Latin-prefix claim
+    # is about the ADOBE collections specifically — a custom registry
+    # reusing an ordering name (Registry (FooCorp) / Ordering (GB1)) has
+    # arbitrary CID semantics and must stay honest-empty
+    if not _REGISTRY_ADOBE_RE.search(desc):
         return None
     om = _ORDERING_RE.search(desc)
     if not om or om.group(1) not in CID_LATIN_ORDERINGS:

@@ -860,12 +860,23 @@ def embedding_neardup_lsh(
 
 
 # ----------------------------------------------------- ExactSubstr removal
+def _tokenized_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws): the fanned-out tokenized frame shared by span discovery
+    and subtraction — built ONCE per exact_substr_dedup call so the two
+    consumers share lineage (the fan-out exchange is reused; rebuilding it
+    independently would tokenize the corpus twice)."""
+    return ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", words(text_col).alias("ws"))
+
+
 def exact_substr_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Merged duplicated-span extents per document — the discovery half of
     the Lee et al. "Deduplicating Training Data Makes Language Models
@@ -898,9 +909,10 @@ def exact_substr_spans(
 
     if k < 2:
         raise ValueError("k must be >= 2 (a 1-token window removes words)")
-    base = ensure_min_partitions(
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-    ).select("id", words(text_col).alias("ws"))
+    base = (
+        _base if _base is not None
+        else _tokenized_base(df, id_col, text_col)
+    )
     pos = (
         base.filter(F.size("ws") >= k)
         .select(
@@ -965,14 +977,14 @@ def exact_substr_dedup(
     extents (O(tokens × extents) with extents small by construction —
     merging collapses every run of overlapping windows to one row); docs
     with no duplicated span pass through whole via the left join."""
-    spans = exact_substr_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    base = _tokenized_base(df, id_col, text_col)
+    spans = exact_substr_spans(
+        df, id_col, text_col, k=k, min_docs=min_docs, _base=base
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
     )
-    base = ensure_min_partitions(
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-    ).select("id", words(text_col).alias("ws"))
     return (
         base.join(
             per_doc.withColumnRenamed(id_col, "id"), "id", "left"

@@ -177,14 +177,23 @@ def ivf_pq_topk(
     residuals as Jégou's IVFADC does) — the oracle-mirrorable simplification:
     the Lloyd's replay stays k·m tiny runs over one list. At production
     scale the fit is a one-off build step; the query path is the cheap
-    part being demonstrated."""
+    part being demonstrated.
+
+    CALLER CONTRACT: the selected list is ``.cache()``d internally (the
+    per-subspace Lloyd's jobs would otherwise rescan the source ~10×) and
+    the returned frame is lazy, so this function cannot unpersist —
+    repeat callers in one session should ``spark.catalog.clearCache()``
+    between invocations (bench.py does)."""
     from pbx_ds_ocr_server_spark.operators.similarity import ivf_best_label
 
     best = ivf_best_label(
         df, query_vec, vec_col=vec_col, label_col=label_col,
         round_dp=round_dp,
     )
-    cand = df.filter(F.col(label_col) == best)
+    # ONE inverted list (small by construction) feeds ~10 driver-side
+    # jobs: per-subspace init collects + Lloyd iteration aggs, the encode
+    # and the final ranking — cache it or every job rescans the source
+    cand = df.filter(F.col(label_col) == best).cache()
     codebooks = pq_fit(
         cand,
         dims=len(query_vec),

@@ -1903,3 +1903,13 @@ def test_cid_cff_corpus_class_round_trip():
     pages = extract_pdf(_mk(pages_in, font="cid_latin"))
     expected = ["\n\n".join(s for _, _, s in pg) for pg in pages_in]
     assert [p.text for p in pages] == expected
+
+
+def test_cid_latin_requires_adobe_registry():
+    """A custom registry reusing an Adobe ordering NAME has arbitrary CID
+    semantics — must stay honest-empty, not decode as the Latin prefix."""
+    pdf = _cid_latin_pdf("abc")
+    forged = pdf.replace(b"/Registry (Adobe)", b"/Registry (FooCorp)")
+    assert forged != pdf
+    pages = extract_pdf(forged)
+    assert [p.text for p in pages] == [""]
