@@ -512,7 +512,14 @@ def _ann_ivf_pq_sql(
     unrolled Lloyd's (centroid_round_dp=5, same init/tie/empty-cluster
     rules as the ann_ivf_kmeans mirror), nearest-code assignment, and
     asymmetric-distance tables rounded to 5dp per entry before the ADC
-    sum — bit-identical to the driver-side adc_tables half-away rounding."""
+    sum — bit-identical to the driver-side adc_tables half-away rounding.
+
+    Every DISTANCE here is summed with list_sum over an ascending-index
+    list_transform — the same sequential order as Spark's aggregate fold
+    in _sqdist — so a near-tie between codes cannot flip between engines
+    on summation-order ulps (the melt-join GROUP BY sum form would sum in
+    unspecified order). Means stay GROUP BY avg on both sides: they are
+    rounded to 5dp each iteration, which absorbs order ulps."""
     sub = dims // m
     parts = [
         f"""q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
@@ -552,67 +559,77 @@ def _ann_ivf_pq_sql(
             WHERE rn <= {ks}
         )"""
     ]
-    for s in range(m):
-        off = s * sub
-        parts.append(f"""ms{s} AS (
+
+    def sq(vec_expr: str, cv_expr: str, off: int) -> str:
+        # ascending-index sequential sum == Spark's aggregate fold order
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub}),"
+            f" j -> ({vec_expr}[j + {off}] - {cv_expr}[j])"
+            f" * ({vec_expr}[j + {off}] - {cv_expr}[j])))"
+        )
+
+    for s_i in range(m):
+        off = s_i * sub
+        parts.append(f"""ms{s_i} AS (
             SELECT vec_id, d - 1 AS dim, v[d + {off}] AS val
             FROM base, UNNEST(generate_series(1, {sub})) AS t(d)
         ),
-        s{s}c0 AS (
+        s{s_i}c0 AS (
             SELECT i.ci, mm.dim, mm.val AS c
-            FROM init i JOIN ms{s} mm ON mm.vec_id = i.vec_id
+            FROM init i JOIN ms{s_i} mm ON mm.vec_id = i.vec_id
+        ),
+        s{s_i}cl0 AS (
+            SELECT ci, list(c ORDER BY dim) AS cv
+            FROM s{s_i}c0 GROUP BY ci
         )""")
         for it in range(1, iters + 1):
-            prev = f"s{s}c{it - 1}"
-            parts.append(f"""s{s}a{it} AS (
-            SELECT mm.vec_id, {prev}.ci,
-                   sum((mm.val - {prev}.c) * (mm.val - {prev}.c)) AS dist
-            FROM ms{s} mm JOIN {prev} ON mm.dim = {prev}.dim
-            GROUP BY 1, 2
+            prev = f"s{s_i}c{it - 1}"
+            prevl = f"s{s_i}cl{it - 1}"
+            parts.append(f"""s{s_i}a{it} AS (
+            SELECT b.vec_id, cl.ci,
+                   {sq('b.v', 'cl.cv', off)} AS dist
+            FROM base b, {prevl} cl
         ),
-        s{s}asg{it} AS (
+        s{s_i}asg{it} AS (
             SELECT vec_id, ci AS cluster FROM (
                 SELECT vec_id, ci, row_number() OVER (
                     PARTITION BY vec_id ORDER BY dist, ci) AS rn
-                FROM s{s}a{it})
+                FROM s{s_i}a{it})
             WHERE rn = 1
         ),
-        s{s}u{it} AS (
+        s{s_i}u{it} AS (
             SELECT g.cluster AS ci, mm.dim, round(avg(mm.val), 5) AS c
-            FROM ms{s} mm JOIN s{s}asg{it} g USING (vec_id) GROUP BY 1, 2
+            FROM ms{s_i} mm JOIN s{s_i}asg{it} g USING (vec_id) GROUP BY 1, 2
         ),
-        s{s}c{it} AS (
+        s{s_i}c{it} AS (
             SELECT p.ci, p.dim, coalesce(u.c, p.c) AS c
-            FROM {prev} p LEFT JOIN s{s}u{it} u
+            FROM {prev} p LEFT JOIN s{s_i}u{it} u
               ON u.ci = p.ci AND u.dim = p.dim
+        ),
+        s{s_i}cl{it} AS (
+            SELECT ci, list(c ORDER BY dim) AS cv
+            FROM s{s_i}c{it} GROUP BY ci
         )""")
-        cz = f"s{s}c{iters}"
-        parts.append(f"""code{s} AS (
+        clz = f"s{s_i}cl{iters}"
+        parts.append(f"""code{s_i} AS (
             SELECT vec_id, ci AS code FROM (
-                SELECT mm.vec_id, {cz}.ci, row_number() OVER (
-                    PARTITION BY mm.vec_id ORDER BY
-                    sum((mm.val - {cz}.c) * (mm.val - {cz}.c)), {cz}.ci
-                ) AS rn
-                FROM ms{s} mm JOIN {cz} ON mm.dim = {cz}.dim
-                GROUP BY 1, 2)
+                SELECT b.vec_id, cl.ci, row_number() OVER (
+                    PARTITION BY b.vec_id ORDER BY
+                    {sq('b.v', 'cl.cv', off)}, cl.ci) AS rn
+                FROM base b, {clz} cl)
             WHERE rn = 1
         ),
-        qm{s} AS (
-            SELECT d - 1 AS dim, e[d + {off}] AS val
-            FROM q, UNNEST(generate_series(1, {sub})) AS t(d)
-        ),
-        dt{s} AS (
-            SELECT {cz}.ci,
-                   floor(sum((qm.val - {cz}.c) * (qm.val - {cz}.c))
+        dt{s_i} AS (
+            SELECT cl.ci,
+                   floor({sq('q.e', 'cl.cv', off)}
                          * 100000 + 0.5) / 100000 AS d
-            FROM qm{s} qm JOIN {cz} ON qm.dim = {cz}.dim
-            GROUP BY 1
+            FROM q, {clz} cl
         )""")
-    adc = " + ".join(f"dt{s}.d" for s in range(m))
+    adc = " + ".join(f"dt{s_i}.d" for s_i in range(m))
     joins = " ".join(
-        f"JOIN code{s} ON code{s}.vec_id = b.vec_id"
-        f" JOIN dt{s} ON dt{s}.ci = code{s}.code"
-        for s in range(m)
+        f"JOIN code{s_i} ON code{s_i}.vec_id = b.vec_id"
+        f" JOIN dt{s_i} ON dt{s_i}.ci = code{s_i}.code"
+        for s_i in range(m)
     )
     body = ",\n        ".join(parts)
     return f"""

@@ -818,14 +818,10 @@ def pdf_pages_for(
 
 # ----------------------------------------------------------- raster writers
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    import zlib as _zlib
+    # single source of truth for chunk framing: the pixel codec's writer
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_chunk
 
-    return (
-        len(data).to_bytes(4, "big")
-        + ctype
-        + data
-        + _zlib.crc32(ctype + data).to_bytes(4, "big")
-    )
+    return png_chunk(ctype, data)
 
 
 def make_png(text_items: list[tuple[str, str]], w: int = 4, h: int = 4) -> bytes:

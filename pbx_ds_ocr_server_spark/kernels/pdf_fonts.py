@@ -540,8 +540,8 @@ def _parse_cmap_format4(sub: bytes) -> dict[int, int] | None:
         return None
     seg_x2 = _u16(sub, 6)
     seg = seg_x2 // 2
-    if seg == 0 or 14 + 4 * seg_x2 > len(sub):
-        return None
+    if seg == 0:
+        return None  # bounds: the ro_base check below covers all lengths
     end_base = 14
     start_base = end_base + seg_x2 + 2  # + reservedPad
     delta_base = start_base + seg_x2

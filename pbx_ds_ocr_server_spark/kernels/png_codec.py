@@ -106,7 +106,7 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         raw = d.decompress(bytes(idat), expected)
     except zlib.error as e:
         raise PngUnsupported(f"IDAT inflate failed: {e}") from None
-    if len(raw) != expected or (d.unconsumed_tail and True):
+    if len(raw) != expected or d.unconsumed_tail:
         raise PngUnsupported(
             f"scanline bytes {len(raw)} != expected {expected}"
         )
@@ -139,7 +139,9 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
-def _chunk(ctype: bytes, data: bytes) -> bytes:
+def png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """length + type + data + crc32 framing — shared with the corpus
+    generator so the two writers cannot drift."""
     return (
         struct.pack(">I", len(data))
         + ctype
@@ -158,6 +160,10 @@ def png_encode(
     """Encode raw row-major pixel bytes. ``filter_cycle`` applies filter
     ``y % 5`` to row y (all five filter paths round-trip through decode);
     False writes filter 0 everywhere."""
+    if color_type not in _CHANNELS:
+        raise ValueError(
+            f"colour type {color_type} out of scope (grey/RGB/RGBA only)"
+        )
     channels = _CHANNELS[color_type]
     stride = width * channels
     if len(pixels) != height * stride:
@@ -190,9 +196,9 @@ def png_encode(
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         PNG_MAGIC
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
-        + _chunk(b"IEND", b"")
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + png_chunk(b"IEND", b"")
     )
 
 

@@ -64,6 +64,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_round_dp: int | None = None,
+    init_centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Train k centroids; returns them as plain lists (driver-side, tiny).
 
@@ -74,14 +75,21 @@ def kmeans_fit(
     what lets the driver hash-check this iterative algorithm against a
     DuckDB mirror: unrounded, an ulp in one mean can flip a borderline
     assignment next iteration and cascade. None (default) keeps full
-    precision."""
-    init_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    precision.
+
+    ``init_centroids`` overrides the md5-order init collect — callers that
+    already hold the init vectors (pq_fit runs one Lloyd's per subspace
+    over the SAME rows) skip m-1 redundant sort+collect jobs."""
+    if init_centroids is not None:
+        centroids = [list(map(float, c)) for c in init_centroids]
+    else:
+        init_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dims = len(centroids[0])
     mean_expr = F.avg("v")
     if centroid_round_dp is not None:

@@ -54,6 +54,16 @@ def pq_fit(
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sub_dims = dims // m
     v = as_double_array(vec_col)
+    # ONE init collect (the md5-order pick selects the same ROWS for every
+    # subspace); slice the collected vectors driver-side instead of
+    # re-running the sort+collect job m times
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ks)
+        .collect()
+    )
+    init_full = [[float(x) for x in r[vec_col]] for r in init_rows]
     out = []
     for s in range(m):
         sliced = df.select(
@@ -68,6 +78,9 @@ def pq_fit(
                 id_col=id_col,
                 vec_col=vec_col,
                 centroid_round_dp=centroid_round_dp,
+                init_centroids=[
+                    c[s * sub_dims : (s + 1) * sub_dims] for c in init_full
+                ],
             )
         )
     return out
