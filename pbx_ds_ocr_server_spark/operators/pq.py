@@ -203,9 +203,10 @@ def ivf_pq_topk(
         df, query_vec, vec_col=vec_col, label_col=label_col,
         round_dp=round_dp,
     )
-    # ONE inverted list (small by construction) feeds ~10 driver-side
-    # jobs: per-subspace init collects + Lloyd iteration aggs, the encode
-    # and the final ranking — cache it or every job rescans the source
+    # ONE inverted list (small by construction) feeds several driver-side
+    # jobs: the shared init collect, each subspace's Lloyd iteration aggs,
+    # the encode and the final ranking — cache it or every job rescans the
+    # source
     cand = df.filter(F.col(label_col) == best).cache()
     codebooks = pq_fit(
         cand,
