@@ -418,14 +418,12 @@ EXPECTED_DRIFT = {
                        " decode + feature join (round 6)",
     # corpus v10 (round 6) appended 2 PDF font classes (41 -> 43 table
     # entries): every doc's class re-hashed and the PDF share rose — the
-    # extraction family costs more per doc by input composition, not by a
-    # plan regression. Prune once the history window is all post-v10 runs.
+    # TIMED extraction queries cost more per doc by input composition, not
+    # by a plan regression (only HEADLINE members need entries here).
+    # Prune once the history window is all post-v10 runs.
     "extract_plain": "corpus v10: +2 PDF classes, higher PDF share",
     "extract_boiler": "corpus v10: +2 PDF classes, higher PDF share",
-    "extract_span_stats": "corpus v10: +2 PDF classes, higher PDF share",
-    "extract_plain_strict": "corpus v10: +2 PDF classes, higher PDF share",
     "extract_markdown": "corpus v10: +2 PDF classes, higher PDF share",
-    "extract_status_counts": "corpus v10: +2 PDF classes, higher PDF share",
 }
 
 

@@ -904,7 +904,41 @@ def _descendant_font(
 
 
 _ORDERING_RE = re.compile(rb"/Ordering\s*\(\s*([A-Za-z0-9\-]+)\s*\)")
+_ORDERING_HEX_RE = re.compile(rb"/Ordering\s*<([0-9A-Fa-f\s]+)>")
 _REGISTRY_ADOBE_RE = re.compile(rb"/Registry\s*\(\s*Adobe\s*\)")
+_REGISTRY_HEX_RE = re.compile(rb"/Registry\s*<([0-9A-Fa-f\s]+)>")
+_CIDSYSINFO_REF_RE = re.compile(rb"/CIDSystemInfo\s+(\d+)\s+\d+\s+R")
+
+
+def _hex_string(m: "re.Match | None") -> bytes | None:
+    if not m:
+        return None
+    try:
+        return bytes.fromhex(
+            b"".join(m.group(1).split()).decode("ascii")
+        )
+    except ValueError:
+        return None
+
+
+def _cid_system_info(
+    objects: dict[int, bytes], desc: bytes
+) -> tuple[bool, bytes | None]:
+    """(registry is Adobe, ordering) from a descendant font's
+    /CIDSystemInfo — the inline dict or the equally-legal indirect form
+    (``/CIDSystemInfo N 0 R``), literal or hex string values."""
+    src = desc
+    rm = _CIDSYSINFO_REF_RE.search(desc)
+    if rm:
+        src = objects.get(int(rm.group(1)), b"") or desc
+    registry_adobe = bool(_REGISTRY_ADOBE_RE.search(src)) or (
+        _hex_string(_REGISTRY_HEX_RE.search(src)) == b"Adobe"
+    )
+    om = _ORDERING_RE.search(src)
+    ordering = (
+        om.group(1) if om else _hex_string(_ORDERING_HEX_RE.search(src))
+    )
+    return registry_adobe, ordering
 
 
 def _ordering_latin_decoder(
@@ -932,10 +966,8 @@ def _ordering_latin_decoder(
     # is about the ADOBE collections specifically — a custom registry
     # reusing an ordering name (Registry (FooCorp) / Ordering (GB1)) has
     # arbitrary CID semantics and must stay honest-empty
-    if not _REGISTRY_ADOBE_RE.search(desc):
-        return None
-    om = _ORDERING_RE.search(desc)
-    if not om or om.group(1) not in CID_LATIN_ORDERINGS:
+    registry_adobe, ordering = _cid_system_info(objects, desc)
+    if not registry_adobe or ordering not in CID_LATIN_ORDERINGS:
         return None
     return FontDecoder("cmap", cmap=cid_latin_cmap(), width=2)
 

@@ -34,8 +34,13 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # grey, RGB, RGBA
 
-# refuse absurd headers before allocating: 64 MPx ≈ 256 MB RGBA raw
-MAX_PIXELS = 64 * 1024 * 1024
+# Cap decode WORK, not just allocation: this is a per-byte pure-Python
+# unfilter loop, so the bound must be what the loop can actually chew in
+# bounded time, matching the PDF kernel's capped-cost-per-doc convention
+# (_MAX_CMAP_ENTRIES, the 0x10000 CIDToGIDMap cap). 2 MPx covers
+# 1920x1080; an in-bounds worst case (RGBA, all-Paeth rows) is ~8M loop
+# iterations ≈ seconds, not the minutes+GB a 64 MPx bound would permit.
+MAX_PIXELS = 2 * 1024 * 1024
 
 
 class PngUnsupported(ValueError):

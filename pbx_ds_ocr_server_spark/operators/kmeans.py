@@ -57,6 +57,24 @@ def assign_clusters(
     )
 
 
+
+def md5_init_vectors(
+    df: DataFrame, k: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means init: the k vectors with the smallest
+    md5(id), ties on id — THE init rule, shared by kmeans_fit and
+    operators/pq.pq_fit so the unrolled DuckDB mirrors (which replay this
+    exact ORDER BY) can never desynchronize from one copy drifting."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -83,13 +101,7 @@ def kmeans_fit(
     if init_centroids is not None:
         centroids = [list(map(float, c)) for c in init_centroids]
     else:
-        init_rows = (
-            df.select(id_col, vec_col)
-            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(k)
-            .collect()
-        )
-        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+        centroids = md5_init_vectors(df, k, id_col, vec_col)
     dims = len(centroids[0])
     mean_expr = F.avg("v")
     if centroid_round_dp is not None:

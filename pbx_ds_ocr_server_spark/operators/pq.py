@@ -54,16 +54,12 @@ def pq_fit(
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sub_dims = dims // m
     v = as_double_array(vec_col)
-    # ONE init collect (the md5-order pick selects the same ROWS for every
-    # subspace); slice the collected vectors driver-side instead of
-    # re-running the sort+collect job m times
-    init_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(ks)
-        .collect()
-    )
-    init_full = [[float(x) for x in r[vec_col]] for r in init_rows]
+    # ONE init collect (the shared md5-order rule selects the same ROWS
+    # for every subspace); slice the collected vectors driver-side instead
+    # of re-running the sort+collect job m times
+    from pbx_ds_ocr_server_spark.operators.kmeans import md5_init_vectors
+
+    init_full = md5_init_vectors(df, ks, id_col, vec_col)
     out = []
     for s in range(m):
         sliced = df.select(

@@ -1913,3 +1913,31 @@ def test_cid_latin_requires_adobe_registry():
     assert forged != pdf
     pages = extract_pdf(forged)
     assert [p.text for p in pages] == [""]
+
+
+def test_cid_latin_indirect_cidsysteminfo_resolves():
+    """The equally-legal indirect form (/CIDSystemInfo N 0 R) must decode
+    the same Latin prefix as the inline dict."""
+    text = "indirect system info"
+    shown = "".join(f"{ord(c) - 31:04x}" for c in text)
+    stream = f"BT /F1 12 Tf 72 700 Td <{shown}> Tj ET".encode()
+    t0 = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /S"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>"
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /S"
+        b" /CIDSystemInfo 7 0 R >>"
+    )
+    csi = (
+        b"<< /Registry (Adobe) /Ordering (Japan1) /Supplement 2 >>"
+    )
+    pages = extract_pdf(_r6_one_page_pdf(stream, [t0, desc, csi]))
+    assert [p.text for p in pages] == [text]
+    # hex-string forms of both values resolve too
+    csi_hex = (
+        b"<< /Registry <41646F6265> /Ordering <4A6170616E31>"
+        b" /Supplement 2 >>"
+    )
+    pages = extract_pdf(_r6_one_page_pdf(stream, [t0, desc, csi_hex]))
+    assert [p.text for p in pages] == [text]
