@@ -274,7 +274,7 @@ def _multimodal_meta_sql() -> str:
                                + (8 + d.doc_id % 7 - 1) / 2.0, 4)
                     END AS luma_mean,
                round(ent.e, 4) AS luma_entropy,
-               CASE WHEN d.doc_id % 3 = 0 THEN CAST(1 AS INT) END AS dims_ok
+               CASE WHEN d.doc_id % 3 = 0 THEN CAST(1 AS INT) END AS decode_ok
         FROM documents d
         LEFT JOIN ent ON d.doc_id % 3 = 0
                      AND ent.w = 8 + d.doc_id % 9
@@ -1054,8 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("luma_mean", 4).alias("luma_mean"),
             F.round("luma_entropy", 4).alias("luma_entropy"),
             # int, not boolean: a nullable bool round-trips as None-vs-NaN
-            # dtype soup in the pandas compare; 1/0/NULL is stable
-            F.col("dims_ok").cast("int").alias("dims_ok"),
+            # dtype soup in the pandas compare; 1/NULL is stable
+            F.col("decode_ok").cast("int").alias("decode_ok"),
         )
 
     q["multimodal_meta"] = multimodal_meta

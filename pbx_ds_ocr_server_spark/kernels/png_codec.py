@@ -54,13 +54,16 @@ def _chunks(payload: bytes):
     while i + 8 <= n:
         (length,) = struct.unpack(">I", payload[i : i + 4])
         ctype = payload[i + 4 : i + 8]
-        data = payload[i + 8 : i + 8 + length]
-        if len(data) < length:
+        # the FULL chunk (data + 4-byte CRC) must be present: a payload
+        # cut inside the trailing CRC is as truncated as one cut inside
+        # the data, and must decline the same way
+        if i + 12 + length > n:
             raise PngUnsupported("truncated chunk")
-        yield ctype, data
+        yield ctype, payload[i + 8 : i + 8 + length]
         i += 12 + length  # length + type + data + crc
         if ctype == b"IEND":
             return
+    raise PngUnsupported("missing IEND")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -84,6 +87,10 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     idat = bytearray()
     for ctype, data in _chunks(payload):
         if ctype == b"IHDR":
+            # spec (11.2.2): IHDR is the FIRST chunk and appears once — a
+            # second IHDR is a forgery vector (header-vs-pixels mismatch)
+            if width is not None:
+                raise PngUnsupported("duplicate IHDR")
             if len(data) < 13:
                 raise PngUnsupported("short IHDR")
             width, height, depth, color, comp, filt, interlace = (
@@ -165,6 +172,8 @@ def png_encode(
     """Encode raw row-major pixel bytes. ``filter_cycle`` applies filter
     ``y % 5`` to row y (all five filter paths round-trip through decode);
     False writes filter 0 everywhere."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
     if color_type not in _CHANNELS:
         raise ValueError(
             f"colour type {color_type} out of scope (grey/RGB/RGBA only)"

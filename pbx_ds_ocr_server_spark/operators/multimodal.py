@@ -134,7 +134,7 @@ def binary_metadata(
 
 PIXEL_SCHEMA = (
     "id bigint, px_width int, px_height int, channels int, n_px bigint,"
-    " luma_mean double, luma_entropy double, dims_ok boolean"
+    " luma_mean double, luma_entropy double, decode_ok boolean"
 )
 
 
@@ -142,10 +142,12 @@ def png_pixel_features(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
     """(id, payload:binary) → decoded-pixel curation features per PNG:
-    verified dimensions (``dims_ok`` = decoded size equals the IHDR header
-    — a truncated or bombed IDAT can't masquerade as a valid image),
-    luminance mean and byte entropy of the luminance plane. Non-PNG and
-    undecodable payloads yield a row with null features (``dims_ok`` null)
+    luminance mean and byte entropy of the luminance plane, plus
+    ``decode_ok`` = the payload fully decoded (the codec itself REJECTS
+    header-vs-scanline mismatches, duplicate-IHDR forgeries, truncation
+    and bombs — so a true flag means verified-consistent pixels, and a
+    truncated or bombed IDAT lands in the null row, never a fake true).
+    Non-PNG and undecodable payloads yield a row with null features
     rather than dropping — curation gates decide, the operator reports.
 
     One Arrow-batched ``mapInPandas`` pass, same shape as
@@ -156,7 +158,7 @@ def png_pixel_features(
     src = df.selectExpr(f"{id_col} as id", f"{bin_col} as payload")
     cols = [
         "id", "px_width", "px_height", "channels", "n_px",
-        "luma_mean", "luma_entropy", "dims_ok",
+        "luma_mean", "luma_entropy", "decode_ok",
     ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,9 +173,8 @@ def png_pixel_features(
                 except ValueError:  # non-PNG / unsupported / inconsistent
                     rows.append(row)
                     continue
-                hdr = png_dimensions(p)
                 row.update(st)
-                row["dims_ok"] = hdr == (st["px_width"], st["px_height"])
+                row["decode_ok"] = True
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -225,6 +226,10 @@ def with_synthetic_png_payloads(
                 ids.append(r.id)
                 if r.id % every == 0:
                     payloads.append(synthetic_gradient_png(int(r.id)))
+                elif r.text is None:
+                    # propagate NULL like the F.encode path this replaced
+                    # (str(None) would fabricate a b"None" payload)
+                    payloads.append(None)
                 else:
                     payloads.append(str(r.text).encode("utf-8"))
             yield pd.DataFrame({"id": ids, "payload": payloads})

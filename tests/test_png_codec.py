@@ -162,11 +162,11 @@ def test_png_pixel_features_mixed_payloads(spark):
     df = spark.createDataFrame(rows, "id bigint, payload binary")
     out = {r.id: r.asDict() for r in png_pixel_features(df).collect()}
     assert out[0]["px_width"] == 8 and out[0]["px_height"] == 8
-    assert out[0]["dims_ok"] is True and out[0]["channels"] == 1
+    assert out[0]["decode_ok"] is True and out[0]["channels"] == 1
     assert out[3]["channels"] == 3  # odd seed -> RGB
     assert out[3]["luma_mean"] == (3 % 64) + (8 + 3 % 9 - 1) / 2 + (8 + 3 % 7 - 1) / 2
     for bad in (1, 2):  # non-png and truncated: null features, not a drop
-        assert out[bad]["px_width"] is None and out[bad]["dims_ok"] is None
+        assert out[bad]["px_width"] is None and out[bad]["decode_ok"] is None
 
 
 def test_with_synthetic_png_payloads_split(spark):
@@ -181,3 +181,44 @@ def test_with_synthetic_png_payloads_split(spark):
             assert out[i] == synthetic_gradient_png(i)
         else:
             assert out[i] == f"text {i}".encode()
+
+
+def test_truncated_final_crc_declines():
+    """A payload cut inside the LAST chunk's CRC is as truncated as one
+    cut inside its data — both decline typed."""
+    full = png_encode(4, 4, bytes(16), 0)
+    with pytest.raises(PngUnsupported):
+        png_decode(full[:-2])  # 2 bytes of IEND's CRC missing
+
+
+def test_missing_iend_declines():
+    full = png_encode(4, 4, bytes(16), 0)
+    with pytest.raises(PngUnsupported):
+        png_decode(full[: len(full) - 12])  # whole IEND chunk dropped
+
+
+def test_duplicate_ihdr_forgery_declines():
+    """IHDR must appear once (spec 11.2.2): a second header claiming
+    different dimensions is a forgery vector, not a bigger image."""
+    full = png_encode(4, 4, bytes(16), 0)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_chunk
+
+    forged = full[:33] + png_chunk(b"IHDR", ihdr2) + full[33:]
+    with pytest.raises(PngUnsupported, match="duplicate IHDR"):
+        png_decode(forged)
+
+
+def test_encode_rejects_zero_dimensions():
+    with pytest.raises(ValueError, match="positive"):
+        png_encode(0, 5, b"")
+
+
+def test_null_text_payload_propagates_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r.id: r.payload for r in
+           with_synthetic_png_payloads(df, every=3).collect()}
+    assert out[1] is None  # NOT the fabricated b"None"
+    assert bytes(out[3])[:8] == b"\x89PNG\r\n\x1a\n"  # png ids unaffected
