@@ -47,7 +47,6 @@ from pbx_ds_ocr_server_spark.operators.dedup import (
     minhash_signatures,
 )
 from pbx_ds_ocr_server_spark.operators.extract import extract
-from pbx_ds_ocr_server_spark.operators.multimodal import binary_metadata
 from pbx_ds_ocr_server_spark.operators.similarity import (
     brute_force_topk,
     with_lsh_bucket,
@@ -1019,7 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PNG byte length/digest aren't SQL-predictable (zlib), so those
         # two stay text-rows-only by construction.
         from pbx_ds_ocr_server_spark.operators.multimodal import (
-            png_pixel_features,
+            binary_pixel_metadata,
             with_synthetic_png_payloads,
         )
 
@@ -1030,19 +1029,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fan the NARROW (doc_id, text) frame out BEFORE synthesis (driver
         # parquet is single-row-group -> one partition; the per-row zlib
         # encode + scanline decode would otherwise run on 1 of 32 cores)
-        # and cache the payloads: the metadata and pixel branches would
-        # otherwise each re-run the synthesis lineage. Same clearCache
-        # caller contract as corpus_curation.
         payloads = with_synthetic_png_payloads(
             ensure_min_partitions(
                 _docs(spark, sf).select("doc_id", "text")
             ),
             every=3,
-        ).cache()
-        meta = binary_metadata(payloads, id_col="id")
-        pix = png_pixel_features(payloads, id_col="id")
+        )
+        # FUSED pass (round-6 review): one payload scan, no id join — the
+        # composable binary_metadata/png_pixel_features pair stays
+        # pytest-covered; the slot runs the hot-path shape
+        meta = binary_pixel_metadata(payloads, id_col="id")
         is_text = F.col("kind") != "png"
-        return meta.join(pix, "id").select(
+        return meta.select(
             "id",
             F.when(is_text, F.col("n_bytes")).alias("n_bytes"),
             "kind",

@@ -911,12 +911,16 @@ _CIDSYSINFO_REF_RE = re.compile(rb"/CIDSystemInfo\s+(\d+)\s+\d+\s+R")
 
 
 def _hex_string(m: "re.Match | None") -> bytes | None:
+    """PDF hex-string value: whitespace stripped, odd digit count padded
+    with a trailing zero (ISO 32000-1 §7.3.4.3 — the same rule the show-
+    string and ASCIIHex decoders apply)."""
     if not m:
         return None
+    h = b"".join(m.group(1).split())
+    if len(h) % 2:
+        h += b"0"
     try:
-        return bytes.fromhex(
-            b"".join(m.group(1).split()).decode("ascii")
-        )
+        return bytes.fromhex(h.decode("ascii"))
     except ValueError:
         return None
 

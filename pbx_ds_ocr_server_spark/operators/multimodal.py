@@ -181,6 +181,65 @@ def png_pixel_features(
     return src.mapInPandas(run, schema=PIXEL_SCHEMA)
 
 
+FULL_SCHEMA = (
+    "id bigint, n_bytes bigint, kind string, width int, height int,"
+    " digest string, channels int, n_px bigint, luma_mean double,"
+    " luma_entropy double, decode_ok boolean"
+)
+
+
+def binary_pixel_metadata(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """:func:`binary_metadata` + :func:`png_pixel_features` FUSED into one
+    Arrow-batched pass: every payload byte is read once, the header parse
+    is shared, and there is no id join afterwards (each separate
+    mapInPandas discards partitioning, so composing the two operators
+    costs a second Python pass plus a shuffle on both sides of the join —
+    the composable forms stay available, this is the hot-path shape)."""
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_pixel_stats
+
+    src = df.selectExpr(f"{id_col} as id", f"{bin_col} as payload")
+    pixel_cols = [
+        "channels", "n_px", "luma_mean", "luma_entropy", "decode_ok",
+    ]
+    cols = [
+        "id", "n_bytes", "kind", "width", "height", "digest", *pixel_cols,
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                p = bytes(r.payload) if r.payload is not None else b""
+                dims = png_dimensions(p) or jpeg_dimensions(p)
+                row = {c: None for c in cols}
+                row.update(
+                    id=r.id,
+                    n_bytes=len(p),
+                    kind=sniff_kind(p),
+                    width=dims[0] if dims else None,
+                    height=dims[1] if dims else None,
+                    digest=hashlib.md5(p).hexdigest(),
+                )
+                try:
+                    st = png_pixel_stats(p)
+                except ValueError:
+                    pass  # non-PNG/undecodable: pixel columns stay null
+                else:
+                    row.update(
+                        channels=st["channels"],
+                        n_px=st["n_px"],
+                        luma_mean=st["luma_mean"],
+                        luma_entropy=st["luma_entropy"],
+                        decode_ok=True,
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=FULL_SCHEMA)
+
+
 def synthetic_gradient_png(seed: int) -> bytes:
     """Deterministic gradient PNG whose DECODED statistics have closed
     forms in ``seed`` — the multimodal analog of the sha256-class trick
