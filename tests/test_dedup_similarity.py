@@ -647,3 +647,54 @@ def test_exact_substr_shuffles_key_on_hash_or_id_only(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert keys, "expected at least one planned shuffle"
     assert set(keys) <= {"h", "id", "doc_id"}, keys
+
+
+def _exact_substr_py(docs, k=8, min_docs=2):
+    """Pure-Python reference: duplicated k-window discovery + union of
+    covered positions + subtraction — the oracle for the property test."""
+    toks = {i: t.split() for i, t in docs.items()}
+    owners = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            owners.setdefault(tuple(ws[p:p + k]), set()).add(i)
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - k + 1):
+            if len(owners[tuple(ws[p:p + k])]) >= min_docs:
+                covered.update(range(p, p + k))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        out[i] = (len(ws), len(covered), " ".join(kept))
+    return out
+
+
+def test_exact_substr_property_vs_python_reference(spark):
+    """Randomized corpora with planted shared runs: the Spark operator
+    must agree with the direct Python computation on every doc, under a
+    non-default partitioning (partition-invariance rides along)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{j}" for j in range(30)]
+    for trial in range(3):
+        shared = " ".join(rng.choices(vocab, k=rng.randint(8, 14)))
+        docs = {}
+        for i in range(12):
+            words_ = rng.choices(vocab, k=rng.randint(3, 25))
+            if i % 3 == 0:  # plant the shared run at a random position
+                pos = rng.randint(0, len(words_))
+                words_[pos:pos] = shared.split()
+            docs[i] = " ".join(words_)
+        want = _exact_substr_py(docs)
+        from pbx_ds_ocr_server_spark.operators.dedup import (
+            exact_substr_dedup,
+        )
+
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id int, text string"
+        ).repartition(7)
+        got = {
+            r.doc_id: (r.n_words, r.n_removed, r.text_clean)
+            for r in exact_substr_dedup(df, k=8).collect()
+        }
+        assert got == want, f"trial {trial}"
