@@ -90,17 +90,215 @@ def _set_ihdr_byte(png: bytes, off_in_ihdr: int, value: int) -> bytes:
     return bytes(b)
 
 
+def _fix_ihdr_crc(png: bytes) -> bytes:
+    """Recompute the IHDR CRC after a header mutation so the test hits the
+    semantic check, not the round-7 CRC verification."""
+    body = png[12:29]  # b'IHDR' + 13 data bytes
+    return (
+        png[:29]
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        + png[33:]
+    )
+
+
 def test_out_of_scope_forms_decline_typed():
+    """Round 7 absorbed palette/16-bit/Adam7 into scope; what remains
+    out-of-scope is invalid depth/colour-type combinations."""
     base = png_encode(4, 3, bytes(12), 0)
     for mut in (
-        _set_ihdr_byte(base, 8, 16),  # bit depth 16
-        _set_ihdr_byte(base, 9, 3),  # palette colour type
-        _set_ihdr_byte(base, 12, 1),  # Adam7 interlace
+        _set_ihdr_byte(base, 8, 4),  # depth 4 invalid for... (see below)
+        _set_ihdr_byte(base, 9, 5),  # colour type 5 does not exist
+        _set_ihdr_byte(base, 12, 2),  # interlace method 2 does not exist
     ):
         with pytest.raises(PngUnsupported):
-            png_decode(mut)
+            png_decode(_fix_ihdr_crc(mut))
+    # depth 4 IS valid for grey — pair it with RGB where it is not
+    rgb = png_encode(2, 2, bytes(12), 2)
+    with pytest.raises(PngUnsupported, match="bit depth 4"):
+        png_decode(_fix_ihdr_crc(_set_ihdr_byte(rgb, 8, 4)))
     with pytest.raises(ValueError):
         png_decode(b"not a png at all")
+
+
+def test_ihdr_byte_corruption_declines_on_crc():
+    """A bit-flipped but length-consistent header declines on the CRC
+    check (round-7 ADVICE closure) — never decodes to wrong pixels."""
+    base = png_encode(4, 3, bytes(12), 0)
+    with pytest.raises(PngUnsupported, match="CRC mismatch"):
+        png_decode(_set_ihdr_byte(base, 8, 16))
+
+
+def test_idat_byte_corruption_declines_on_crc():
+    full = png_encode(8, 8, _gradient(8, 8), 0)
+    b = bytearray(full)
+    b[33 + 8 + 3] ^= 0x40  # flip a bit inside IDAT data
+    with pytest.raises(PngUnsupported, match="CRC mismatch"):
+        png_decode(bytes(b))
+
+
+def test_chunk_before_ihdr_declines():
+    full = png_encode(4, 4, bytes(16), 0)
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_chunk
+
+    forged = full[:8] + png_chunk(b"sRGB", b"\x00") + full[8:]
+    with pytest.raises(PngUnsupported, match="before IHDR"):
+        png_decode(forged)
+
+
+def test_trailing_garbage_after_zlib_stream_declines():
+    """IDAT bytes past the end of a complete zlib stream are a spec
+    violation (round-7 ADVICE closure)."""
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_chunk
+
+    full = png_encode(4, 4, bytes(16), 0)
+    idat_len = struct.unpack(">I", full[33:37])[0]
+    idat = full[41 : 41 + idat_len]
+    rest = full[41 + idat_len + 4 :]  # IEND
+    forged = full[:33] + png_chunk(b"IDAT", idat + b"junk") + rest
+    with pytest.raises(PngUnsupported, match="trailing garbage"):
+        png_decode(forged)
+
+
+# --- round-7 scope: palette / sub-8 / 16-bit / grey+alpha / Adam7 ---
+
+GREY_PALETTE = [(i, i, i) for i in range(256)]
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8, 16])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_round_trip_grey_depths(depth, interlace):
+    import random
+
+    rng = random.Random(depth * 2 + interlace)
+    w, h = 13, 11
+    if depth == 16 or depth == 8:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+    else:
+        factor = 255 // ((1 << depth) - 1)
+        px = bytes(
+            rng.randrange(1 << depth) * factor for _ in range(w * h)
+        )
+    got = png_decode(
+        png_encode(w, h, px, 0, depth=depth, interlace=interlace)
+    )
+    assert got == (w, h, 1, px)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_round_trip_palette_depths(depth, interlace):
+    import random
+
+    rng = random.Random(40 + depth + interlace)
+    w, h = 9, 7
+    n_entries = 1 << depth
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(n_entries)
+    ]
+    idx = bytes(rng.randrange(n_entries) for _ in range(w * h))
+    got = png_decode(
+        png_encode(w, h, idx, 3, depth=depth, palette=pal,
+                   interlace=interlace)
+    )
+    expect = b"".join(bytes(pal[i]) for i in idx)
+    assert got == (w, h, 3, expect)
+
+
+@pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_round_trip_16bit(ct, ch):
+    import random
+
+    rng = random.Random(ct)
+    w, h = 7, 6
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    assert png_decode(png_encode(w, h, px, ct, depth=16)) == (w, h, ch, px)
+
+
+@pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (8, 8), (17, 13)])
+def test_round_trip_adam7(ct, ch, dims):
+    """Adam7 placement over dimensions that exercise empty passes (1x1)
+    and non-multiples of 8."""
+    import random
+
+    w, h = dims
+    rng = random.Random(ct * 100 + w * 10 + h)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    got = png_decode(png_encode(w, h, px, ct, interlace=True))
+    assert got == (w, h, ch, px)
+
+
+def test_grey_alpha_stats_ignore_alpha():
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_pixel_stats
+
+    w, h = 6, 5
+    grey = _gradient(w, h, 10)
+    ga = bytes(b for v in grey for b in (v, 7))  # alpha=7 everywhere
+    st_ga = png_pixel_stats(png_encode(w, h, ga, 4))
+    st_g = png_pixel_stats(png_encode(w, h, grey, 0))
+    assert st_ga["channels"] == 2
+    assert st_ga["luma_mean"] == st_g["luma_mean"]
+    assert st_ga["luma_entropy"] == st_g["luma_entropy"]
+
+
+def test_palette_stats_match_grey_via_grey_palette():
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_pixel_stats
+
+    w, h = 10, 8
+    vals = _gradient(w, h, 5)
+    st_pal = png_pixel_stats(
+        png_encode(w, h, vals, 3, palette=GREY_PALETTE)
+    )
+    st_g = png_pixel_stats(png_encode(w, h, vals, 0))
+    assert st_pal["channels"] == 3
+    assert st_pal["luma_mean"] == st_g["luma_mean"]
+    assert st_pal["luma_entropy"] == st_g["luma_entropy"]
+
+
+def test_palette_index_out_of_range_declines():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    png = png_encode(2, 2, bytes([0, 1, 1, 0]), 3, depth=8, palette=pal)
+    # forge index 2 into the IDAT: re-encode with a bigger palette then
+    # shrink the PLTE chunk
+    png3 = png_encode(2, 2, bytes([0, 1, 2, 0]), 3, depth=8,
+                      palette=pal + [(9, 9, 9)])
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_chunk
+
+    plte_len = struct.unpack(">I", png3[33:37])[0]
+    assert png3[37:41] == b"PLTE" and plte_len == 9
+    shrunk = (
+        png3[:33]
+        + png_chunk(b"PLTE", png3[41 : 41 + 6])
+        + png3[41 + plte_len + 4 :]
+    )
+    with pytest.raises(PngUnsupported, match="palette index"):
+        png_decode(shrunk)
+    assert png_decode(png)[3] == bytes(
+        b for i in (0, 1, 1, 0) for b in pal[i]
+    )
+
+
+def test_palette_without_plte_declines():
+    png = png_encode(2, 2, bytes(4), 3, palette=[(1, 2, 3)])
+    plte_len = struct.unpack(">I", png[33:37])[0]
+    stripped = png[:33] + png[33 + 12 + plte_len :]
+    with pytest.raises(PngUnsupported, match="without PLTE"):
+        png_decode(stripped)
+
+
+def test_plte_on_greyscale_declines():
+    from pbx_ds_ocr_server_spark.kernels.png_codec import png_chunk
+
+    full = png_encode(2, 2, bytes(4), 0)
+    forged = full[:33] + png_chunk(b"PLTE", bytes(3)) + full[33:]
+    with pytest.raises(PngUnsupported, match="PLTE forbidden"):
+        png_decode(forged)
+
+
+def test_encode_rejects_unrepresentable_sub8_sample():
+    with pytest.raises(ValueError, match="not representable"):
+        png_encode(2, 1, bytes([3, 255]), 0, depth=1)
 
 
 def test_truncated_idat_declines():
