@@ -230,16 +230,37 @@ def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
 
 def _multimodal_meta_sql() -> str:
     """Mirror of the multimodal_meta slot: predicts EVERY column — header
-    metadata AND decoded-pixel features — in closed form from doc_id, per
-    the synthetic_gradient_png formulas (operators/multimodal.py): width =
-    8 + id%9, height = 8 + id%7, base luma = id%64, pixel(x,y) = base+x+y,
-    grey for even ids / equal-channel RGB for odd. The luminance histogram
-    of the gradient is trapezoidal, so entropy is a pure function of
-    (width, height) — computed here by a 63-row lookup CTE."""
+    metadata AND decoded-pixel features — in closed form from doc_id.
+    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 7
+    (operators/multimodal.MEDIA_VARIANTS): m 0-5 are six ENCODINGS of the
+    same gradient PNG (grey8 / RGB / palette / 16-bit / Adam7 /
+    grey+alpha — width = 8 + id%9, height = 8 + id%7, base = id%64,
+    pixel(x,y) = base+x+y), m=6 is a flat-block baseline JPEG (blocks_w =
+    1+(id%9)//3, blocks_h = 1+(id%6)//3, block(bx,by) = base+bx+by). Both
+    families have trapezoidal luminance histograms, so ONE lookup CTE
+    over (w,h) covers PNG pixel space and JPEG block space; a hash-green
+    row therefore proves every decode path (palette lookup, 16-bit
+    downsample, Adam7 placement, alpha skip, Huffman+IDCT) reproduced
+    every pixel. The `+ 0` in luma_entropy normalizes DuckDB's -0.0 for
+    the single-block JPEG case (doc_id=18: entropy exactly zero)."""
     return """
-        WITH dims AS (
-            SELECT w, h FROM UNNEST(generate_series(8, 16)) a(w),
-                             UNNEST(generate_series(8, 14)) b(h)
+        WITH m AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST((doc_id // 3) % 7 AS INT) END AS v,
+                   CASE WHEN doc_id % 3 <> 0 THEN NULL
+                        WHEN (doc_id // 3) % 7 = 6
+                        THEN CAST(1 + (doc_id % 9) // 3 AS INT)
+                        ELSE CAST(8 + doc_id % 9 AS INT) END AS ew,
+                   CASE WHEN doc_id % 3 <> 0 THEN NULL
+                        WHEN (doc_id // 3) % 7 = 6
+                        THEN CAST(1 + (doc_id % 6) // 3 AS INT)
+                        ELSE CAST(8 + doc_id % 7 AS INT) END AS eh
+            FROM documents
+        ),
+        dims AS (
+            SELECT w, h FROM UNNEST(generate_series(1, 16)) a(w),
+                             UNNEST(generate_series(1, 14)) b(h)
         ),
         ent AS (
             SELECT w, h, -sum(p * log2(p)) AS e FROM (
@@ -249,35 +270,36 @@ def _multimodal_meta_sql() -> str:
                 FROM dims, UNNEST(generate_series(0, w + h - 2)) tt(t)
             ) GROUP BY w, h
         )
-        SELECT d.doc_id AS id,
-               CASE WHEN d.doc_id % 3 = 0 THEN NULL
-                    ELSE CAST(octet_length(encode(d.text)) AS BIGINT)
+        SELECT m.doc_id AS id,
+               CASE WHEN m.v IS NOT NULL THEN NULL
+                    ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
                     END AS n_bytes,
-               CASE WHEN d.doc_id % 3 = 0 THEN 'png' ELSE 'binary'
-                    END AS kind,
-               CASE WHEN d.doc_id % 3 = 0
-                    THEN CAST(8 + d.doc_id % 9 AS INT) END AS width,
-               CASE WHEN d.doc_id % 3 = 0
-                    THEN CAST(8 + d.doc_id % 7 AS INT) END AS height,
-               CASE WHEN d.doc_id % 3 = 0 THEN NULL ELSE md5(d.text)
+               CASE WHEN m.v = 6 THEN 'jpeg'
+                    WHEN m.v IS NOT NULL THEN 'png'
+                    WHEN m.text IS NULL THEN NULL
+                    WHEN octet_length(encode(m.text)) = 0 THEN 'empty'
+                    ELSE 'binary' END AS kind,
+               CAST(CASE WHEN m.v = 6 THEN 8 * m.ew ELSE m.ew END
+                    AS INT) AS width,
+               CAST(CASE WHEN m.v = 6 THEN 8 * m.eh ELSE m.eh END
+                    AS INT) AS height,
+               CASE WHEN m.v IS NOT NULL THEN NULL ELSE md5(m.text)
                     END AS digest,
-               CASE WHEN d.doc_id % 3 = 0
-                    THEN CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END
-                              AS INT) END AS channels,
-               CASE WHEN d.doc_id % 3 = 0
-                    THEN CAST((8 + d.doc_id % 9) * (8 + d.doc_id % 7)
-                              AS BIGINT) END AS n_px,
-               CASE WHEN d.doc_id % 3 = 0
-                    THEN round(d.doc_id % 64
-                               + (8 + d.doc_id % 9 - 1) / 2.0
-                               + (8 + d.doc_id % 7 - 1) / 2.0, 4)
+               CAST(CASE WHEN m.v IN (0, 3, 4, 6) THEN 1
+                         WHEN m.v IN (1, 2) THEN 3
+                         WHEN m.v = 5 THEN 2 END AS INT) AS channels,
+               CAST(CASE WHEN m.v = 6 THEN 64 * m.ew * m.eh
+                         WHEN m.v IS NOT NULL THEN m.ew * m.eh
+                         END AS BIGINT) AS n_px,
+               CASE WHEN m.v IS NOT NULL
+                    THEN round(m.doc_id % 64 + (m.ew - 1) / 2.0
+                               + (m.eh - 1) / 2.0, 4)
                     END AS luma_mean,
-               round(ent.e, 4) AS luma_entropy,
-               CASE WHEN d.doc_id % 3 = 0 THEN CAST(1 AS INT) END AS decode_ok
-        FROM documents d
-        LEFT JOIN ent ON d.doc_id % 3 = 0
-                     AND ent.w = 8 + d.doc_id % 9
-                     AND ent.h = 8 + d.doc_id % 7
+               round(ent.e + 0, 4) AS luma_entropy,
+               CASE WHEN m.v IS NOT NULL THEN CAST(1 AS INT)
+                    END AS decode_ok
+        FROM m
+        LEFT JOIN ent ON ent.w = m.ew AND ent.h = m.eh
     """
 
 
@@ -1008,15 +1030,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_brute_top5"] = ann_brute_top5
     q["ann_lsh_histogram"] = ann_lsh_histogram
 
-    # --- multimodal tier: header metadata + REAL pixel decode (round 6) ---
+    # --- multimodal tier: header metadata + REAL pixel decode (r6/r7) ---
     def multimodal_meta(spark, sf):
-        # every 3rd doc carries a deterministic gradient PNG (per-row
-        # filter cycle: all five unfilter paths run), the rest their utf-8
-        # text bytes. The oracle predicts every column in closed form from
-        # doc_id — decoded dims/mean/entropy included — so a hash-green
-        # row proves the pure-Python pixel decode reproduced every pixel.
-        # PNG byte length/digest aren't SQL-predictable (zlib), so those
-        # two stay text-rows-only by construction.
+        # every 3rd doc carries deterministic media on a 7-variant cycle
+        # (six encodings of the same gradient PNG — grey/RGB/palette/
+        # 16-bit/Adam7/grey+alpha, per-row filter cycle so all five
+        # unfilter paths run — plus a flat-block baseline JPEG), the rest
+        # their utf-8 text bytes. The oracle predicts every column in
+        # closed form from doc_id — decoded dims/mean/entropy included —
+        # so a hash-green row proves both pure-Python codecs reproduced
+        # every pixel through every layout path. Media byte length/digest
+        # aren't SQL-predictable (zlib/Huffman), so those two stay
+        # text-rows-only by construction.
         from pbx_ds_ocr_server_spark.operators.multimodal import (
             binary_pixel_metadata,
             with_synthetic_png_payloads,
@@ -1039,7 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composable binary_metadata/png_pixel_features pair stays
         # pytest-covered; the slot runs the hot-path shape
         meta = binary_pixel_metadata(payloads, id_col="id")
-        is_text = F.col("kind") != "png"
+        is_text = ~F.col("kind").isin("png", "jpeg")
         return meta.select(
             "id",
             F.when(is_text, F.col("n_bytes")).alias("n_bytes"),

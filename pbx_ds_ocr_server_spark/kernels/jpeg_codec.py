@@ -1,0 +1,532 @@
+"""Pure-Python baseline-sequential JPEG codec (grayscale) — round 7.
+
+Closes the last typed pixel-decode out-of-scope in the multimodal tier:
+round 6 shipped PNG pixel decode but kept JPEG behind a typed error. This
+module decodes BASELINE SEQUENTIAL (SOF0), single-component (grayscale),
+Huffman-coded JPEG streams with the same stdlib-only, bounded-work honesty
+as `kernels/png_codec`:
+
+  * full entropy pipeline: DHT canonical Huffman tables, DC-difference +
+    AC run/length decode with EOB/ZRL, byte-stuffing (FF 00) removal,
+    restart-marker (DRI/RSTn) predictor resets, zigzag de-ordering,
+    dequantization, exact separable float IDCT with half-away-from-zero
+    rounding and [0,255] clamp, edge-block cropping for dimensions that
+    are not multiples of 8.
+  * typed declines (:class:`JpegUnsupported`): progressive (SOF2) and
+    arithmetic (SOF9+) scans, multi-component images, non-1x1 sampling,
+    missing tables, truncated entropy data, dimension bombs past the
+    shared ``MAX_PIXELS`` work cap.
+  * encode: the same subset, from QUANTIZED COEFFICIENT blocks (the
+    natural inverse of the decoder's Huffman+dequant stage — lossless to
+    round-trip, unlike a pixel-level FDCT) using the public Annex K
+    luminance tables. `encode_flat_blocks` builds the driver slot's
+    deterministic synthetic images: DC-only blocks decode to exactly
+    flat 8x8 tiles (IDCT of a lone DC coefficient is F00/8 everywhere),
+    so decoded luminance mean/entropy have closed forms the DuckDB
+    oracle predicts without seeing a byte.
+
+Reference analog: the reference OCRs every PIL-openable raster including
+JPEG (`/root/reference/app/services/dsocr_model.py:368-405`); this gives
+the Spark engine the same pixel access for curation features without an
+image library.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from pbx_ds_ocr_server_spark.kernels.png_codec import MAX_PIXELS
+
+
+class JpegUnsupported(ValueError):
+    """Valid-but-out-of-scope JPEG (progressive/arithmetic/multi-component)
+    or a stream that contradicts its own framing."""
+
+
+# --- public spec constants (ITU-T T.81 Annex K) ---
+
+# K.1 luminance quantization table, natural (row-major) order
+STD_LUMA_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# K.3.1 DC luminance: (BITS counts per code length 1..16, symbol values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+
+# K.3.2 AC luminance
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# zigzag index k -> natural (row-major) index, per Figure A.6
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# IDCT basis: _COS[u][x] = C(u)/2 * cos((2x+1) u pi / 16)
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        / 2.0
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """(BITS, HUFFVAL) → {(length, code): symbol} canonical table per
+    Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(value: int, size: int) -> int:
+    """DC/AC magnitude decode per F.2.2.1 EXTEND."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with FF00 unstuffing;
+    surfaces RSTn markers to the MCU loop."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise JpegUnsupported("truncated entropy-coded data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal FF
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise JpegUnsupported(
+                    "restart marker inside coefficient read"
+                )
+            else:
+                raise JpegUnsupported("marker inside entropy-coded data")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegUnsupported("invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Consume a byte-aligned RSTn marker between restart intervals."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            raise JpegUnsupported("expected restart marker")
+        self.pos += 2
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """64 dequantized coefficients (natural order) → 64 clamped samples.
+    Separable 2-pass IDCT; half-AWAY rounding (floor(x+0.5)), matching the
+    repo-wide convention — Python round() is banker's."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            row = coef[y * 8 : y * 8 + 8]
+            cx = _COS
+            for u in range(8):
+                if row[u]:
+                    s += cx[u][x] * row[u]
+            tmp[y * 8 + x] = s
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                t = tmp[v * 8 + x]
+                if t:
+                    s += _COS[v][y] * t
+            val = math.floor(s + 128.0 + 0.5)
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """→ (width, height, row-major 8-bit luminance). Raises
+    :class:`JpegUnsupported` for out-of-scope/inconsistent streams and
+    ``ValueError`` for non-JPEG bytes."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comp_tq = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while True:
+        if i + 4 > n:
+            raise JpegUnsupported("truncated marker stream")
+        if payload[i] != 0xFF:
+            raise JpegUnsupported(f"expected marker at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise JpegUnsupported("EOI before scan data")
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise JpegUnsupported("truncated segment")
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                else:  # 16-bit table
+                    vals = [
+                        struct.unpack(">H", seg[j + 2 * k : j + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    j += 128
+                if len(vals) < 64:
+                    raise JpegUnsupported("short DQT")
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = vals[k]
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                count = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + count])
+                if len(vals) < count:
+                    raise JpegUnsupported("short DHT")
+                (dc_tables if tc == 0 else ac_tables)[th] = build_huffman(
+                    bits, vals
+                )
+                j += 17 + count
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, nf = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise JpegUnsupported(f"sample precision {precision}")
+            if nf != 1:
+                raise JpegUnsupported(
+                    f"{nf}-component image out of scope (grayscale only)"
+                )
+            _cid, sampling, comp_tq = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                raise JpegUnsupported("non-1x1 sampling out of scope")
+            if width == 0 or height == 0 or width * height > MAX_PIXELS:
+                raise JpegUnsupported(f"dimensions {width}x{height}")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kinds = {0xC2: "progressive", 0xC9: "arithmetic"}
+            raise JpegUnsupported(
+                f"SOF{marker - 0xC0} ({kinds.get(marker, 'non-baseline')})"
+                " out of scope"
+            )
+        elif marker == 0xDA:  # SOS
+            if width is None:
+                raise JpegUnsupported("SOS before SOF")
+            ns = seg[0]
+            if ns != 1:
+                raise JpegUnsupported("multi-component scan")
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            if td not in dc_tables or ta not in ac_tables:
+                raise JpegUnsupported("scan references missing DHT")
+            if comp_tq not in qtables:
+                raise JpegUnsupported("frame references missing DQT")
+            scan_start = i + 2 + seg_len
+            return _decode_scan(
+                payload, scan_start, width, height,
+                qtables[comp_tq], dc_tables[td], ac_tables[ta],
+                restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        i += 2 + seg_len
+
+
+def _decode_scan(
+    payload: bytes, pos: int, width: int, height: int,
+    qtable: list[int], dc_table: dict, ac_table: dict,
+    restart_interval: int,
+) -> tuple[int, int, bytes]:
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    reader = _BitReader(payload, pos)
+    out = bytearray(width * height)
+    pred = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart()
+                pred = 0
+            mcu += 1
+            coef = [0.0] * 64
+            s = reader.decode_symbol(dc_table)
+            if s > 11:
+                raise JpegUnsupported(f"DC category {s}")
+            pred += _extend(reader.receive(s), s)
+            coef[0] = pred * qtable[0]
+            k = 1
+            while k < 64:
+                rs = reader.decode_symbol(ac_table)
+                r, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise JpegUnsupported("AC run past block end")
+                nat = ZIGZAG[k]
+                coef[nat] = _extend(reader.receive(size), size) * qtable[nat]
+                k += 1
+            block = _idct_block(coef)
+            for yy in range(min(8, height - by * 8)):
+                row_off = (by * 8 + yy) * width + bx * 8
+                for xx in range(min(8, width - bx * 8)):
+                    out[row_off + xx] = block[yy * 8 + xx]
+    return width, height, bytes(out)
+
+
+# --- encoder (quantized-coefficient level — exact decoder inverse) ---
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final byte with 1-bits per F.1.2.3."""
+        while self.n:
+            self.write(1, 1)
+
+
+def _encode_table(table_bits, table_vals) -> dict:
+    """symbol → (code, length) for the writer."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in build_huffman(
+            table_bits, table_vals
+        ).items()
+    }
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def jpeg_encode_gray_coefs(
+    width: int,
+    height: int,
+    coef_blocks: list[list[int]],
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode QUANTIZED coefficient blocks (natural order, raster block
+    order, ceil(w/8)*ceil(h/8) of them) as a baseline grayscale JPEG with
+    the Annex K Huffman tables. The decoder's Huffman+dequant stage
+    recovers exactly these coefficients — the lossy FDCT step is the
+    caller's concern (tests drive coefficients directly).
+    ``restart_interval`` > 0 writes a DRI segment and byte-aligned RSTn
+    markers with predictor resets every that many MCUs."""
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise ValueError(f"dimensions {width}x{height}")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if len(coef_blocks) != bw * bh:
+        raise ValueError(f"need {bw * bh} blocks, got {len(coef_blocks)}")
+    q = qtable if qtable is not None else STD_LUMA_QUANT
+    dc_enc = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = _encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    w = _BitWriter()
+    pred = 0
+    for mcu, blk in enumerate(coef_blocks):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.flush()
+            w.out += bytes(
+                [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+            )
+            pred = 0
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = _category(diff)
+        if s > 11:
+            raise ValueError(f"DC difference {diff} exceeds baseline")
+        code, length = dc_enc[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        zz = [blk[ZIGZAG[k]] for k in range(64)]
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]  # ZRL
+                w.write(code, length)
+                run -= 16
+            s = _category(v)
+            if s > 10:
+                raise ValueError(f"AC coefficient {v} exceeds baseline")
+            code, length = ac_enc[(run << 4) | s]
+            w.write(code, length)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, length = ac_enc[0x00]  # EOB
+            w.write(code, length)
+    w.flush()
+    zz_q = bytes(q[ZIGZAG[k]] for k in range(64))
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + zz_q)
+        + seg(0xC4, dht)
+        + dri
+        + seg(0xC0, sof)
+        + seg(0xDA, sos)
+        + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
+def encode_flat_blocks(
+    blocks_w: int, blocks_h: int, values: list[int]
+) -> bytes:
+    """Deterministic synthesis: one flat 8x8 tile per block value. Uses an
+    all-ones quant table and DC = 8*(value-128), so the IDCT reproduces
+    ``value`` at every pixel EXACTLY (a lone DC coefficient F00 decodes to
+    F00/8 everywhere — no float error, no clamping). The driver slot's
+    closed-form oracle rests on this identity."""
+    if len(values) != blocks_w * blocks_h:
+        raise ValueError("one value per block required")
+    if any(not 0 <= v <= 255 for v in values):
+        raise ValueError("block values must be 8-bit")
+    blocks = [[8 * (v - 128)] + [0] * 63 for v in values]
+    return jpeg_encode_gray_coefs(
+        blocks_w * 8, blocks_h * 8, blocks, qtable=[1] * 64
+    )
+
+
+def jpeg_pixel_stats(payload: bytes) -> dict:
+    """Decode and summarize for curation — same output contract as
+    `png_codec.png_pixel_stats` (channels is always 1 here)."""
+    from pbx_ds_ocr_server_spark.kernels.png_codec import pixel_stats
+
+    width, height, raw = jpeg_decode_gray(payload)
+    return pixel_stats(width, height, 1, raw)

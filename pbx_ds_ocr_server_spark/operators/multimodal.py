@@ -2,13 +2,16 @@
 
 Images/audio/video ride as ``binary`` columns. Implemented for real: magic
 sniffing and header-level metadata (PNG IHDR and JPEG SOF dimensions, byte
-length, md5) — pure byte parsing — AND, since round 6, PNG PIXEL decode
-(`kernels/png_codec`: zlib inflate + full scanline unfilter) feeding
-:func:`png_pixel_features` (verified dimensions, luminance mean, byte
-entropy). All Arrow-batched via ``mapInPandas``, no image libraries.
-JPEG pixel decode (DCT+Huffman) stays out of scope by an explicit typed
-error in :func:`decode_image`; ``fake_feature`` remains as a deterministic
-stand-in for a decode→embed step in schema-level pipeline tests.
+length, md5) — pure byte parsing — AND real PIXEL decode for both raster
+formats: PNG through `kernels/png_codec` (zlib inflate + full scanline
+unfilter; grey/RGB/RGBA/palette/grey+alpha, 1-16 bit, Adam7 — round 7
+closed the palette/16-bit/interlace declines) and JPEG through
+`kernels/jpeg_codec` (baseline-sequential grayscale Huffman + IDCT —
+round 7 closed the former typed out-of-scope). All Arrow-batched via
+``mapInPandas``, no image libraries. Progressive/arithmetic JPEG and
+multi-component scans still decline typed inside the codec;
+``fake_feature`` remains as a deterministic stand-in for a decode→embed
+step in schema-level pipeline tests.
 """
 
 from __future__ import annotations
@@ -75,24 +78,47 @@ def sniff_kind(payload: bytes) -> str:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL pixel decode (round 6 — the former NotImplementedError stub is
-    gone): PNG payloads decode through the pure-Python scanline codec
-    (`kernels/png_codec` — zlib inflate + None/Sub/Up/Average/Paeth
-    unfilter, grey/RGB/RGBA 8-bit) to (width, height, channels, raw
-    row-major bytes). Formats without a dependency-free decode path here
-    (JPEG's DCT+Huffman pipeline) raise a typed ``ValueError`` — an honest
-    scope boundary, not a stub; header metadata still flows through
-    :func:`binary_metadata`. Reference analog: the raster branch it feeds a
-    GPU OCR model, `/root/reference/app/services/dsocr_model.py:368-405`."""
+    """REAL pixel decode for both raster formats: PNG through the
+    pure-Python scanline codec (`kernels/png_codec`) and JPEG through the
+    baseline-sequential grayscale codec (`kernels/jpeg_codec`, round 7 —
+    the former typed out-of-scope is closed). → (width, height, channels,
+    raw row-major 8-bit bytes). Out-of-scope subformats
+    (progressive/arithmetic JPEG, multi-component scans) raise the
+    codecs' typed errors; non-raster kinds raise ``ValueError`` — header
+    metadata still flows through :func:`binary_metadata`. Reference
+    analog: the raster branch feeds a GPU OCR model,
+    `/root/reference/app/services/dsocr_model.py:368-405`."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import jpeg_decode_gray
     from pbx_ds_ocr_server_spark.kernels.png_codec import png_decode
 
     kind = sniff_kind(payload or b"")
     if kind == "png":
         return png_decode(payload)
+    if kind == "jpeg":
+        w, h, raw = jpeg_decode_gray(payload)
+        return w, h, 1, raw
     raise ValueError(
         f"no pure-python pixel decode for kind={kind!r} — "
         "binary_metadata() provides header-level metadata for it"
     )
+
+
+def _raster_pixel_stats(payload: bytes, kind: str) -> dict:
+    """Shared decode→summarize dispatch for the pixel-feature operators.
+    Raises ValueError (or a codec subtype) for non-raster/undecodable."""
+    if kind == "png":
+        from pbx_ds_ocr_server_spark.kernels.png_codec import (
+            png_pixel_stats,
+        )
+
+        return png_pixel_stats(payload)
+    if kind == "jpeg":
+        from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+            jpeg_pixel_stats,
+        )
+
+        return jpeg_pixel_stats(payload)
+    raise ValueError(f"no pixel decode for kind={kind!r}")
 
 
 def fake_feature(payload: bytes, dims: int = 8) -> list[float]:
@@ -106,28 +132,31 @@ def binary_metadata(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
     """(id, payload:binary) → (id, n_bytes, kind, width, height, digest).
-    One Arrow-batched pass; pure byte parsing."""
+    One Arrow-batched pass; pure byte parsing. A NULL payload yields an
+    all-NULL metadata row (id only) — metadata is never fabricated for a
+    payload that does not exist (round-7 advice closure; the round-5
+    NULL-propagation fix upstream would otherwise be undone here)."""
     src = df.selectExpr(f"{id_col} as id", f"{bin_col} as payload")
+    cols = ["id", "n_bytes", "kind", "width", "height", "digest"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples():
-                p = bytes(r.payload) if r.payload is not None else b""
-                dims = png_dimensions(p) or jpeg_dimensions(p)
-                rows.append(
-                    {
-                        "id": r.id,
-                        "n_bytes": len(p),
-                        "kind": sniff_kind(p),
-                        "width": dims[0] if dims else None,
-                        "height": dims[1] if dims else None,
-                        "digest": hashlib.md5(p).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[
-                "id", "n_bytes", "kind", "width", "height", "digest"
-            ])
+                row = {c: None for c in cols}
+                row["id"] = r.id
+                if r.payload is not None:
+                    p = bytes(r.payload)
+                    dims = png_dimensions(p) or jpeg_dimensions(p)
+                    row.update(
+                        n_bytes=len(p),
+                        kind=sniff_kind(p),
+                        width=dims[0] if dims else None,
+                        height=dims[1] if dims else None,
+                        digest=hashlib.md5(p).hexdigest(),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, schema=META_SCHEMA)
 
@@ -138,23 +167,22 @@ PIXEL_SCHEMA = (
 )
 
 
-def png_pixel_features(
+def pixel_features(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
-    """(id, payload:binary) → decoded-pixel curation features per PNG:
-    luminance mean and byte entropy of the luminance plane, plus
-    ``decode_ok`` = the payload fully decoded (the codec itself REJECTS
-    header-vs-scanline mismatches, duplicate-IHDR forgeries, truncation
-    and bombs — so a true flag means verified-consistent pixels, and a
-    truncated or bombed IDAT lands in the null row, never a fake true).
-    Non-PNG and undecodable payloads yield a row with null features
-    rather than dropping — curation gates decide, the operator reports.
+    """(id, payload:binary) → decoded-pixel curation features per raster
+    payload (PNG or baseline-grayscale JPEG): luminance mean and byte
+    entropy of the luminance plane, plus ``decode_ok`` = the payload fully
+    decoded (the codecs REJECT header-vs-stream mismatches, CRC
+    corruption, duplicate-IHDR forgeries, truncation and bombs — a true
+    flag means structure-consistent pixels; a truncated or bombed stream
+    lands in the null row, never a fake true). Non-raster, NULL, and
+    undecodable payloads yield a row with null features rather than
+    dropping — curation gates decide, the operator reports.
 
     One Arrow-batched ``mapInPandas`` pass, same shape as
-    :func:`binary_metadata`: the payload column never shuffles, decode cost
-    is per-row bounded by the codec's MAX_PIXELS guard."""
-    from pbx_ds_ocr_server_spark.kernels.png_codec import png_pixel_stats
-
+    :func:`binary_metadata`: the payload column never shuffles, decode
+    cost is per-row bounded by the codecs' MAX_PIXELS guard."""
     src = df.selectExpr(f"{id_col} as id", f"{bin_col} as payload")
     cols = [
         "id", "px_width", "px_height", "channels", "n_px",
@@ -165,20 +193,26 @@ def png_pixel_features(
         for b in batches:
             rows = []
             for r in b.itertuples():
-                p = bytes(r.payload) if r.payload is not None else b""
                 row = {c: None for c in cols}
                 row["id"] = r.id
-                try:
-                    st = png_pixel_stats(p)
-                except ValueError:  # non-PNG / unsupported / inconsistent
-                    rows.append(row)
-                    continue
-                row.update(st)
-                row["decode_ok"] = True
+                if r.payload is not None:
+                    p = bytes(r.payload)
+                    try:
+                        st = _raster_pixel_stats(p, sniff_kind(p))
+                    except ValueError:  # non-raster / unsupported / bad
+                        rows.append(row)
+                        continue
+                    row.update(st)
+                    row["decode_ok"] = True
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+# the round-6 name — PNG was the only decodable kind then; the operator
+# now also decodes baseline-grayscale JPEG
+png_pixel_features = pixel_features
 
 
 FULL_SCHEMA = (
@@ -191,14 +225,13 @@ FULL_SCHEMA = (
 def binary_pixel_metadata(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
-    """:func:`binary_metadata` + :func:`png_pixel_features` FUSED into one
+    """:func:`binary_metadata` + :func:`pixel_features` FUSED into one
     Arrow-batched pass: every payload byte is read once, the header parse
     is shared, and there is no id join afterwards (each separate
     mapInPandas discards partitioning, so composing the two operators
     costs a second Python pass plus a shuffle on both sides of the join —
-    the composable forms stay available, this is the hot-path shape)."""
-    from pbx_ds_ocr_server_spark.kernels.png_codec import png_pixel_stats
-
+    the composable forms stay available, this is the hot-path shape).
+    A NULL payload yields an all-NULL row (id only)."""
     src = df.selectExpr(f"{id_col} as id", f"{bin_col} as payload")
     pixel_cols = [
         "channels", "n_px", "luma_mean", "luma_entropy", "decode_ok",
@@ -211,60 +244,129 @@ def binary_pixel_metadata(
         for b in batches:
             rows = []
             for r in b.itertuples():
-                p = bytes(r.payload) if r.payload is not None else b""
-                dims = png_dimensions(p) or jpeg_dimensions(p)
                 row = {c: None for c in cols}
+                row["id"] = r.id
+                if r.payload is None:
+                    rows.append(row)
+                    continue
+                p = bytes(r.payload)
+                kind = sniff_kind(p)
+                dims = png_dimensions(p) or jpeg_dimensions(p)
                 row.update(
-                    id=r.id,
                     n_bytes=len(p),
-                    kind=sniff_kind(p),
+                    kind=kind,
                     width=dims[0] if dims else None,
                     height=dims[1] if dims else None,
                     digest=hashlib.md5(p).hexdigest(),
                 )
-                try:
-                    st = png_pixel_stats(p)
-                except ValueError:
-                    pass  # non-PNG/undecodable: pixel columns stay null
-                else:
-                    row.update(
-                        channels=st["channels"],
-                        n_px=st["n_px"],
-                        luma_mean=st["luma_mean"],
-                        luma_entropy=st["luma_entropy"],
-                        decode_ok=True,
-                    )
+                if kind in ("png", "jpeg"):
+                    try:
+                        st = _raster_pixel_stats(p, kind)
+                    except ValueError:
+                        pass  # undecodable: pixel columns stay null
+                    else:
+                        row.update(
+                            channels=st["channels"],
+                            n_px=st["n_px"],
+                            luma_mean=st["luma_mean"],
+                            luma_entropy=st["luma_entropy"],
+                            decode_ok=True,
+                        )
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, schema=FULL_SCHEMA)
 
 
-def synthetic_gradient_png(seed: int) -> bytes:
+GREY_PALETTE = [(i, i, i) for i in range(256)]
+
+# media-variant schedule for ids divisible by `every`: m = (id//every) % 7
+# — each variant exercises a distinct decode path, and every one keeps the
+# SAME closed-form pixel values so the oracle formulas don't fork
+MEDIA_VARIANTS = (
+    "png-grey8", "png-rgb8", "png-palette", "png-grey16",
+    "png-adam7", "png-grey-alpha", "jpeg-flat",
+)
+
+
+def synthetic_gradient_png(seed: int, variant: int | None = None) -> bytes:
     """Deterministic gradient PNG whose DECODED statistics have closed
     forms in ``seed`` — the multimodal analog of the sha256-class trick
     `extract_status_counts` uses: the DuckDB oracle predicts the features
     from the formulas below without ever seeing the bytes, so a hash-green
     driver row proves the pixel decode (all five scanline filters — the
-    encoder cycles them per row) reproduced every pixel.
+    encoder cycles them per row — plus, per variant, the palette lookup,
+    16-bit downsample, Adam7 placement, and alpha-skip paths) reproduced
+    every pixel.
 
       width  = 8 + seed % 9, height = 8 + seed % 7, base = seed % 64
       pixel(x, y) = base + x + y            (max 91 — never wraps)
-      channels: even seeds grey (1), odd RGB with r=g=b (3)
       luma_mean = base + (width-1)/2 + (height-1)/2
       luma histogram at value base+t is trapezoidal:
           count(t) = min(t, width-1, height-1, width+height-2-t) + 1
       → entropy is a pure function of (width, height)
-    """
+
+    ``variant`` picks the encoding (indexes :data:`MEDIA_VARIANTS` 0-5;
+    all six are the SAME logical image): 0 grey 8-bit, 1 equal-channel
+    RGB, 2 grey-palette indexed, 3 16-bit grey, 4 Adam7-interlaced grey,
+    5 grey+alpha (alpha = a deterministic non-constant the stats must
+    ignore). ``None`` keeps the round-6 parity schedule (even grey / odd
+    RGB)."""
     from pbx_ds_ocr_server_spark.kernels.png_codec import png_encode
 
     w, h, base = 8 + seed % 9, 8 + seed % 7, seed % 64
     vals = [base + x + y for y in range(h) for x in range(w)]
-    if seed % 2 == 0:
+    if variant is None:
+        variant = seed % 2
+    if variant == 0:
         return png_encode(w, h, bytes(vals), 0, filter_cycle=True)
-    return png_encode(
-        w, h, bytes(v for v in vals for _ in range(3)), 2, filter_cycle=True
-    )
+    if variant == 1:
+        return png_encode(
+            w, h, bytes(v for v in vals for _ in range(3)), 2,
+            filter_cycle=True,
+        )
+    if variant == 2:
+        return png_encode(
+            w, h, bytes(vals), 3, filter_cycle=True, palette=GREY_PALETTE
+        )
+    if variant == 3:
+        return png_encode(w, h, bytes(vals), 0, filter_cycle=True, depth=16)
+    if variant == 4:
+        return png_encode(w, h, bytes(vals), 0, filter_cycle=True,
+                          interlace=True)
+    if variant == 5:
+        ga = bytes(b for v in vals for b in (v, (v * 3) % 256))
+        return png_encode(w, h, ga, 4, filter_cycle=True)
+    raise ValueError(f"variant {variant}")
+
+
+def synthetic_flat_jpeg(seed: int) -> bytes:
+    """Deterministic baseline-grayscale JPEG of flat 8x8 blocks whose
+    decoded statistics have closed forms in ``seed`` (block value =
+    base + bx + by — the block-space twin of the PNG gradient, so the
+    oracle reuses the same trapezoid-entropy lookup):
+
+      blocks_w = 1 + (seed % 9) // 3   (1..3 — seed is a multiple of 3
+      blocks_h = 1 + (seed % 6) // 3    in the slot, so %9/%6 land on
+      base     = seed % 64              {0,3,6}/{0,3})
+      width = 8*blocks_w, height = 8*blocks_h, channels = 1
+      luma_mean = base + (blocks_w-1)/2 + (blocks_h-1)/2
+    """
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import encode_flat_blocks
+
+    bw, bh, base = 1 + (seed % 9) // 3, 1 + (seed % 6) // 3, seed % 64
+    vals = [base + bx + by for by in range(bh) for bx in range(bw)]
+    return encode_flat_blocks(bw, bh, vals)
+
+
+def synthetic_media_payload(seed: int, every: int = 3) -> bytes:
+    """The slot's media schedule: variant m = (seed // every) % 7 over
+    :data:`MEDIA_VARIANTS` — six PNG encodings + one JPEG, all with
+    closed-form decoded statistics."""
+    m = (seed // every) % len(MEDIA_VARIANTS)
+    if m == 6:
+        return synthetic_flat_jpeg(seed)
+    return synthetic_gradient_png(seed, variant=m)
 
 
 def with_synthetic_png_payloads(
@@ -274,8 +376,10 @@ def with_synthetic_png_payloads(
     every: int = 3,
 ) -> DataFrame:
     """(id, text) → (id, payload): ids divisible by ``every`` carry a
-    :func:`synthetic_gradient_png`, the rest their utf-8 text bytes — the
-    mixed-modality input the `multimodal_meta` driver slot runs on."""
+    :func:`synthetic_media_payload` (round 7: six PNG variants + a
+    baseline JPEG on the (id//every) % 7 cycle), the rest their utf-8
+    text bytes — the mixed-modality input the `multimodal_meta` driver
+    slot runs on."""
     src = df.selectExpr(f"{id_col} as id", f"{text_col} as text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -284,7 +388,9 @@ def with_synthetic_png_payloads(
             for r in b.itertuples():
                 ids.append(r.id)
                 if r.id % every == 0:
-                    payloads.append(synthetic_gradient_png(int(r.id)))
+                    payloads.append(
+                        synthetic_media_payload(int(r.id), every)
+                    )
                 elif r.text is None:
                     # propagate NULL like the F.encode path this replaced
                     # (str(None) would fabricate a b"None" payload)

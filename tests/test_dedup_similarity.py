@@ -140,7 +140,10 @@ def test_binary_metadata_end_to_end(spark):
     got = {r.id: r for r in binary_metadata(df).collect()}
     assert got[1].kind == "png" and (got[1].width, got[1].height) == (32, 16)
     assert got[2].kind == "pdf" and got[2].width is None
-    assert got[3].kind == "empty" and got[3].n_bytes == 0
+    # NULL payload → all-NULL metadata row (round-7 advice closure:
+    # never fabricate kind='empty'/md5(b"") for a payload that isn't there)
+    assert got[3].kind is None and got[3].n_bytes is None
+    assert got[3].digest is None
 
 
 def test_fake_feature_deterministic():

@@ -1,0 +1,199 @@
+"""Baseline-sequential grayscale JPEG codec — the round-7 decode layer.
+
+The independent reference for the Huffman+dequant+IDCT chain is a numpy
+matrix IDCT computed IN THE TEST (not the codec's own loops), so a broken
+zigzag, EXTEND, predictor, or basis table cannot cancel itself out.
+"""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+    STD_LUMA_QUANT,
+    ZIGZAG,
+    JpegUnsupported,
+    encode_flat_blocks,
+    jpeg_decode_gray,
+    jpeg_encode_gray_coefs,
+    jpeg_pixel_stats,
+)
+
+
+def _reference_idct(coef_nat: list[int], qtable: list[int]) -> np.ndarray:
+    """Independent dequant + 2D IDCT + level shift + clamp via numpy."""
+    F = np.array(coef_nat, dtype=np.float64).reshape(8, 8) * np.array(
+        qtable, dtype=np.float64
+    ).reshape(8, 8)
+    C = np.array(
+        [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    # f = (1/4) C^T F C  with F indexed [v][u], spatial [y][x]
+    f = 0.25 * C.T @ F @ C
+    return np.clip(np.floor(f + 128.0 + 0.5), 0, 255).astype(np.int64)
+
+
+def _rand_blocks(rng, n, max_mag=60, density=0.2):
+    blocks = []
+    for _ in range(n):
+        blk = [0] * 64
+        blk[0] = rng.randrange(-200, 201)
+        for k in range(1, 64):
+            if rng.random() < density:
+                v = rng.randrange(1, max_mag)
+                blk[k] = v if rng.random() < 0.5 else -v
+        blocks.append(blk)
+    return blocks
+
+
+def test_flat_blocks_decode_exactly():
+    vals = [17, 18, 18, 19]
+    payload = encode_flat_blocks(2, 2, vals)
+    w, h, raw = jpeg_decode_gray(payload)
+    assert (w, h) == (16, 16)
+    for by in range(2):
+        for bx in range(2):
+            v = vals[by * 2 + bx]
+            for yy in range(8):
+                for xx in range(8):
+                    assert raw[(by * 8 + yy) * 16 + bx * 8 + xx] == v
+
+
+def test_flat_block_extremes_decode_exactly():
+    payload = encode_flat_blocks(2, 1, [0, 255])
+    _, _, raw = jpeg_decode_gray(payload)
+    assert set(raw[:8]) == {0} and set(raw[8:16]) == {255}
+
+
+@pytest.mark.parametrize("qtable", [None, [1] * 64])
+def test_random_coefs_match_numpy_reference(qtable):
+    import random
+
+    rng = random.Random(7)
+    bw, bh = 3, 2
+    blocks = _rand_blocks(rng, bw * bh)
+    payload = jpeg_encode_gray_coefs(bw * 8, bh * 8, blocks, qtable=qtable)
+    w, h, raw = jpeg_decode_gray(payload)
+    assert (w, h) == (bw * 8, bh * 8)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    q = qtable if qtable is not None else STD_LUMA_QUANT
+    for by in range(bh):
+        for bx in range(bw):
+            ref = _reference_idct(blocks[by * bw + bx], q)
+            tile = got[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            # float64 summation-order noise can flip a half-away round by
+            # at most one code value; typically the match is exact
+            assert np.abs(tile - ref).max() <= 1
+
+
+def test_non_multiple_of_8_dimensions_crop():
+    import random
+
+    rng = random.Random(3)
+    w, h = 12, 10  # 2x2 blocks, right/bottom edges cropped
+    blocks = _rand_blocks(rng, 4)
+    payload = jpeg_encode_gray_coefs(w, h, blocks)
+    gw, gh, raw = jpeg_decode_gray(payload)
+    assert (gw, gh) == (w, h) and len(raw) == w * h
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    ref00 = _reference_idct(blocks[0], STD_LUMA_QUANT)
+    assert np.abs(got[:8, :8] - ref00).max() <= 1
+    ref11 = _reference_idct(blocks[3], STD_LUMA_QUANT)
+    assert np.abs(got[8:10, 8:12] - ref11[:2, :4]).max() <= 1
+
+
+def test_restart_markers_reset_predictor():
+    import random
+
+    rng = random.Random(11)
+    blocks = _rand_blocks(rng, 8, density=0.1)
+    plain = jpeg_encode_gray_coefs(64, 8, blocks)
+    with_rst = jpeg_encode_gray_coefs(64, 8, blocks, restart_interval=2)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    assert jpeg_decode_gray(with_rst) == jpeg_decode_gray(plain)
+
+
+def test_16bit_dqt_path():
+    """Re-frame the quant table as a Pq=1 (16-bit) DQT; decode must agree."""
+    payload = encode_flat_blocks(1, 1, [70])
+    (dqt_len,) = struct.unpack(">H", payload[4:6])
+    assert payload[2:4] == b"\xff\xdb" and dqt_len == 67
+    zz_vals = payload[7 : 7 + 64]
+    wide = b"\x10" + b"".join(struct.pack(">H", v) for v in zz_vals)
+    reframed = (
+        payload[:2]
+        + b"\xff\xdb"
+        + struct.pack(">H", len(wide) + 2)
+        + wide
+        + payload[6 + dqt_len - 2 :]
+    )
+    assert jpeg_decode_gray(reframed) == jpeg_decode_gray(payload)
+
+
+def test_declines_are_typed():
+    good = encode_flat_blocks(1, 1, [50])
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode_gray(b"\x89PNG\r\n\x1a\nnope")
+    # progressive: flip SOF0 -> SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(JpegUnsupported, match="progressive"):
+        jpeg_decode_gray(prog)
+    # multi-component: claim 3 components in SOF
+    i = good.index(b"\xff\xc0")
+    multi = bytearray(good)
+    multi[i + 9] = 3
+    with pytest.raises(JpegUnsupported, match="component"):
+        jpeg_decode_gray(bytes(multi))
+    # truncated entropy data
+    with pytest.raises(JpegUnsupported, match="truncated"):
+        jpeg_decode_gray(good[:-6])
+    # missing DHT: excise the segment
+    j = good.index(b"\xff\xc4")
+    (dht_len,) = struct.unpack(">H", good[j + 2 : j + 4])
+    with pytest.raises(JpegUnsupported, match="missing DHT"):
+        jpeg_decode_gray(good[:j] + good[j + 2 + dht_len :])
+
+
+def test_dimension_bomb_declines():
+    from pbx_ds_ocr_server_spark.kernels.png_codec import MAX_PIXELS
+
+    good = encode_flat_blocks(1, 1, [50])
+    i = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[i + 5 : i + 9] = struct.pack(">HH", 30000, 30000)
+    assert 30000 * 30000 > MAX_PIXELS
+    with pytest.raises(JpegUnsupported, match="dimensions"):
+        jpeg_decode_gray(bytes(bomb))
+
+
+def test_stats_closed_form_flat_gradient():
+    """The driver slot's shape: block (bx,by) = base + bx + by → block-space
+    trapezoid histogram, mean = base + (bw-1)/2 + (bh-1)/2."""
+    bw, bh, base = 3, 2, 40
+    vals = [base + bx + by for by in range(bh) for bx in range(bw)]
+    st = jpeg_pixel_stats(encode_flat_blocks(bw, bh, vals))
+    assert st["px_width"] == bw * 8 and st["px_height"] == bh * 8
+    assert st["channels"] == 1 and st["n_px"] == bw * bh * 64
+    assert st["luma_mean"] == base + (bw - 1) / 2 + (bh - 1) / 2
+    n, ent = bw * bh, 0.0
+    for t in range(bw + bh - 1):
+        p = (min(t, bw - 1, bh - 1, bw + bh - 2 - t) + 1) / n
+        ent -= p * math.log2(p)
+    assert abs(st["luma_entropy"] - ent) < 1e-12
+
+
+def test_zigzag_is_an_involution_on_indices():
+    assert sorted(ZIGZAG) == list(range(64))
+    # spot-check the spec anchors
+    assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
+    # index 35 ends the down-left diagonal at (7,0): natural 56
+    assert ZIGZAG[63] == 63 and ZIGZAG[35] == 56 and ZIGZAG[9] == 24

@@ -342,9 +342,18 @@ def test_dimension_bomb_refused_before_allocation():
 
 
 def test_decode_image_dispatch():
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import JpegUnsupported
+    from pbx_ds_ocr_server_spark.operators.multimodal import (
+        synthetic_flat_jpeg,
+    )
+
     png = png_encode(3, 2, bytes(6), 0)
     assert decode_image(png) == (3, 2, 1, bytes(6))
-    with pytest.raises(ValueError, match="kind='jpeg'"):
+    # JPEG now decodes for real (round 7); truncated streams raise the
+    # codec's typed error instead of the former out-of-scope ValueError
+    w, h, ch, raw = decode_image(synthetic_flat_jpeg(0))
+    assert (w, h, ch) == (8, 8, 1) and raw == bytes([0]) * 64
+    with pytest.raises(JpegUnsupported):
         decode_image(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(ValueError, match="kind='empty'"):
         decode_image(b"")
@@ -368,15 +377,23 @@ def test_png_pixel_features_mixed_payloads(spark):
 
 
 def test_with_synthetic_png_payloads_split(spark):
+    from pbx_ds_ocr_server_spark.operators.multimodal import (
+        synthetic_media_payload,
+    )
+
+    # 7 media ids (0,3,...,18) cover the full MEDIA_VARIANTS cycle:
+    # six PNG encodings + the flat-block JPEG at id 18 (m = 18//3 % 7 = 6)
     df = spark.createDataFrame(
-        [(i, f"text {i}") for i in range(9)], "doc_id bigint, text string"
+        [(i, f"text {i}") for i in range(21)], "doc_id bigint, text string"
     )
     out = {r.id: bytes(r.payload) for r in
            with_synthetic_png_payloads(df, every=3).collect()}
-    for i in range(9):
+    for i in range(21):
         if i % 3 == 0:
-            assert out[i][:8] == b"\x89PNG\r\n\x1a\n"
-            assert out[i] == synthetic_gradient_png(i)
+            magic = b"\xff\xd8\xff" if (i // 3) % 7 == 6 \
+                else b"\x89PNG\r\n\x1a\n"
+            assert out[i][: len(magic)] == magic
+            assert out[i] == synthetic_media_payload(i, every=3)
         else:
             assert out[i] == f"text {i}".encode()
 
