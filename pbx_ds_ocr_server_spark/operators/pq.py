@@ -87,11 +87,15 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, vec) → (id, codes array<int>): m nearest-centroid indices.
-    The compressed representation — m small ints instead of dims floats.
-    The argmin (ties → lowest index) is kmeans.argmin_centroid — the SAME
-    expression cluster assignment uses, so the tie rule cannot drift."""
+    """(id, vec) → (id, *carry_cols, codes array<int>): m nearest-centroid
+    indices. The compressed representation — m small ints instead of dims
+    floats. ``carry_cols`` rides extra columns through unchanged (the
+    build step keeps the coarse ``label`` next to the codes so search can
+    partition-prune on it). The argmin (ties → lowest index) is
+    kmeans.argmin_centroid — the SAME expression cluster assignment uses,
+    so the tie rule cannot drift."""
     from pbx_ds_ocr_server_spark.operators.kmeans import argmin_centroid
 
     m = len(codebooks)
@@ -103,7 +107,11 @@ def pq_encode(
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_col).alias(id_col), codes.alias("codes"))
+    return df.select(
+        F.col(id_col).alias(id_col),
+        *[F.col(c) for c in carry_cols],
+        codes.alias("codes"),
+    )
 
 
 def adc_tables(
@@ -217,3 +225,129 @@ def ivf_pq_topk(
     dt = adc_tables(query_vec, codebooks, round_dp=centroid_round_dp)
     codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
     return pq_adc_topk(codes, dt, k=k, id_col=id_col, round_dp=round_dp)
+
+
+# --- production IVFADC shape (round 7): build once, search many ---
+
+
+class PqIndex:
+    """Output of :func:`pq_build` — everything search needs, nothing else:
+
+    * ``codebooks`` — GLOBAL per-subspace codebooks (m × ks × dims/m
+      floats; kilobytes — a broadcast literal at any scale),
+    * ``codes_df`` — the whole corpus encoded: (id, label, codes
+      array<int>). This is the stored index: m small ints per row where
+      the raw store keeps dims floats (32× at D=64/m=8). Persist it
+      partitioned/bucketed BY ``label`` and a probe prunes to
+      nprobe/|labels| of the files before a byte is read,
+    * ``coarse`` — [(label, centroid_vec)] collected driver-side (one row
+      per inverted list — tiny by construction), so query-time list
+      ranking is pure driver arithmetic, zero Spark jobs."""
+
+    __slots__ = ("codebooks", "codes_df", "coarse")
+
+    def __init__(self, codebooks, codes_df, coarse):
+        self.codebooks = codebooks
+        self.codes_df = codes_df
+        self.coarse = coarse
+
+
+def pq_build(
+    df: DataFrame,
+    dims: int,
+    m: int = 2,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    fit_df: DataFrame | None = None,
+    centroid_round_dp: int | None = None,
+) -> PqIndex:
+    """The ONE-OFF build step of Jégou-style IVFADC (TPAMI 2011, §IV):
+    train global per-subspace codebooks ONCE, encode the whole corpus,
+    snapshot the coarse-quantizer table. Contrast with the oracle-demo
+    :func:`ivf_pq_topk`, which re-fits per-list codebooks inside every
+    query — fine for a hash-gated demonstration, wrong shape for a
+    100 TB corpus where the fit must amortize across all queries.
+
+    ``fit_df`` lets the Lloyd's training run on a sample (at corpus scale
+    you fit codebooks on ~1M sampled vectors, then encode everything —
+    pass ``df.sample(0.001)``); default trains on ``df`` itself.
+    Simplification vs the paper kept from the demo tier: codebooks are
+    trained on RAW vectors, not per-list residuals — one global codebook
+    table instead of coupling every code to its list's centroid. The cost
+    is some quantization error near list boundaries; the scan shape and
+    compression are identical.
+
+    The input is scanned once for the coarse table, m times for the
+    per-subspace Lloyd's aggregates, and once for the encode — callers
+    looping over a non-materialized ``df`` should ``.cache()`` it first;
+    this function does not take ownership of caching."""
+    from pbx_ds_ocr_server_spark.operators.similarity import (
+        label_centroid_vectors,
+    )
+
+    codebooks = pq_fit(
+        fit_df if fit_df is not None else df,
+        dims=dims,
+        m=m,
+        ks=ks,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_round_dp=centroid_round_dp,
+    )
+    codes_df = pq_encode(
+        df.withColumnRenamed(label_col, "label"),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        carry_cols=("label",),
+    )
+    coarse = [
+        (r["label"], list(r["cvec"]))
+        for r in label_centroid_vectors(
+            df, vec_col=vec_col, label_col=label_col
+        ).collect()
+    ]
+    return PqIndex(codebooks, codes_df, coarse)
+
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def pq_search(
+    index: PqIndex,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Query the built index: rank inverted lists by cosine(query, coarse
+    centroid) DRIVER-side (the coarse table is |labels| rows — no Spark
+    job), probe the best ``nprobe`` lists, rank their codes by ADC against
+    the GLOBAL codebooks. Returns (neighbor, adc) ascending, ties → lowest
+    id.
+
+    The probe filter is ``label IN (...)`` — an equi-predicate Catalyst
+    pushes to the scan, so a codes table partitioned by label reads only
+    the probed partitions. Raising ``nprobe`` trades scan volume for
+    recall (the classic IVF knob); nprobe = |labels| degrades to an
+    exhaustive ADC scan and recall is bounded only by quantization."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe={nprobe}")
+    ranked = sorted(
+        index.coarse,
+        key=lambda lc: (-_cosine_py(query_vec, lc[1]), lc[0]),
+    )
+    probe = [label for label, _ in ranked[:nprobe]]
+    cand = index.codes_df.filter(F.col("label").isin(probe))
+    dt = adc_tables(query_vec, index.codebooks, round_dp=round_dp)
+    return pq_adc_topk(cand, dt, k=k, round_dp=round_dp)

@@ -159,6 +159,50 @@ def label_centroids(
     )
 
 
+def label_centroid_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 5,
+) -> DataFrame:
+    """(label, cvec): the long-form :func:`label_centroids` table folded
+    back to one rounded mean vector per label — the coarse-quantizer table
+    in the shape search-time ranking wants. Tiny by construction (one row
+    per inverted list)."""
+    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
+    return cents.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+        ).alias("dims")
+    ).select(
+        "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
+    )
+
+
+def ivf_probe_labels(
+    df: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> list:
+    """The IVF coarse stage, generalized to multiprobe: the ``nprobe``
+    labels whose per-label centroids have the highest ROUNDED cosine to
+    the query, ordered best-first, ties → lowest label. Raises on an empty
+    frame (a coarse quantizer over nothing is a caller bug, not an empty
+    result)."""
+    cvec = label_centroid_vectors(df, vec_col, label_col, round_dp)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cvec.select(
+        "label", F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos")
+    )
+    rows = scored.orderBy(F.desc("ccos"), F.asc("label")).take(nprobe)
+    if not rows:
+        raise ValueError("IVF coarse stage over an empty frame")
+    return [r["label"] for r in rows]
+
+
 def ivf_best_label(
     df: DataFrame,
     query_vec: list[float],
@@ -166,27 +210,11 @@ def ivf_best_label(
     label_col: str = "label",
     round_dp: int = 6,
 ):
-    """The IVF coarse stage, shared by :func:`ivf_topk` and
-    `operators/pq.ivf_pq_topk` so the selection rule cannot drift: the
-    label whose per-label centroid has the highest ROUNDED cosine to the
-    query, ties → lowest label. Raises on an empty frame (a coarse
-    quantizer over nothing is a caller bug, not an empty result)."""
-    cents = label_centroids(df, vec_col, label_col, round_dp=round_dp)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cvec = cents.groupBy("label").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
-        ).alias("dims")
-    ).select(
-        "label", F.expr("transform(dims, d -> d.centroid)").alias("cvec")
-    )
-    scored = cvec.select(
-        "label", F.round(cosine(F.col("cvec"), q), round_dp).alias("ccos")
-    )
-    best = scored.orderBy(F.desc("ccos"), F.asc("label")).first()
-    if best is None:
-        raise ValueError("IVF coarse stage over an empty frame")
-    return best["label"]
+    """nprobe=1 :func:`ivf_probe_labels`, shared by :func:`ivf_topk` and
+    `operators/pq.ivf_pq_topk` so the selection rule cannot drift."""
+    return ivf_probe_labels(
+        df, query_vec, 1, vec_col, label_col, round_dp
+    )[0]
 
 
 def ivf_topk(

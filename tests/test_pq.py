@@ -101,3 +101,93 @@ def test_ivf_pq_topk_end_to_end(spark, vecs):
 def test_pq_fit_rejects_indivisible_dims(vecs):
     with pytest.raises(ValueError):
         pq_fit(vecs, dims=DIMS, m=3)
+
+
+# --- production IVFADC shape (round 7): pq_build / pq_search ---
+
+
+@pytest.fixture(scope="module")
+def index(vecs):
+    from pbx_ds_ocr_server_spark.operators.pq import pq_build
+
+    return pq_build(
+        vecs, dims=DIMS, m=2, ks=4, iters=3, centroid_round_dp=5
+    )
+
+
+def test_pq_build_index_shape(index):
+    assert len(index.codebooks) == 2  # global, not per-list
+    assert all(len(b) == 4 for b in index.codebooks)
+    assert sorted(l for l, _ in index.coarse) == ["c0", "c1", "c2", "c3"]
+    rows = index.codes_df.collect()
+    assert len(rows) == 48
+    assert {r.label for r in rows} == {"c0", "c1", "c2", "c3"}
+    assert all(len(r.codes) == 2 for r in rows)
+
+
+def test_pq_build_deterministic(vecs, index):
+    from pbx_ds_ocr_server_spark.operators.pq import pq_build
+
+    again = pq_build(
+        vecs, dims=DIMS, m=2, ks=4, iters=3, centroid_round_dp=5
+    )
+    assert again.codebooks == index.codebooks
+    assert again.coarse == index.coarse
+
+
+def test_pq_search_recall_vs_nprobe(spark, vecs, index):
+    """The IVF knob: a query between clusters c0 and c1 needs nprobe=2 to
+    see both true neighbor lists; k=18 > |one list|=12 makes the recall
+    ceiling of nprobe=1 structural (12/18), not statistical."""
+    from pbx_ds_ocr_server_spark.operators.pq import pq_search
+    from pbx_ds_ocr_server_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    query = [10.0, 9.0, 0, 0, 0, 0, 0, 0]
+    truth = {
+        r.neighbor for r in brute_force_topk(vecs, query, k=18).collect()
+    }
+    c0 = {r[0] for r in _clustered_rows() if r[1] == "c0"}
+    c1 = {r[0] for r in _clustered_rows() if r[1] == "c1"}
+
+    got1 = {r.neighbor for r in pq_search(index, query, k=18, nprobe=1).collect()}
+    got2 = {r.neighbor for r in pq_search(index, query, k=18, nprobe=2).collect()}
+
+    assert got1 <= c0 and len(got1) == 12  # one list exhausted
+    assert got2 <= c0 | c1 and len(got2) == 18
+    r1 = len(got1 & truth) / 18
+    r2 = len(got2 & truth) / 18
+    assert r1 <= 12 / 18  # structural ceiling
+    assert r2 > r1  # probing the second list buys real recall
+    assert r2 >= 0.8
+
+
+def test_pq_search_exhaustive_probe(vecs, index):
+    """nprobe = |labels| degrades to a full ADC scan: every row ranked."""
+    from pbx_ds_ocr_server_spark.operators.pq import pq_search
+
+    out = pq_search(
+        index, [10.0, 9.0, 0, 0, 0, 0, 0, 0], k=100, nprobe=4
+    ).collect()
+    assert len(out) == 48
+    assert [r.adc for r in out] == sorted(r.adc for r in out)
+    with pytest.raises(ValueError):
+        pq_search(index, [1.0] * 8, nprobe=0)
+
+
+def test_pq_build_fit_on_sample(vecs):
+    """The 100 TB shape: codebooks trained on a sample, everything
+    encoded. Even-id half still sees all four blobs, so search quality
+    holds."""
+    from pbx_ds_ocr_server_spark.operators.pq import pq_build, pq_search
+
+    idx = pq_build(
+        vecs, dims=DIMS, m=2, ks=4, iters=3, centroid_round_dp=5,
+        fit_df=vecs.filter(F.col("vec_id") % 2 == 0),
+    )
+    assert idx.codes_df.count() == 48  # full corpus encoded regardless
+    query = [0, 0, 10.0, 0, 0, 0, 0, 0]
+    got = {r.neighbor for r in pq_search(idx, query, k=12, nprobe=1).collect()}
+    c2 = {r[0] for r in _clustered_rows() if r[1] == "c2"}
+    assert got <= c2 and len(got) == 12
