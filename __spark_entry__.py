@@ -1306,15 +1306,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # without persistence the whole span-discovery pipeline (shingle
         # groupBy + dup join + window merge) is planned TWICE (differing
         # column pruning defeats ReusedExchange — measured 18 exchanges
-        # uncached vs 9). Same caller contract as corpus_curation: repeat
-        # callers must clearCache between invocations (bench.py does).
+        # uncached vs 9). own_result materializes the joined output and
+        # unpersists the intermediate before returning (round 7 — no
+        # caller clearCache contract anymore).
+        from pbx_ds_ocr_server_spark.caching import own_result
+
         cleaned = exact_substr_dedup(injected, k=8).cache()
         chunks = chunk_documents(
             cleaned.select("doc_id", F.col("text_clean").alias("text")),
             window=64,
             stride=48,
         )
-        return chunks.join(cleaned.select("doc_id", "n_removed"), "doc_id")
+        return own_result(
+            chunks.join(cleaned.select("doc_id", "n_removed"), "doc_id"),
+            cleaned,
+        )
 
     q["exactsubstr_chunks"] = exactsubstr_chunks_q
 
@@ -1469,12 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the composed gates self-join back to this frame four times
             # (gopher keep-set, decontamination anti-join, dedup keep-set);
             # without persistence Spark re-runs token/quality/lang scoring
-            # on every scan. CALLER CONTRACT: the returned DataFrame is
-            # lazy, so this function cannot unpersist after the final
-            # materialization — callers that invoke this query repeatedly
-            # in one session must spark.catalog.clearCache() between
-            # invocations (bench.py does) or the InMemoryRelation
-            # accumulates per call.
+            # on every scan. own_result below materializes the survivor
+            # ids and unpersists this frame before returning (round 7 —
+            # no caller clearCache contract anymore).
             .cache()
         )
         # thresholds sized to the synthetic corpus (10-99 words/doc, no
@@ -1494,7 +1497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text"
         )
         decon = decontaminate(gophered, eval_df, ngram=8)
-        return dedup_exact(decon, "doc_id", "text").select("doc_id")
+        from pbx_ds_ocr_server_spark.caching import own_result
+
+        return own_result(
+            dedup_exact(decon, "doc_id", "text").select("doc_id"),
+            filtered,
+        )
 
     q["corpus_curation"] = corpus_curation
     return q

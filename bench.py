@@ -200,10 +200,12 @@ def timed_queries(names: list[str]) -> dict[str, float]:
         # sample outside the window.
         walls: dict[str, list] = {name: [] for name in names}
         for _ in range(QREPS):
-            # queries that .cache() internally (corpus_curation) would
-            # otherwise serve reps 2..N from the live InMemoryRelation —
-            # Spark's CacheManager matches re-derived identical plans —
-            # and min-of-N would report the warm wall as if it were cold
+            # cold-wall fairness only (round 7): slots that cache
+            # internally now own cleanup (caching.own_result unpersists
+            # before returning), so nothing RELIES on this — but any
+            # still-live cached plan Spark's CacheManager could match
+            # against a re-derived identical plan would serve reps 2..N
+            # warm, and min-of-N would report the warm wall as if cold
             spark.catalog.clearCache()
             for name in names:
                 t0 = time.time()

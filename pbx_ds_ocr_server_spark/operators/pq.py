@@ -196,11 +196,11 @@ def ivf_pq_topk(
     scale the fit is a one-off build step; the query path is the cheap
     part being demonstrated.
 
-    CALLER CONTRACT: the selected list is ``.cache()``d internally (the
-    per-subspace Lloyd's jobs would otherwise rescan the source ~10×) and
-    the returned frame is lazy, so this function cannot unpersist —
-    repeat callers in one session should ``spark.catalog.clearCache()``
-    between invocations (bench.py does)."""
+    The selected list is ``.cache()``d internally (the per-subspace
+    Lloyd's jobs would otherwise rescan the source ~10×); the k-row result
+    is materialized via :func:`caching.own_result`, which unpersists the
+    list before returning — no caller-side cleanup contract (round 7;
+    previously repeat callers had to clearCache between invocations)."""
     from pbx_ds_ocr_server_spark.operators.similarity import ivf_best_label
 
     best = ivf_best_label(
@@ -224,7 +224,12 @@ def ivf_pq_topk(
     )
     dt = adc_tables(query_vec, codebooks, round_dp=centroid_round_dp)
     codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
-    return pq_adc_topk(codes, dt, k=k, id_col=id_col, round_dp=round_dp)
+    from pbx_ds_ocr_server_spark.caching import own_result
+
+    return own_result(
+        pq_adc_topk(codes, dt, k=k, id_col=id_col, round_dp=round_dp),
+        cand,
+    )
 
 
 # --- production IVFADC shape (round 7): build once, search many ---
