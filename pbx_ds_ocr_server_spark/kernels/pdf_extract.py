@@ -959,8 +959,7 @@ def _ordering_latin_decoder(
     analog: the visual render path handles these for free,
     /root/reference/app/services/dsocr_model.py:144-174."""
     from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
-        CID_LATIN_ORDERINGS,
-        cid_latin_cmap,
+        cid_ordering_cmap,
     )
 
     desc = _descendant_font(objects, body)
@@ -971,9 +970,15 @@ def _ordering_latin_decoder(
     # reusing an ordering name (Registry (FooCorp) / Ordering (GB1)) has
     # arbitrary CID semantics and must stay honest-empty
     registry_adobe, ordering = _cid_system_info(objects, desc)
-    if not registry_adobe or ordering not in CID_LATIN_ORDERINGS:
+    if not registry_adobe or ordering is None:
         return None
-    return FontDecoder("cmap", cmap=cid_latin_cmap(), width=2)
+    # classic collections → Latin prefix; deploy-time register_cid_table
+    # data (the published cid2code tables — env-blocked here) overlays it
+    # through the same path, so full CJK recovery is a data load, not code
+    cmap = cid_ordering_cmap(ordering)
+    if cmap is None:
+        return None
+    return FontDecoder("cmap", cmap=cmap, width=2)
 
 
 def _embedded_cid_decoder(

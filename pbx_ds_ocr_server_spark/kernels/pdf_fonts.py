@@ -238,6 +238,95 @@ def cid_latin_cmap() -> dict[int, str]:
     return {i: chr(i + 31) for i in range(1, 96)}
 
 
+# --- deploy-time CID→Unicode tables beyond the Latin prefix (round 7) ---
+#
+# The full ordering tables (tens of thousands of CJK entries per
+# collection) are PUBLIC data — Adobe publishes cid2code.txt for each
+# character collection in its cmap-resources repository — but they are
+# not bundled here and this sandbox has no network to fetch them
+# (env-blocked, same standing as the Iceberg runtime jar). The seam below
+# is the real extension point: parse the published file with
+# :func:`load_cid2code`, register per ordering with
+# :func:`register_cid_table`, and Identity-H CIDFontType0 text beyond
+# CIDs 1-95 decodes through exactly the code path the Latin prefix uses
+# today. The plumbing is exercised end-to-end in tests by a clearly-
+# synthetic table registered through this same seam — no fabricated
+# "Adobe" data is shipped.
+
+_CID_TABLES: dict[bytes, dict[int, str]] = {}
+
+
+def register_cid_table(ordering: bytes | str, mapping: dict[int, str]) -> None:
+    """Register CID→text entries for an Adobe character-collection
+    ordering (e.g. ``b"Japan1"``). Entries MERGE over the built-in Latin
+    prefix (registered values win on overlap — real cid2code data
+    contains the prefix anyway and must be authoritative). Registering an
+    ordering outside :data:`CID_LATIN_ORDERINGS` enables recovery for it."""
+    key = ordering.encode("ascii") if isinstance(ordering, str) else ordering
+    _CID_TABLES.setdefault(key, {}).update(
+        {int(c): str(t) for c, t in mapping.items()}
+    )
+
+
+def unregister_cid_table(ordering: bytes | str) -> None:
+    key = ordering.encode("ascii") if isinstance(ordering, str) else ordering
+    _CID_TABLES.pop(key, None)
+
+
+def cid_ordering_cmap(ordering: bytes) -> dict[int, str] | None:
+    """The effective CID→text table for an Adobe ordering: the shared
+    Latin prefix for the classic collections, overlaid by any
+    :func:`register_cid_table` data. ``None`` when the ordering is
+    neither classic nor registered (caller declines, honest-empty)."""
+    registered = _CID_TABLES.get(ordering)
+    if ordering in CID_LATIN_ORDERINGS:
+        table = cid_latin_cmap()
+        if registered:
+            table.update(registered)
+        return table
+    return dict(registered) if registered else None
+
+
+def load_cid2code(
+    text: str, column: str, comment: str = "#"
+) -> dict[int, str]:
+    """Parse the published ``cid2code.txt`` shape (Adobe cmap-resources):
+    ``comment``-prefixed header lines, then a tab-separated table whose
+    first column is the CID and whose named ``column`` (e.g.
+    ``UniJIS-UCS2``) holds hex Unicode values. Tolerant of the published
+    conventions: ``*`` = no mapping, ``x,y`` alternates (first taken),
+    trailing letter suffixes on variant forms (entry skipped — a variant
+    gloss is not the base character). Returns {cid: char}; feed the
+    result to :func:`register_cid_table`."""
+    lines = [
+        ln for ln in text.splitlines() if ln and not ln.startswith(comment)
+    ]
+    if not lines:
+        return {}
+    header = lines[0].split("\t")
+    try:
+        col = header.index(column)
+    except ValueError:
+        raise ValueError(
+            f"column {column!r} not in cid2code header {header}"
+        ) from None
+    out: dict[int, str] = {}
+    for ln in lines[1:]:
+        fields = ln.split("\t")
+        if col >= len(fields) or not fields[0].isdigit():
+            continue
+        raw = fields[col].split(",")[0].strip()
+        if not raw or raw == "*":
+            continue
+        try:
+            cp = int(raw, 16)
+        except ValueError:
+            continue  # variant-suffixed forms ("3013v") stay unmapped
+        if 0 < cp <= 0x10FFFF:
+            out[int(fields[0])] = chr(cp)
+    return out
+
+
 def glyph_to_unicode(name: str) -> str | None:
     """AGL glyph name → text, or None when unknown (caller flags as lost)."""
     if name in _AGL:

@@ -1880,6 +1880,74 @@ def test_cid_unknown_ordering_stays_empty():
     assert [p.text for p in pages] == [""]
 
 
+def test_registered_cid_table_extends_recovery():
+    """The round-7 deploy seam: a table registered for a classic ordering
+    overlays the Latin prefix through the same decode path, turning the
+    former honest-partial into a full decode. (The REAL data is Adobe's
+    published cid2code.txt — env-blocked here, so the registered table is
+    synthetic; what's under test is the plumbing.)"""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        register_cid_table,
+        unregister_cid_table,
+    )
+
+    # _cid_latin_pdf encodes any non-Latin char as CID 0x2710
+    register_cid_table(b"Japan1", {0x2710: "中"})
+    try:
+        pages = extract_pdf(_cid_latin_pdf("abc中"))
+        assert [p.text for p in pages] == ["abc中"]
+    finally:
+        unregister_cid_table(b"Japan1")
+    # seam removed → the honest partial returns
+    pages = extract_pdf(_cid_latin_pdf("abc中"))
+    assert [p.text for p in pages] == ["abc"]
+
+
+def test_registered_table_enables_non_classic_ordering():
+    """Registering an ordering outside the classic four makes it
+    recoverable; Registry must still be Adobe (the custom-registry
+    decline is unchanged)."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        register_cid_table,
+        unregister_cid_table,
+    )
+
+    # '!' encodes as CID ord('!')-31 = 2
+    register_cid_table("KR9", {2: "か"})
+    try:
+        pages = extract_pdf(_cid_latin_pdf("!", ordering=b"KR9"))
+        assert [p.text for p in pages] == ["か"]
+    finally:
+        unregister_cid_table("KR9")
+    pages = extract_pdf(_cid_latin_pdf("!", ordering=b"KR9"))
+    assert [p.text for p in pages] == [""]
+
+
+def test_load_cid2code_published_shape():
+    """Parser for the published cid2code.txt conventions: # comments,
+    tab-separated with a named Unicode column, '*' = unmapped, 'x,y'
+    alternates (first wins), variant letter suffixes skipped."""
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import load_cid2code
+
+    text = (
+        "# Copyright comment line\n"
+        "# another\n"
+        "CID\tJIS78\tUniJIS-UCS2\n"
+        "0\t*\t*\n"
+        "1\t2121\t0020\n"
+        "633\t2121\t3000\n"
+        "634\t2122\t3001,FF64\n"
+        "635\t2123\t3013v\n"
+        "bad\tx\t0041\n"
+    )
+    got = load_cid2code(text, "UniJIS-UCS2")
+    assert got == {1: " ", 633: "　", 634: "、"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_cid2code(text, "NoSuchColumn")
+
+
 def test_cidkeyed_cff_program_declines_simple_map():
     """The corpus's CID-keyed CFF (ROS in the Top DICT) must be refused by
     the SIMPLE-font CFF reader — its charset holds CIDs, not names."""
