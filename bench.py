@@ -403,6 +403,88 @@ def dedup_tier_stats() -> dict:
         spark.stop()
 
 
+# --------------------------------------- dedup-tier scale spot run (gated)
+# PBX_BENCH_DEDUP_SCALE=1 python bench.py  (default off: adds ~5-10 min)
+RUN_DEDUP_SCALE = os.environ.get("PBX_BENCH_DEDUP_SCALE", "0") != "0"
+DEDUP_SCALE_X = int(os.environ.get("PBX_BENCH_DEDUP_SCALE_X", "4"))
+
+
+def dedup_scale_spot() -> dict:
+    """Round-7 verdict task: at sf0.1 the dedup_near keepers and estimated
+    walls are within noise of each other (both overhead-bound), so the
+    estimate tier's value rested on the doc-shrink argument alone. This
+    spot run times BOTH at ×DEDUP_SCALE_X the input to measure where
+    the superlinear shingle self-join starts dominating and the estimate
+    band's linear signature join pays off.
+
+    Scaling is DISTINCT docs, not duplicated docs: each replica applies a
+    different character permutation to the text, rewriting nearly every
+    shingle — replicating verbatim would multiply the duplicate groups
+    and measure an explosion in true pairs instead of more data."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
+    from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+    spark = _session(CPUS, "dedup-scale")
+    try:
+        base = entry_mod._docs_u(spark, SF_DIR)
+        alphabet = "abcdefghijklmnop"
+        reps = []
+        for kk in range(DEDUP_SCALE_X):
+            perm = alphabet[kk:] + alphabet[:kk]
+            reps.append(
+                base.select(
+                    (F.col("doc_id") + kk * 10_000_000).alias("doc_id"),
+                    F.translate("text", alphabet, perm).alias("text"),
+                )
+            )
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        # narrow (id, text) frame — fan out IS allowed here (the never-
+        # repartition rule is about the raw payload column)
+        big = ensure_min_partitions(big).cache()
+        n_docs = big.count()
+        walls: dict[str, list] = {"keepers": [], "estimated": []}
+        modes = {
+            "keepers": {},
+            "estimated": {"estimate_band": (0.3, 0.9)},
+        }
+        for _ in range(2):  # interleaved min-of-2, same noise window
+            for mode, kw in modes.items():
+                t0 = time.time()
+                dedup_near(
+                    big, max_shingle_df=entry_mod.MAX_SHINGLE_DF, **kw
+                ).select("doc_id").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                walls[mode].append(round(time.time() - t0, 3))
+        big.unpersist()
+        wk, we = min(walls["keepers"]), min(walls["estimated"])
+        return {
+            "scale_x": DEDUP_SCALE_X,
+            "n_docs": n_docs,
+            "wall_keepers": wk,
+            "wall_estimated": we,
+            "all_walls": walls,
+            "estimated_over_keepers": round(we / wk, 3) if wk else None,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+    finally:
+        spark.stop()
+
+
+def last_dedup_scale() -> dict | None:
+    """Most recent gated spot-run result carried forward from history so
+    BENCH.md keeps the section on default (ungated) runs."""
+    for r in reversed(_load_history()):
+        if r.get("dedup_scale"):
+            return r["dedup_scale"]
+    return None
+
+
 # ----------------------------------------------- per-query drift tracking
 HISTORY_PATH = os.path.join(
     os.path.dirname(__file__) or ".", "BENCH_HISTORY.jsonl"
@@ -416,8 +498,14 @@ EXPECTED_DRIFT = {
     "sequence_pack": "slot now runs BOTH packers + join (round-5 fold)",
     "quality_scores": "slot now also computes the hashed-bigram classifier"
                       " column (round-6 fold)",
-    "multimodal_meta": "header-only metadata -> real PNG synthesis + pixel"
-                       " decode + feature join (round 6)",
+    "multimodal_meta": "round 7: 7-variant media schedule (palette/16-bit/"
+                       "Adam7/grey+alpha PNG + JPEG pixel decode)",
+    "exactsubstr_chunks": "round 7: result materialized via own_result"
+                          " (cache ownership)",
+    "corpus_curation": "round 7: result materialized via own_result"
+                       " (cache ownership)",
+    "ann_ivf_pq_top5": "round 7: result materialized via own_result"
+                       " (cache ownership)",
     # corpus v10 (round 6) appended 2 PDF font classes (41 -> 43 table
     # entries): every doc's class re-hashed and the PDF share rose — the
     # TIMED extraction queries cost more per doc by input composition, not
@@ -466,7 +554,7 @@ def query_drift(queries: dict[str, float]) -> dict[str, dict]:
     import statistics
 
     hist = _load_history()
-    out: dict[str, dict] = {}
+    raw: dict[str, dict] = {}
     for name, wall in queries.items():
         prior = [
             r["queries"][name]
@@ -474,15 +562,43 @@ def query_drift(queries: dict[str, float]) -> dict[str, dict]:
             if name in r.get("queries", {})
         ]
         if not prior:
-            out[name] = {"median": None, "ratio": None, "flag": False}
+            raw[name] = {"median": None, "ratio": None}
             continue
         med = statistics.median(prior)
-        ratio = round(wall / med, 3) if med else None
+        raw[name] = {
+            "median": round(med, 3),
+            "ratio": round(wall / med, 3) if med else None,
+        }
+    # HOST FACTOR (round 7): the VM's background tenancy shifts the whole
+    # run's walls together — measured on 2026-08-17, every fixed-input
+    # query (incl. the trivially-stable tpch_q1) rose 1.15-1.33x between
+    # the morning and midday runs with identical inputs and plans; the
+    # round-6 ngram_jaccard_pairs ⚠ was exactly this common mode crossing
+    # the 1.2 threshold. Normalizing each ratio by the run-wide median
+    # ratio (over definition-stable queries only) makes the tripwire flag
+    # RELATIVE movement — a query that regressed against its neighbors —
+    # while common-mode shifts land in the reported host_factor instead.
+    # Tradeoff: a change that slowed EVERY query equally would hide here;
+    # the headline extraction wall + scaling efficiency cover that case.
+    stable = [
+        v["ratio"]
+        for k, v in raw.items()
+        if v["ratio"] is not None and k not in EXPECTED_DRIFT
+    ]
+    host = round(statistics.median(stable), 3) if stable else None
+    out: dict[str, dict] = {}
+    for name, v in raw.items():
+        ratio = v["ratio"]
+        rel = (
+            round(ratio / host, 3) if ratio is not None and host else ratio
+        )
         expected = EXPECTED_DRIFT.get(name)
         out[name] = {
-            "median": round(med, 3),
+            "median": v["median"],
             "ratio": ratio,
-            "flag": bool(ratio and ratio > DRIFT_FLAG and not expected),
+            "rel_ratio": rel,
+            "host_factor": host,
+            "flag": bool(rel and rel > DRIFT_FLAG and not expected),
             "note": expected,
         }
     return out
@@ -503,6 +619,10 @@ def append_history(payload: dict) -> None:
         },
         "queries": payload["queries"],
     }
+    if payload.get("dedup_scale") and not payload.get("dedup_scale_carried"):
+        # persist only FRESH spot runs (carried-forward copies would
+        # masquerade as new measurements in the history)
+        rec["dedup_scale"] = payload["dedup_scale"]
     with open(HISTORY_PATH, "a", encoding="utf-8") as f:
         f.write(json.dumps(rec) + "\n")
 
@@ -560,25 +680,48 @@ def write_md(payload: dict) -> None:
         f" min of {QREPS} runs each)",
         "",
         "Drift = this run vs the trailing median of the last"
-        f" {DRIFT_WINDOW} recorded runs at this SF (BENCH_HISTORY.jsonl);"
-        f" ⚠ marks >{round((DRIFT_FLAG - 1) * 100)}% slower — a tripwire"
-        " to diff the plan, not proof (single walls drift ±25% under this"
-        " VM's throttle even at min-of-3).",
+        f" {DRIFT_WINDOW} recorded runs at this SF (BENCH_HISTORY.jsonl),"
+        " NORMALIZED by the run-wide host factor (median raw ratio over"
+        " definition-stable queries — the VM's tenancy moves every wall"
+        " together; round 7 measured a 1.15-1.33× common-mode shift"
+        f" within one day on identical inputs). ⚠ marks a RELATIVE ratio"
+        f" >{round((DRIFT_FLAG - 1) * 100)}% — a query slower than its"
+        " neighbors got — a tripwire to diff the plan, not proof.",
         "",
-        "| query | sec | trailing med | drift |",
-        "|---|---|---|---|",
     ]
     drift = p.get("query_drift", {})
+    host = next(
+        (
+            d.get("host_factor")
+            for d in drift.values()
+            if d.get("host_factor") is not None
+        ),
+        None,
+    )
+    if host is not None:
+        lines += [
+            f"Host factor this run: **{host}×** vs trailing medians"
+            " (common-mode; not attributable to any one query).",
+            "",
+        ]
+    lines += [
+        "| query | sec | trailing med | raw | drift (rel) |",
+        "|---|---|---|---|---|",
+    ]
     for k, v in p["queries"].items():
         d = drift.get(k) or {}
         med = d.get("median")
         ratio = d.get("ratio")
+        rel = d.get("rel_ratio")
         cell = (
             "first run" if med is None
-            else f"{'⚠ ' if d.get('flag') else ''}{ratio}×"
+            else f"{'⚠ ' if d.get('flag') else ''}{rel}×"
             + (f" ({d['note']})" if d.get("note") else "")
         )
-        lines.append(f"| {k} | {v} | {med if med is not None else '—'} | {cell} |")
+        lines.append(
+            f"| {k} | {v} | {med if med is not None else '—'} |"
+            f" {ratio if med is not None else '—'}× | {cell} |"
+        )
     dt = p.get("dedup_tiers")
     if dt:
         lines += [
@@ -599,6 +742,37 @@ def write_md(payload: dict) -> None:
             " percentage is the scale evidence (the shingle self-join it"
             " shrinks grows superlinearly with corpus size, the estimate"
             " tier's signature join linearly).",
+        ]
+    ds = p.get("dedup_scale")
+    if ds:
+        carried = (
+            f" (carried from the gated run at {ds.get('ts')};"
+            " re-measure with PBX_BENCH_DEDUP_SCALE=1)"
+            if p.get("dedup_scale_carried")
+            else ""
+        )
+        lines += [
+            "",
+            f"## Dedup-tier crossover at ×{ds['scale_x']} scale"
+            f" ({ds['n_docs']} distinct docs){carried}",
+            "",
+            "Each replica applies a distinct character permutation"
+            " (distinct docs — more data, not more duplicates); both"
+            " composed paths run on the same cached frame, interleaved"
+            " min-of-2:",
+            "",
+            "| path | wall (s) |",
+            "|---|---|",
+            f"| dedup_near keepers (every candidate pair pays the exact"
+            f" shingle self-join) | {ds['wall_keepers']} |",
+            f"| dedup_near estimated (band (0.3, 0.9) — only undecided"
+            f" pairs pay it) | {ds['wall_estimated']} |",
+            "",
+            f"estimated / keepers = **{ds['estimated_over_keepers']}×**."
+            " At sf0.1 the two are within noise (overhead-bound); this"
+            " larger input is where the superlinear shingle join starts"
+            " to dominate and the estimate band's linear signature join"
+            " shows up as wall, not just as the doc-shrink statistic.",
         ]
     sk = p.get("skew")
     if sk:
@@ -737,6 +911,12 @@ def main() -> int:
     }
     payload["query_drift"] = query_drift(queries)
     payload["dedup_tiers"] = dedup_tier_stats()
+    if RUN_DEDUP_SCALE:
+        payload["dedup_scale"] = dedup_scale_spot()
+        payload["dedup_scale_carried"] = False
+    else:
+        payload["dedup_scale"] = last_dedup_scale()
+        payload["dedup_scale_carried"] = payload["dedup_scale"] is not None
     append_history(payload)
     if write_markdown:
         write_md(payload)
