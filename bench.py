@@ -718,9 +718,10 @@ def write_md(payload: dict) -> None:
             else f"{'⚠ ' if d.get('flag') else ''}{rel}×"
             + (f" ({d['note']})" if d.get("note") else "")
         )
+        raw_cell = f"{ratio}×" if med is not None else "—"
         lines.append(
             f"| {k} | {v} | {med if med is not None else '—'} |"
-            f" {ratio if med is not None else '—'}× | {cell} |"
+            f" {raw_cell} | {cell} |"
         )
     dt = p.get("dedup_tiers")
     if dt:

@@ -38,6 +38,14 @@ import struct
 
 from pbx_ds_ocr_server_spark.kernels.png_codec import MAX_PIXELS
 
+# JPEG gets a TIGHTER pixel bound than PNG: the PNG cap was derived from
+# the unfilter loop (~8 ops/pixel); a dense-AC baseline JPEG costs ~2k
+# pure-Python ops per 8x8 block (up to 64 Huffman symbol decodes + a
+# 1024-multiply separable IDCT) ≈ 30 ops/pixel — ~10x the PNG loop. 2^19
+# pixels = 8192 blocks ≈ 1.6e7 ops keeps the worst adversarial in-bounds
+# payload at seconds, the same per-doc cost convention as the PNG cap.
+JPEG_MAX_PIXELS = min(MAX_PIXELS, 1 << 19)
+
 
 class JpegUnsupported(ValueError):
     """Valid-but-out-of-scope JPEG (progressive/arithmetic/multi-component)
@@ -230,6 +238,17 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     ``ValueError`` for non-JPEG bytes."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
+    try:
+        return _decode_gray(payload)
+    except (struct.error, IndexError):
+        # adversarial byte streams must decline TYPED, never escape as a
+        # non-ValueError and kill a Spark task (the operators catch
+        # ValueError only); the explicit per-segment checks below cover
+        # the known shapes — this net covers the ones fuzzing finds next
+        raise JpegUnsupported("malformed segment structure") from None
+
+
+def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
@@ -262,6 +281,8 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
                     vals = list(seg[j : j + 64])
                     j += 64
                 else:  # 16-bit table
+                    if j + 128 > len(seg):
+                        raise JpegUnsupported("short DQT")
                     vals = [
                         struct.unpack(">H", seg[j + 2 * k : j + 2 * k + 2])[0]
                         for k in range(64)
@@ -287,8 +308,12 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
                 )
                 j += 17 + count
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegUnsupported("short DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 9:
+                raise JpegUnsupported("short SOF")
             precision, height, width, nf = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise JpegUnsupported(f"sample precision {precision}")
@@ -299,7 +324,7 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             _cid, sampling, comp_tq = seg[6], seg[7], seg[8]
             if sampling != 0x11:
                 raise JpegUnsupported("non-1x1 sampling out of scope")
-            if width == 0 or height == 0 or width * height > MAX_PIXELS:
+            if width == 0 or height == 0 or width * height > JPEG_MAX_PIXELS:
                 raise JpegUnsupported(f"dimensions {width}x{height}")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -311,6 +336,8 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if width is None:
                 raise JpegUnsupported("SOS before SOF")
+            if len(seg) < 3:
+                raise JpegUnsupported("short SOS")
             ns = seg[0]
             if ns != 1:
                 raise JpegUnsupported("multi-component scan")
@@ -359,6 +386,13 @@ def _decode_scan(
                 if size == 0:
                     if r == 15:  # ZRL
                         k += 16
+                        # ZRL means 16 zeros FOLLOWED by more coefficients
+                        # (trailing zeros are EOB's job): k past 63 leaves
+                        # no room and the next symbol would be misread as
+                        # the following block's DC — a silent scan desync
+                        # that would decode garbage with decode_ok=true
+                        if k > 63:
+                            raise JpegUnsupported("ZRL run past block end")
                         continue
                     break  # EOB
                 k += r
@@ -429,7 +463,7 @@ def jpeg_encode_gray_coefs(
     caller's concern (tests drive coefficients directly).
     ``restart_interval`` > 0 writes a DRI segment and byte-aligned RSTn
     markers with predictor resets every that many MCUs."""
-    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+    if width <= 0 or height <= 0 or width * height > JPEG_MAX_PIXELS:
         raise ValueError(f"dimensions {width}x{height}")
     bw, bh = (width + 7) // 8, (height + 7) // 8
     if len(coef_blocks) != bw * bh:

@@ -273,6 +273,30 @@ def unregister_cid_table(ordering: bytes | str) -> None:
     _CID_TABLES.pop(key, None)
 
 
+def cid_tables_snapshot() -> dict[bytes, dict[int, str]]:
+    """Driver-side snapshot of every registered table. Registration is a
+    module global, and Spark's Python workers import this module FRESH —
+    driver-side register_cid_table alone would silently never reach the
+    executors. The extraction operator captures this snapshot at plan
+    time and replays it worker-side via :func:`restore_cid_tables`, so
+    the deploy seam works through the real Spark path, not just direct
+    kernel calls. (The tables ship in the task closure: the full
+    published collections are a few hundred KB — fine; anything larger
+    belongs in a broadcast variable feeding restore_cid_tables.)"""
+    return {k: dict(v) for k, v in _CID_TABLES.items()}
+
+
+def restore_cid_tables(snapshot: dict[bytes, dict[int, str]]) -> None:
+    """Executor-side replay of :func:`cid_tables_snapshot` — REPLACE, not
+    merge: Spark reuses Python workers across jobs, so a table restored
+    by an earlier plan would otherwise survive into a later plan whose
+    driver had since unregistered it (an empty snapshot must mean "no
+    tables"). The plan-time snapshot is authoritative."""
+    _CID_TABLES.clear()
+    for key, mapping in snapshot.items():
+        _CID_TABLES[key] = dict(mapping)
+
+
 def cid_ordering_cmap(ordering: bytes) -> dict[int, str] | None:
     """The effective CID→text table for an Adobe ordering: the shared
     Latin prefix for the classic collections, overlaid by any

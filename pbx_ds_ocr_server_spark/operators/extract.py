@@ -186,8 +186,20 @@ def extract_pages(
     src = df.select("url", "html")
     if salted:
         src = salt_partitions(src)
+    # deploy-time CID tables are a DRIVER-process registration; snapshot
+    # them into the task closure so the executors' fresh module imports
+    # see them too (kernels/pdf_fonts.cid_tables_snapshot docstring)
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cid_tables_snapshot,
+        restore_cid_tables,
+    )
+
+    cid_tables = cid_tables_snapshot()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # unconditional: reused workers may hold a PREVIOUS plan's tables,
+        # and an empty snapshot must clear them (restore_cid_tables doc)
+        restore_cid_tables(cid_tables)
         cols = [
             "url", "content_type", "n_pages", "seq", "page_index",
             "page_text", "spans", "title", "status", "error",

@@ -247,14 +247,18 @@ class PqIndex:
       nprobe/|labels| of the files before a byte is read,
     * ``coarse`` — [(label, centroid_vec)] collected driver-side (one row
       per inverted list — tiny by construction), so query-time list
-      ranking is pure driver arithmetic, zero Spark jobs."""
+      ranking is pure driver arithmetic, zero Spark jobs,
+    * ``id_col`` — the id column name of ``codes_df``, recorded at build
+      so :func:`pq_search` ranks by the caller's actual column instead
+      of assuming the default."""
 
-    __slots__ = ("codebooks", "codes_df", "coarse")
+    __slots__ = ("codebooks", "codes_df", "coarse", "id_col")
 
-    def __init__(self, codebooks, codes_df, coarse):
+    def __init__(self, codebooks, codes_df, coarse, id_col="vec_id"):
         self.codebooks = codebooks
         self.codes_df = codes_df
         self.coarse = coarse
+        self.id_col = id_col
 
 
 def pq_build(
@@ -316,7 +320,7 @@ def pq_build(
             df, vec_col=vec_col, label_col=label_col
         ).collect()
     ]
-    return PqIndex(codebooks, codes_df, coarse)
+    return PqIndex(codebooks, codes_df, coarse, id_col=id_col)
 
 
 def _cosine_py(a: list[float], b: list[float]) -> float:
@@ -355,4 +359,6 @@ def pq_search(
     probe = [label for label, _ in ranked[:nprobe]]
     cand = index.codes_df.filter(F.col("label").isin(probe))
     dt = adc_tables(query_vec, index.codebooks, round_dp=round_dp)
-    return pq_adc_topk(cand, dt, k=k, round_dp=round_dp)
+    return pq_adc_topk(
+        cand, dt, k=k, id_col=index.id_col, round_dp=round_dp
+    )

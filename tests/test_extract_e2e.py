@@ -283,3 +283,33 @@ def test_pure_cjk_pdf_class_still_succeeds(spark):
         spark.createDataFrame([("pdf://cjk", pdf)], "url string, html binary")
     ).first()
     assert row.status == "succeeded" and row.text != ""
+
+
+def test_registered_cid_tables_reach_spark_workers(spark):
+    """Round-7 review finding: CID-table registration is a DRIVER-process
+    module global, but mapInPandas runs in fresh worker interpreters —
+    without the snapshot-into-closure replay the deploy seam would work
+    in direct kernel calls yet silently do nothing through the real
+    Spark path. Registration here happens ONLY driver-side; the worker
+    must see it via the closure."""
+    from tests.test_pdf_kernel import _cid_latin_pdf
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        register_cid_table,
+        unregister_cid_table,
+    )
+
+    df = spark.createDataFrame(
+        [("pdf://cid-closure", _cid_latin_pdf("abc中"))],
+        "url string, html binary",
+    )
+    register_cid_table(b"Japan1", {0x2710: "中"})
+    try:
+        row = extract(df).first()
+        assert row.status == "succeeded"
+        assert row.text == "abc中"
+    finally:
+        unregister_cid_table(b"Japan1")
+    # seam removed at plan time -> honest partial through the same path
+    row = extract(df).first()
+    assert row.status == "succeeded_partial"
+    assert row.text == "abc"

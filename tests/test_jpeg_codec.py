@@ -164,15 +164,75 @@ def test_declines_are_typed():
 
 
 def test_dimension_bomb_declines():
-    from pbx_ds_ocr_server_spark.kernels.png_codec import MAX_PIXELS
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import JPEG_MAX_PIXELS
 
     good = encode_flat_blocks(1, 1, [50])
     i = good.index(b"\xff\xc0")
     bomb = bytearray(good)
     bomb[i + 5 : i + 9] = struct.pack(">HH", 30000, 30000)
-    assert 30000 * 30000 > MAX_PIXELS
+    assert 30000 * 30000 > JPEG_MAX_PIXELS
     with pytest.raises(JpegUnsupported, match="dimensions"):
         jpeg_decode_gray(bytes(bomb))
+    # JPEG's own cap is TIGHTER than the PNG-derived MAX_PIXELS: per-pixel
+    # decode cost (Huffman + two 8-tap IDCT passes) is ~10x the unfilter
+    # loop the PNG bound was derived from
+    from pbx_ds_ocr_server_spark.kernels.png_codec import MAX_PIXELS
+
+    assert JPEG_MAX_PIXELS <= MAX_PIXELS
+    px1024 = bytearray(good)
+    px1024[i + 5 : i + 9] = struct.pack(">HH", 1024, 1024)
+    assert 1024 * 1024 > JPEG_MAX_PIXELS <= MAX_PIXELS
+    with pytest.raises(JpegUnsupported, match="dimensions"):
+        jpeg_decode_gray(bytes(px1024))
+
+
+def test_malformed_segments_decline_typed_not_crash():
+    """Adversarial byte streams with the JPEG magic must raise
+    JpegUnsupported (a ValueError the operators catch), never
+    struct.error/IndexError that would kill the Spark task — the four
+    shapes below all escaped before the round-7 review fix."""
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",  # short SOF segment
+        b"\xff\xd8\xff\xdd\x00\x02",  # empty-body DRI
+        # short SOS (ns byte only)
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        b"\xff\xda\x00\x03\x01",
+        # short 16-bit DQT (Pq=1 but only 4 payload bytes)
+        b"\xff\xd8\xff\xdb\x00\x07\x10\x00\x01\x00\x02",
+    ]
+    for payload in cases:
+        with pytest.raises(JpegUnsupported):
+            jpeg_decode_gray(payload)
+
+
+def test_zrl_past_block_end_declines():
+    """A ZRL landing past coefficient 63 would silently desync the scan
+    (next symbols misread as the following block's DC) and return
+    deterministic-but-wrong pixels with decode_ok — must decline typed."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _encode_table,
+    )
+
+    good = encode_flat_blocks(1, 1, [5])
+    sos = good.rindex(b"\xff\xda")
+    (sos_len,) = struct.unpack(">H", good[sos + 2 : sos + 4])
+    prefix = good[: sos + 2 + sos_len]
+    dc_enc = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_enc = _encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    w = _BitWriter()
+    code, length = dc_enc[0]
+    w.write(code, length)  # DC diff 0
+    for _ in range(4):  # k: 1 -> 17 -> 33 -> 49 -> 65 (past block end)
+        code, length = ac_enc[0xF0]
+        w.write(code, length)
+    w.flush()
+    with pytest.raises(JpegUnsupported, match="ZRL"):
+        jpeg_decode_gray(prefix + bytes(w.out) + b"\xff\xd9")
 
 
 def test_stats_closed_form_flat_gradient():

@@ -191,3 +191,31 @@ def test_pq_build_fit_on_sample(vecs):
     got = {r.neighbor for r in pq_search(idx, query, k=12, nprobe=1).collect()}
     c2 = {r[0] for r in _clustered_rows() if r[1] == "c2"}
     assert got <= c2 and len(got) == 12
+
+
+def test_pq_search_honors_custom_id_col(spark, vecs, index):
+    """Round-7 review finding: pq_search ranked by the DEFAULT id column
+    name regardless of what pq_build was given — an index built over
+    `doc_id` raised AnalysisException at query time. The index records
+    its id column and search uses it."""
+    from pbx_ds_ocr_server_spark.operators.pq import pq_build, pq_search
+
+    renamed = vecs.withColumnRenamed("vec_id", "doc_id")
+    idx = pq_build(
+        renamed,
+        dims=DIMS,
+        m=2,
+        ks=4,
+        iters=3,
+        id_col="doc_id",
+        centroid_round_dp=5,
+    )
+    out = pq_search(idx, [10.0, 9.0, 0, 0, 0, 0, 0, 0], k=5, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {r.neighbor for r in rows} == {
+        r.neighbor
+        for r in pq_search(
+            index, [10.0, 9.0, 0, 0, 0, 0, 0, 0], k=5, nprobe=2
+        ).collect()
+    }
