@@ -769,11 +769,27 @@ def write_md(payload: dict) -> None:
             f"| dedup_near estimated (band (0.3, 0.9) — only undecided"
             f" pairs pay it) | {ds['wall_estimated']} |",
             "",
-            f"estimated / keepers = **{ds['estimated_over_keepers']}×**."
-            " At sf0.1 the two are within noise (overhead-bound); this"
-            " larger input is where the superlinear shingle join starts"
-            " to dominate and the estimate band's linear signature join"
-            " shows up as wall, not just as the doc-shrink statistic.",
+            f"estimated / keepers = **{ds['estimated_over_keepers']}×**. "
+            + (
+                "The crossover is REACHED at this scale: the exact"
+                " tier's shingle self-join now costs more wall than the"
+                " estimate band's signature pass saves it — the"
+                " doc-shrink statistic has become measured time."
+                if (ds.get("estimated_over_keepers") or 1) < 1
+                else "The crossover is NOT yet reached at this scale —"
+                " honest result: this corpus's candidate pairs are"
+                " similar enough that the band drops almost nothing below"
+                " lo (see the shrink stats above: 0 dropped), so the"
+                " estimate tier still pays its signature-carry overhead"
+                " on top of a shingle join it only partially shrinks."
+                " The estimate band pays off when the pair-similarity"
+                " distribution has mass outside the band (real crawl"
+                " corpora: most LSH candidates are either clear dups or"
+                " clear non-dups); the doc-shrink statistic above remains"
+                " the asymptotic argument, now with a measured bound on"
+                " its overhead at this distribution"
+                f" ({round(((ds.get('estimated_over_keepers') or 1) - 1) * 100)}%)."
+            ),
         ]
     sk = p.get("skew")
     if sk:
