@@ -39,8 +39,16 @@ def own_result(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     required, blocks live in executor storage (MEMORY_AND_DISK). The
     non-fault-tolerant caveat (blocks die with an executor) is acceptable
     for a result that is about to be consumed; jobs needing re-computable
-    results should write to a sink instead."""
-    out = result.localCheckpoint(eager=True)
-    for df in intermediates:
-        df.unpersist()
+    results should write to a sink instead.
+
+    The unpersist runs in a ``finally``: if the eager checkpoint job
+    fails (executor OOM, task abort), the intermediates must still be
+    released — the caller-side clearCache contract is gone, so a retry
+    loop would otherwise accumulate one orphaned cached frame per failed
+    attempt with no owner left to free them."""
+    try:
+        out = result.localCheckpoint(eager=True)
+    finally:
+        for df in intermediates:
+            df.unpersist()
     return out

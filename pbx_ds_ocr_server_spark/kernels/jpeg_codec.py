@@ -312,6 +312,11 @@ def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
                 raise JpegUnsupported("short DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC0:  # SOF0 baseline
+            if width is not None:
+                # parity with the PNG codec's duplicate-IHDR decline: two
+                # frame headers are a header-vs-pixels forgery vector
+                # (second silently rebinding dimensions/quant selection)
+                raise JpegUnsupported("duplicate SOF")
             if len(seg) < 9:
                 raise JpegUnsupported("short SOF")
             precision, height, width, nf = struct.unpack(">BHHB", seg[:6])
@@ -336,12 +341,19 @@ def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if width is None:
                 raise JpegUnsupported("SOS before SOF")
-            if len(seg) < 3:
+            if len(seg) < 6:
                 raise JpegUnsupported("short SOS")
             ns = seg[0]
             if ns != 1:
                 raise JpegUnsupported("multi-component scan")
             td, ta = seg[2] >> 4, seg[2] & 0x0F
+            # B.2.3 progression parameters: a baseline scan is exactly
+            # Ss=0 Se=63 Ah=Al=0 — anything else (e.g. an AC-only scan
+            # with Ss=1) has NO DC entropy data, and decoding it with
+            # baseline semantics would misread the first symbol via the
+            # DC table and return deterministic wrong pixels
+            if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+                raise JpegUnsupported("non-baseline scan progression")
             if td not in dc_tables or ta not in ac_tables:
                 raise JpegUnsupported("scan references missing DHT")
             if comp_tq not in qtables:
@@ -406,6 +418,16 @@ def _decode_scan(
                 row_off = (by * 8 + yy) * width + bx * 8
                 for xx in range(min(8, width - bx * 8)):
                     out[row_off + xx] = block[yy * 8 + xx]
+    # tail strictness, parity with the PNG codec's unused_data/IEND
+    # declines: after the last MCU the entropy data ends at the byte
+    # boundary reader.pos points past — what follows must be exactly the
+    # EOI marker. A transfer that lost EOI (truncated on an MCU boundary)
+    # or a garbage-appended payload must not get decode_ok.
+    tail = payload[reader.pos :]
+    if tail[:2] != b"\xff\xd9":
+        raise JpegUnsupported("missing EOI after entropy-coded data")
+    if tail[2:]:
+        raise JpegUnsupported("trailing data after EOI")
     return width, height, bytes(out)
 
 
@@ -445,6 +467,13 @@ def _encode_table(table_bits, table_vals) -> dict:
     }
 
 
+# the Annex K tables are fixed: build the symbol→(code, length) maps ONCE
+# at import — the encoder runs per media row inside executors, and
+# rebuilding ~174 constant entries per call was pure waste (round-7 review)
+_DC_LUMA_ENC = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+_AC_LUMA_ENC = _encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+
+
 def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
@@ -469,8 +498,7 @@ def jpeg_encode_gray_coefs(
     if len(coef_blocks) != bw * bh:
         raise ValueError(f"need {bw * bh} blocks, got {len(coef_blocks)}")
     q = qtable if qtable is not None else STD_LUMA_QUANT
-    dc_enc = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_enc = _encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_enc, ac_enc = _DC_LUMA_ENC, _AC_LUMA_ENC
     w = _BitWriter()
     pred = 0
     for mcu, blk in enumerate(coef_blocks):

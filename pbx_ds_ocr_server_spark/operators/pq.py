@@ -314,10 +314,14 @@ def pq_build(
         vec_col=vec_col,
         carry_cols=("label",),
     )
+    # round_dp=6 matches the IVF coarse stage's centroid rounding
+    # (similarity.ivf_probe_labels), so the same data yields the same
+    # coarse table in both paths — probe selection cannot drift on a
+    # sub-ulp centroid difference between the demo and production shapes
     coarse = [
         (r["label"], list(r["cvec"]))
         for r in label_centroid_vectors(
-            df, vec_col=vec_col, label_col=label_col
+            df, vec_col=vec_col, label_col=label_col, round_dp=6
         ).collect()
     ]
     return PqIndex(codebooks, codes_df, coarse, id_col=id_col)
@@ -352,9 +356,19 @@ def pq_search(
     exhaustive ADC scan and recall is bounded only by quantization."""
     if nprobe < 1:
         raise ValueError(f"nprobe={nprobe}")
+    # rank by ROUNDED cosine with ties to the lowest label — the exact
+    # selection rule of similarity.ivf_probe_labels (round_dp=6, F.round
+    # half-away semantics), so nprobe=1 probes the same list the demo/
+    # oracle coarse stage picks on the same data
+    import math
+
+    def _cos6(c: list[float]) -> float:
+        x = _cosine_py(query_vec, c)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     ranked = sorted(
         index.coarse,
-        key=lambda lc: (-_cosine_py(query_vec, lc[1]), lc[0]),
+        key=lambda lc: (-_cos6(lc[1]), lc[0]),
     )
     probe = [label for label, _ in ranked[:nprobe]]
     cand = index.codes_df.filter(F.col("label").isin(probe))

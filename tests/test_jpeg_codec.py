@@ -257,3 +257,43 @@ def test_zigzag_is_an_involution_on_indices():
     assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
     # index 35 ends the down-left diagonal at (7,0): natural 56
     assert ZIGZAG[63] == 63 and ZIGZAG[35] == 56 and ZIGZAG[9] == 24
+
+
+def test_non_baseline_scan_progression_declines():
+    """An Ss!=0 scan header (AC-only, per B.2.3) has no DC entropy data;
+    decoding it with baseline semantics would misread the first Huffman
+    symbol via the DC table — deterministic wrong pixels with decode_ok.
+    Eighth-review fix: decline any (Ss, Se, AhAl) != (0, 63, 0)."""
+    good = encode_flat_blocks(1, 1, [50])
+    sos = good.rindex(b"\xff\xda")
+    for off, val in ((5, 1), (6, 62), (7, 0x10)):  # Ss / Se / Ah
+        bad = bytearray(good)
+        bad[sos + 2 + off] = val
+        with pytest.raises(JpegUnsupported, match="progression"):
+            jpeg_decode_gray(bytes(bad))
+
+
+def test_duplicate_sof_declines():
+    """Two frame headers = the JPEG shape of the PNG codec's duplicate-
+    IHDR forgery decline (second header silently rebinding dimensions)."""
+    good = encode_flat_blocks(1, 1, [50])
+    i = good.index(b"\xff\xc0")
+    (ln,) = struct.unpack(">H", good[i + 2 : i + 4])
+    dup = good[: i + 2 + ln] + good[i : i + 2 + ln] + good[i + 2 + ln :]
+    with pytest.raises(JpegUnsupported, match="duplicate SOF"):
+        jpeg_decode_gray(dup)
+
+
+def test_missing_eoi_and_trailing_garbage_decline():
+    """Tail strictness parity with the PNG codec: entropy data must be
+    followed by exactly the EOI marker — a truncation that lost EOI or an
+    appended-garbage payload must not get decode_ok."""
+    good = encode_flat_blocks(1, 1, [50])
+    assert good.endswith(b"\xff\xd9")
+    with pytest.raises(JpegUnsupported, match="EOI"):
+        jpeg_decode_gray(good[:-2] + b"GARBAGE!")
+    with pytest.raises(JpegUnsupported, match="trailing"):
+        jpeg_decode_gray(good + b"\x00\x01")
+    # and the well-formed stream still decodes after the strictness
+    w, h, px = jpeg_decode_gray(good)
+    assert (w, h) == (8, 8)
