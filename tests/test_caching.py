@@ -74,3 +74,20 @@ def test_ivf_pq_topk_repeat_invocation_does_not_leak_cache(spark):
         del out
         counts.append(_n_persistent(spark))
     assert counts[2] - counts[0] <= 2, counts
+
+
+def test_own_result_unpersists_even_when_materialization_fails(spark):
+    """Eighth-review fix: the unpersist runs in a finally — a failed
+    checkpoint job (executor OOM, task abort) must not orphan the cached
+    intermediates now that no caller-side clearCache contract exists."""
+    base = spark.range(50).withColumn("v", F.col("id") * 3).cache()
+    base.count()
+
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("injected task failure")
+
+    failing = base.select(boom(F.col("v")).alias("x"))
+    with pytest.raises(Exception):
+        own_result(failing, base)
+    assert base.storageLevel.useMemory is False
