@@ -504,8 +504,9 @@ EXPECTED_DRIFT = {
                           " (cache ownership)",
     "corpus_curation": "round 7: result materialized via own_result"
                        " (cache ownership)",
-    "ann_ivf_pq_top5": "round 7: result materialized via own_result"
-                       " (cache ownership)",
+    # (ann_ivf_pq_top5 also gained own_result, but it is not a HEADLINE
+    # query — query_drift only tracks HEADLINE members, so an entry here
+    # would be dead; add one IF it ever joins HEADLINE)
     # corpus v10 (round 6) appended 2 PDF font classes (41 -> 43 table
     # entries): every doc's class re-hashed and the PDF share rose — the
     # TIMED extraction queries cost more per doc by input composition, not
@@ -779,7 +780,9 @@ def write_md(payload: dict) -> None:
                 else "The crossover is NOT yet reached at this scale —"
                 " honest result: this corpus's candidate pairs are"
                 " similar enough that the band drops almost nothing below"
-                " lo (see the shrink stats above: 0 dropped), so the"
+                " lo (see the shrink stats above:"
+                f" {(p.get('dedup_tiers') or {}).get('dropped_lt_lo', '?')}"
+                " dropped), so the"
                 " estimate tier still pays its signature-carry overhead"
                 " on top of a shingle join it only partially shrinks."
                 " The estimate band pays off when the pair-similarity"

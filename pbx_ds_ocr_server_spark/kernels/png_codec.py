@@ -102,6 +102,12 @@ def _chunks(payload: bytes):
         yield ctype, data
         i += 12 + length  # length + type + data + crc
         if ctype == b"IEND":
+            # ninth-review fix, strictness parity with the JPEG codec's
+            # trailing-data-after-EOI decline: bytes after IEND are the
+            # classic append-smuggling vector (PNG+ZIP polyglots) and
+            # must not get decode_ok
+            if i != n:
+                raise PngUnsupported("trailing data after IEND")
             return
     raise PngUnsupported("missing IEND")
 

@@ -437,3 +437,13 @@ def test_null_text_payload_propagates_null(spark):
            with_synthetic_png_payloads(df, every=3).collect()}
     assert out[1] is None  # NOT the fabricated b"None"
     assert bytes(out[3])[:8] == b"\x89PNG\r\n\x1a\n"  # png ids unaffected
+
+
+def test_trailing_data_after_iend_declines():
+    """Ninth-review fix, strictness parity with the JPEG codec's
+    trailing-data-after-EOI decline: bytes appended after IEND (the
+    PNG+ZIP polyglot smuggling vector) must not get decode_ok."""
+    good = png_encode(9, 9, _gradient(9, 9, 5), 0)
+    assert png_decode(good)  # well-formed baseline still decodes
+    with pytest.raises(PngUnsupported, match="trailing data after IEND"):
+        png_decode(good + b"PK\x03\x04smuggled")
