@@ -219,3 +219,30 @@ def test_pq_search_honors_custom_id_col(spark, vecs, index):
             index, [10.0, 9.0, 0, 0, 0, 0, 0, 0], k=5, nprobe=2
         ).collect()
     }
+
+
+def test_pq_search_probe_prunes_partitioned_codes(spark, vecs, tmp_path):
+    """Substantiates the PqIndex docstring's scale claim: persist codes_df
+    partitioned BY label and the nprobe filter must reach the scan as a
+    PARTITION filter — at corpus scale a probe reads nprobe/|labels| of
+    the files before a byte is read."""
+    from pbx_ds_ocr_server_spark.operators.pq import (
+        PqIndex,
+        pq_build,
+        pq_search,
+    )
+
+    idx = pq_build(vecs, dims=DIMS, m=2, ks=4, iters=3, centroid_round_dp=5)
+    path = str(tmp_path / "codes")
+    idx.codes_df.write.partitionBy("label").parquet(path)
+    stored = PqIndex(
+        idx.codebooks, spark.read.parquet(path), idx.coarse, id_col="vec_id"
+    )
+    out = pq_search(stored, [10.0, 9.0, 0, 0, 0, 0, 0, 0], k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [label" in plan.replace("\n", " "), plan[:2000]
+    # and the pruned search returns the same neighbors as the in-memory one
+    mem = pq_search(idx, [10.0, 9.0, 0, 0, 0, 0, 0, 0], k=5, nprobe=2)
+    assert [r.neighbor for r in out.collect()] == [
+        r.neighbor for r in mem.collect()
+    ]
