@@ -99,7 +99,9 @@ def banding(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: tuple[tuple[str, ...], ...] = (("s0", "s1"), ("s2", "s3"))
+    sig: DataFrame,
+    bands: tuple[tuple[str, ...], ...] = (("s0", "s1"), ("s2", "s3")),
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Docs sharing ANY band (all hashes in the band equal) → candidate pairs
     (a < b, distinct). Standard banding: the self-join key is the band tuple,
@@ -108,7 +110,17 @@ def lsh_candidate_pairs(
     All bands are melted into one (band_id, key) relation first, so the plan
     is a SINGLE self-join regardless of band count (instead of one join +
     union per band — at n bands that recomputes the signature subplan 2n
-    times; melted it is computed twice)."""
+    times; melted it is computed twice).
+
+    ``max_bucket_df`` guards the one blow-up mode banding cannot bound on
+    its own: EXACT-duplicate (or degenerate short/empty) docs share every
+    band key, so one bucket of m identical docs self-joins to m²/2 pair
+    rows per band. Buckets with more than this many docs are dropped
+    BEFORE the join (same design as ``jaccard_pairs``' mandatory
+    ``max_shingle_df``); like that cap it deletes candidate pairs, so it
+    is an explicit opt-in, None by default — the intended pipeline runs
+    :func:`dedup_exact` first (as ``corpus_curation`` does), after which
+    no exact-dup megabucket can exist."""
     melted = sig.select(
         "id",
         F.explode(
@@ -125,6 +137,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
+    if max_bucket_df is not None:
+        hot = (
+            melted.groupBy("band_id", "key")
+            .agg(F.count("*").alias("bdf"))  # one row per id per band key
+            .filter(F.col("bdf") > max_bucket_df)
+            .select("band_id", "key")
+        )
+        melted = melted.join(hot, ["band_id", "key"], "left_anti")
     left = melted.select(
         F.col("id").alias("a"), "band_id", "key"
     )
@@ -251,7 +271,10 @@ def _pair_estimates(sigs: DataFrame, cand: DataFrame, k: int) -> DataFrame:
 
 
 def _candidate_pair_estimates(
-    sig: DataFrame, bands: tuple[tuple[str, ...], ...], k: int
+    sig: DataFrame,
+    bands: tuple[tuple[str, ...], ...],
+    k: int,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """(a, b, est_jaccard) for LSH candidate pairs with the signature
     columns CARRIED THROUGH the band self-join: the (expensive) signature
@@ -292,9 +315,31 @@ def _candidate_pair_estimates(
         F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
         for i in range(k)
     )
+    la, rb = melt("a", "xa"), melt("b", "yb")
+    if max_bucket_df is not None:
+        # same exact-dup-megabucket guard as lsh_candidate_pairs; the slim
+        # count relation re-evaluates the signature subtree once more, so
+        # the "exactly twice" claim above holds only for the uncapped form
+        hot = (
+            sig.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.concat_ws("|", *[F.col(c) for c in band])
+                            for band in bands
+                        ]
+                    )
+                ).alias("band_id", "key")
+            )
+            .groupBy("band_id", "key")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") > max_bucket_df)
+            .select("band_id", "key")
+        )
+        la = la.join(hot, ["band_id", "key"], "left_anti")
+        rb = rb.join(hot, ["band_id", "key"], "left_anti")
     return (
-        melt("a", "xa")
-        .join(melt("b", "yb"), ["band_id", "key"])
+        la.join(rb, ["band_id", "key"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
         .select("a", "b", "est_jaccard")
@@ -527,8 +572,15 @@ def connected_min_label(
     def _checkpoint(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
 
-    edges = pairs.select("a", "b").unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # checkpoint the (symmetrized) edge list ONCE: it is re-scanned every
+    # round, and the caller's `pairs` is typically the most expensive plan
+    # in this module (LSH candidates + exact-Jaccard verify in
+    # dedup_near(transitive=True)) — without this, each round's count()
+    # action re-ran that whole subtree twice (tenth-review fix)
+    edges = _checkpoint(
+        pairs.select("a", "b").unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
     )
     labels = _checkpoint(
         edges.select(F.col("a").alias("id"))
@@ -991,7 +1043,16 @@ def exact_substr_dedup(
         )
         .select(
             F.col("id").alias(id_col),
-            F.size("ws").cast("bigint").alias("n_words"),
+            # empty/whitespace-only text splits to [''] (size 1); report 0
+            # like functions/text.token_count so n_removed/n_words stats
+            # don't count phantom words on blank docs (tenth-review fix)
+            F.when(
+                (F.size("ws") == 1) & (F.element_at("ws", 1) == ""),
+                F.lit(0),
+            )
+            .otherwise(F.size("ws"))
+            .cast("bigint")
+            .alias("n_words"),
             F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
                 "n_removed"
             ),

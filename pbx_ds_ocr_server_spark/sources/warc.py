@@ -66,7 +66,15 @@ def parse_warc(data: bytes) -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            pos = hdr_end + 4
+            # no usable Content-Length → the body extent is unknown, so
+            # re-scan only from the next RECORD BOUNDARY (blank line +
+            # magic). A bare find(b"WARC/") from here would scan INSIDE
+            # this record's body and could fabricate records from body
+            # bytes that merely mention the WARC format (tenth-review fix)
+            nxt = data.find(b"\r\n\r\nWARC/", hdr_end + 4)
+            if nxt == -1:
+                break
+            pos = nxt + 4
             continue
         body = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
@@ -136,8 +144,18 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
     suffix = ".warc.gz" if gzip_members else ".warc"
 
     def dump(pid: int, it):
+        from pyspark import TaskContext
+
         path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
-        tmp = path + ".tmp"
+        # tmp name carries the task ATTEMPT id: under speculative
+        # execution (or a zombie attempt after a perceived failure) two
+        # attempts of this partition run concurrently — a shared tmp path
+        # would interleave their records and rename the corrupt mixture
+        # into place (tenth-review fix). Distinct tmps keep the final
+        # os.replace atomic and last-writer-consistent.
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = f"{path}.{attempt}.tmp"
         wrote = False
         f = None
         try:

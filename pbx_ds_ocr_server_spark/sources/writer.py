@@ -152,10 +152,37 @@ def stage_input(
             with open(marker, "w", encoding="utf-8") as f:
                 f.write(str(n_buckets))
             raw = str(n_buckets)
-        if int(raw) != n_buckets:
+        if not raw.isdigit():
+            raise ValueError(
+                f"staging marker at {marker} is corrupt ({raw!r}); delete"
+                " the staging dir and re-stage"
+            )
+        recorded = int(raw)
+        # cross-check the marker against the layout: a marker from a
+        # legacy (pre-atomic-write) torn write could hold a plausible but
+        # SMALLER count ('1' torn from '16'); bucket dirs above it prove
+        # the corruption before any resume trusts it
+        layout_hint = (
+            max(
+                (
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(staging_dir)
+                    if d.startswith("bucket=")
+                ),
+                default=-1,
+            )
+            + 1
+        )
+        if layout_hint > recorded:
+            raise ValueError(
+                f"staging marker at {marker} records n_buckets={recorded}"
+                f" but the layout has bucket dirs up to {layout_hint - 1} —"
+                " corrupt marker; delete the staging dir and re-stage"
+            )
+        if recorded != n_buckets:
             raise ValueError(
                 f"staging at {staging_dir} was written with n_buckets="
-                f"{int(raw)}, requested {n_buckets}; use the original bucket"
+                f"{recorded}, requested {n_buckets}; use the original bucket"
                 " count or re-stage into a fresh output_dir"
             )
         return
@@ -171,8 +198,15 @@ def stage_input(
         .partitionBy("bucket")
         .parquet(staging_dir)
     )
-    with open(marker, "w", encoding="utf-8") as f:
+    # tmp + os.replace, same atomicity as manifest.mark: a crash mid-write
+    # must not leave a TORN marker ('1' from '16' would make a later
+    # resume validate against n_buckets=1, process bucket 0 only, and
+    # mark the job complete — silently dropping the other buckets, the
+    # exact hazard this marker exists to prevent)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write(str(n_buckets))
+    os.replace(tmp, marker)
 
 
 def run_extract_job(
@@ -278,8 +312,14 @@ def run_extract_job(
         docs_out=docs_out,
         wall_seconds=wall,
     )
-    if not [b for b in range(n_buckets) if b not in manifest.completed()]:
-        # run complete → metrics row (K9 analog)
+    all_done = not [
+        b for b in range(n_buckets) if b not in manifest.completed()
+    ]
+    if all_done and buckets_done:
+        # run complete AND this invocation did work → metrics row (K9
+        # analog). The buckets_done guard keeps a no-op rerun of an
+        # already-complete job from appending a zero-docs row on every
+        # invocation (tenth-review fix)
         spark.createDataFrame(
             [(run_id, docs_out, wall, res.docs_per_sec, time.time())],
             "run_id string, docs_out long, wall_seconds double,"

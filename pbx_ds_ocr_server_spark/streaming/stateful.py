@@ -9,9 +9,21 @@ are emitted exactly once; the final open session per user stays in state
 (a terminal flush would need a processing-time timeout — deliberate, since
 "the stream never ends" is the semantic).
 
-Determinism: events within a micro-batch are sorted by (ts, event_id); the
-emitted (user_id, session ordinal, counts, duration) match the batch
-sessionizer for every closed session.
+Determinism: events within a micro-batch are sorted by (ts, event_id) —
+ACROSS the iterator's Arrow chunks, not per chunk (a group bigger than
+``spark.sql.execution.arrow.maxRecordsPerBatch`` arrives as several
+chunks in arbitrary order; tenth-review fix); the emitted (user_id,
+session ordinal, counts, duration) match the batch sessionizer for every
+closed session.
+
+Late-data contract: there is no watermark, so an event arriving in a
+LATER micro-batch with an EARLIER timestamp than state's last event
+cannot be re-sorted into its session (the batch twin, which sees the
+whole log, would have). Such an event joins the current session if
+within the gap (and ``last_epoch`` is CLAMPED monotone so durations can
+never go negative) or honestly opens a new session if beyond it;
+replaying the log through the batch sessionizer is the reconciliation
+path, exactly-once per closed session either way.
 """
 
 from __future__ import annotations
@@ -41,9 +53,18 @@ def make_session_updater(gap_seconds: int = 1800):
         else:
             last_epoch, session_id, start_epoch, n_events = None, 0, None, 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
+        # one sort over the WHOLE group's micro-batch: the iterator yields
+        # Arrow chunks (maxRecordsPerBatch-sized) in no guaranteed order,
+        # and a per-chunk sort would process chunk 2's earlier timestamps
+        # after chunk 1's later ones — false splits, wrong durations
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            for ts in whole["ts"]:
                 ep = int(pd.Timestamp(ts).timestamp())
                 if last_epoch is None:
                     session_id += 1
@@ -62,7 +83,9 @@ def make_session_updater(gap_seconds: int = 1800):
                     start_epoch, n_events = ep, 1
                 else:
                     n_events += 1
-                last_epoch = ep
+                # clamp monotone: a cross-batch late event must never
+                # rewind state (negative durations, premature gap closes)
+                last_epoch = ep if last_epoch is None else max(last_epoch, ep)
         state.update((last_epoch, session_id, start_epoch, n_events))
         yield pd.DataFrame(
             closed,

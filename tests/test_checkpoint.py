@@ -213,3 +213,33 @@ def test_write_table_iceberg_e2e_append_readback(spark, tmp_path):
         "SELECT count(*) FROM lakeci.db.t.snapshots"
     ).first()[0]
     assert snaps >= 2  # one per commit — expiry would prune these
+
+
+def test_noop_rerun_appends_no_metrics_row(spark, crashed_then_resumed, corpus, outdir):
+    """Tenth-review fix: re-running an already-complete job must not
+    append a zero-docs row to _metrics on every invocation."""
+    import os
+
+    metrics_dir = os.path.join(outdir, "_metrics")
+    before = spark.read.parquet(metrics_dir).count()
+    run_extract_job(spark, corpus, outdir, run_id="rX", n_buckets=N_BUCKETS)
+    assert spark.read.parquet(metrics_dir).count() == before
+
+
+def test_corrupt_staging_marker_raises_diagnostic(spark, corpus, tmp_path):
+    """Tenth-review fix: a garbage marker gets a diagnostic, and a torn
+    plausible-but-smaller count is caught against the bucket layout
+    before any resume trusts it."""
+    import os
+
+    out = str(tmp_path / "corrupt_marker")
+    run_extract_job(spark, corpus, out, run_id="r1", n_buckets=4)
+    marker = os.path.join(out, "staging", "_STAGED")
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("not-a-number")
+    with pytest.raises(ValueError, match="corrupt"):
+        run_extract_job(spark, corpus, out, run_id="r2", n_buckets=4)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("1")  # torn prefix of a larger legacy count
+    with pytest.raises(ValueError, match="corrupt marker"):
+        run_extract_job(spark, corpus, out, run_id="r3", n_buckets=1)

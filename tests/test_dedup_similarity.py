@@ -701,3 +701,37 @@ def test_exact_substr_property_vs_python_reference(spark):
             for r in exact_substr_dedup(df, k=8).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_lsh_band_bucket_cap_guards_exact_dup_megabuckets(spark):
+    """Tenth-review fix: m exact-duplicate docs share EVERY band key, so
+    one bucket self-joins to m^2/2 pairs per band with no cap. The
+    opt-in max_bucket_df drops such megabuckets before the join (pipeline
+    answer: run dedup_exact first, as corpus_curation does)."""
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "the exact same templated page body repeated") for i in range(12)]
+    rows += [(100, "a genuinely different document about spark plans"),
+             (101, "a genuinely different document about spark plans!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+    uncapped = lsh_candidate_pairs(sigs).count()
+    assert uncapped >= 12 * 11 // 2  # the megabucket explodes quadratically
+    capped = {(r.a, r.b) for r in lsh_candidate_pairs(sigs, max_bucket_df=5).collect()}
+    assert all(a >= 100 for a, _ in capped)  # megabucket gone, real pair kept
+    assert (100, 101) in capped
+
+
+def test_exact_substr_empty_doc_reports_zero_words(spark):
+    """Tenth-review fix: ''.split is [''] so empty docs reported n_words=1,
+    diverging from token_count's empty-string special case."""
+    from pbx_ds_ocr_server_spark.operators.dedup import exact_substr_dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "some real words here")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_words for r in exact_substr_dedup(df, k=8).collect()}
+    assert out == {1: 0, 2: 4}

@@ -124,3 +124,33 @@ def test_spark_read_and_extract_byte_identity(spark, warc_rows, tmp_path):
     for row in result.collect():
         if expected[row.url] is not None:
             assert row.text == expected[row.url]
+
+
+def test_missing_content_length_does_not_fabricate_records_from_body():
+    """Tenth-review fix: a record without Content-Length has an unknown
+    body extent; the scan must resume at the next record BOUNDARY, not
+    inside this record's body, where a page that merely MENTIONS the
+    WARC format would be parsed as a real record."""
+    body_with_mention = (
+        b"<html>The WARC format header looks like: WARC/1.0\r\n"
+        b"WARC-Type: response\r\nWARC-Target-URI: http://fake.example/\r\n"
+        b"Content-Length: 5\r\n\r\nAAAAA and more text</html>"
+    )
+    broken = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://broken.example/\r\n"
+        b"\r\n" + body_with_mention + b"\r\n\r\n"
+    )
+    good_body = b"<html>real</html>"
+    good = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://good.example/\r\n"
+        + f"Content-Length: {len(good_body)}\r\n\r\n".encode()
+        + good_body + b"\r\n\r\n"
+    )
+    rows = parse_warc(broken + good)
+    urls = [r["url"] for r in rows]
+    assert "http://fake.example/" not in urls
+    assert urls == ["http://good.example/"]
