@@ -1924,7 +1924,9 @@ def oracle_sql() -> dict[str, str]:
                             WHEN scheme = 'https'
                             THEN regexp_replace(auth, ':443$', '')
                             ELSE auth END)
-                   || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS canon_url,
+                   || (CASE WHEN rest = '' THEN '/'
+                            WHEN substr(rest, 1, 1) = '?' THEN '/' || rest
+                            ELSE rest END) AS canon_url,
                    regexp_replace(auth, ':[0-9]*$', '') AS host
             FROM p
         """,

@@ -147,8 +147,10 @@ def lang_id_table(df, id_col: str = "doc_id", text_col: str = "text"):
     """(id, lang_pred) via explode + 5 conditional sums — same result as the
     ``lang_id`` column expression (same votes, same tie-break chain) but in
     a codegen-friendly hash aggregate instead of nested array lambdas."""
+    # explode_outer keeps NULL-text docs (NULL votes -> every when()
+    # falls through -> 'und', matching the lang_id column expression)
     w = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+        F.col(id_col).alias("id"), F.explode_outer(words(text_col)).alias("w")
     ).withColumn("lw", F.lower("w"))
     aggs = [
         F.sum(F.col("lw").isin(list(STOPWORDS[lang])).cast("int")).alias(
@@ -192,7 +194,7 @@ def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
     )
     bigrams = base.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.size("ws") >= 2,
                 F.transform(
@@ -208,16 +210,21 @@ def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
         .groupBy("id")
         .agg(F.max("count").alias("top_bg"))
     )
+    # left join + n_words guard: a NULL-text doc (size(NULL) = -1) gets
+    # honest NULL metrics instead of being dropped by the inner join
+    # (gopher_flags previously worked around the drop with its own left
+    # join; direct callers silently lost the doc)
+    valid = F.col("n_words") > 0
     return (
-        stats.join(top, "id")
+        stats.join(top, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias(
-                "dup_word_frac"
-            ),
-            F.round(2 * F.col("top_bg") / F.col("n_words"), 6).alias(
-                "top_bigram_frac"
-            ),
+            F.when(
+                valid, F.round(1 - F.col("n_distinct") / F.col("n_words"), 6)
+            ).alias("dup_word_frac"),
+            F.when(
+                valid, F.round(2 * F.col("top_bg") / F.col("n_words"), 6)
+            ).alias("top_bigram_frac"),
         )
     )
 
@@ -228,8 +235,13 @@ def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     stay outside whole-stage codegen; a hash-aggregate of 16 conditional
     sums does not). Results identical to ``simhash16``."""
     hi = list("89abcdef")
+    # explode_OUTER: words(NULL) is NULL and a plain explode would DROP the
+    # doc, while the column twin emits simhash 0 for it — the NULL word row
+    # contributes zero to every conditional sum, so the bucket lands on 0
+    # and the two documented-identical impls keep the same row set
+    # (eleventh-review fix; same below for the other table variants)
     w = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+        F.col(id_col).alias("id"), F.explode_outer(words(text_col)).alias("w")
     )
     w = w.withColumn("h", F.md5("w"))
     aggs = [
@@ -336,14 +348,21 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
     audit here): one row per id — duplicate ids would cross-join with
     their pooled repetition stats. ``gopher_filter`` applies the
     conjunction; this audit variant shows WHY a document fails."""
-    base = ensure_min_partitions(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
+    fanned = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+    base = fanned.select(
         F.col(id_col).alias("id"),
         # coalesce BEFORE deriving ws: a NULL text must produce an honest
         # all-rules-fail row, not a NULL-propagated vanishing one
         F.coalesce(norm_text(text_col), F.lit("")).alias("nt"),
-    ).select("id", "nt", F.split("nt", " ").alias("ws"))
+        # the repetition tokenization (words(text): NULL stays NULL) is
+        # carried alongside so the bigram aggregate below reads the SAME
+        # fan-out exchange instead of re-scanning and re-tokenizing the
+        # source through a second repetition_metrics call whose
+        # n_words/n_distinct stats were computed and thrown away
+        # (eleventh-review fix; values are identical — same formula,
+        # same word arrays)
+        words(text_col).alias("rws"),
+    ).select("id", "nt", F.split("nt", " ").alias("ws"), "rws")
     nonempty = F.filter(F.col("ws"), lambda x: x != "")
     n_real = F.size(nonempty)
     mean_len = F.when(
@@ -359,8 +378,31 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
         F.filter(nonempty, lambda x: x.rlike("[A-Za-z]"))
     )
     stop_hits = _stop_hits(nonempty, stopword_lang)
-    rep = repetition_metrics(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), "top_bigram_frac"
+    bigrams = base.select(
+        "id",
+        F.size("rws").alias("nw"),
+        F.explode_outer(
+            F.when(
+                F.size("rws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("rws") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("rws", i + 1, 2)),
+                ),
+            ).otherwise(F.col("rws")),
+        ).alias("bg"),
+    )
+    rep = (
+        bigrams.groupBy("id", "nw", "bg")
+        .count()
+        .groupBy("id", "nw")
+        .agg(F.max("count").alias("top_bg"))
+        .select(
+            "id",
+            F.when(
+                F.col("nw") > 0,
+                F.round(2 * F.col("top_bg") / F.col("nw"), 6),
+            ).alias("top_bigram_frac"),
+        )
     )
     dup_frac = F.when(
         n_real > 0,

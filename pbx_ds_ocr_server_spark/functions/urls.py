@@ -12,7 +12,9 @@ oracle. Rules (frozen):
   * fragment stripped
   * userinfo stripped from the authority
   * default ports stripped (``:80`` for http, ``:443`` for https)
-  * empty path → ``/``
+  * empty path → ``/`` — INCLUDING before a query string
+    (``http://a.com?q=1`` → ``http://a.com/?q=1``; the RFC-equivalent
+    spellings must land on one dedup key, eleventh-review fix)
 Non-URL strings (no ``scheme://``) pass through unchanged.
 """
 
@@ -54,7 +56,13 @@ def url_normalize(col: Column | str) -> Column:
         F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
     )
     rest = F.regexp_extract(c, _REST, 1)
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    rest = F.when(rest == "", F.lit("/")).otherwise(
+        # empty path before a query: 'http://a.com?q=1' extracts rest
+        # '?q=1' — same resource as '/?q=1', must share its key
+        F.when(
+            F.substring(rest, 1, 1) == "?", F.concat(F.lit("/"), rest)
+        ).otherwise(rest)
+    )
     return F.when(
         scheme == "", c  # not a URL: pass through
     ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))

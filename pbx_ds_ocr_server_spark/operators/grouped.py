@@ -15,9 +15,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-ZSCORE_SCHEMA = "vec_id bigint, label int, dim int, z double"
-
-
 def zscore_by_label(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -26,26 +23,36 @@ def zscore_by_label(
     round_dp: int = 4,
 ) -> DataFrame:
     """Per-label, per-dimension z-scores of embedding components, long form
-    (vec_id, label, dim, z). Population std; zero-variance dims emit z=0.
+    (id_col, label_col, dim, z). Population std; zero-variance dims emit
+    z=0.
 
     One grouped-map pass; math in float64 so results mirror ANSI
-    avg/stddev_pop to well inside ``round_dp`` decimals.
-    """
+    avg/stddev_pop to well inside ``round_dp`` decimals. The output schema
+    INHERITS the id/label column types from the input (eleventh-review
+    fix: a hardcoded "bigint, int" schema made every non-default-typed
+    id/label Arrow-cast-fail at runtime). Rounding is half-away-from-zero
+    — sign(z)·floor(|z|·10^dp + 0.5) — matching SQL round() on SIGNED
+    values; np.round's banker's rule would flip an exact-tie digit
+    against the DuckDB mirror."""
     src = df.select(id_col, label_col, vec_col)
+    id_t = src.schema[id_col].dataType.simpleString()
+    lab_t = src.schema[label_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_t}, `{label_col}` {lab_t}, dim int, z double"
+    scale = float(10**round_dp)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         mean = mat.mean(axis=0)
         std = mat.std(axis=0)  # population
-        z = (mat - mean) / np.where(std == 0.0, 1.0, std)
+        z = ((mat - mean) / np.where(std == 0.0, 1.0, std)).ravel()
         n, dims = mat.shape
         return pd.DataFrame(
             {
-                "vec_id": np.repeat(pdf[id_col].to_numpy(), dims),
-                "label": np.repeat(pdf[label_col].to_numpy(), dims),
+                id_col: np.repeat(pdf[id_col].to_numpy(), dims),
+                label_col: np.repeat(pdf[label_col].to_numpy(), dims),
                 "dim": np.tile(np.arange(dims), n),
-                "z": np.round(z.ravel(), round_dp),
+                "z": np.sign(z) * np.floor(np.abs(z) * scale + 0.5) / scale,
             }
         )
 
-    return src.groupBy(label_col).applyInPandas(fn, schema=ZSCORE_SCHEMA)
+    return src.groupBy(label_col).applyInPandas(fn, schema=schema)

@@ -72,6 +72,13 @@ def md5_init_vectors(
         .limit(k)
         .collect()
     )
+    if not rows:
+        # an uninformative IndexError from len(centroids[0]) downstream
+        # helps nobody; mirror ivf_probe_labels' explicit empty-frame
+        # rejection. (FEWER than k rows is deliberate: per-list PQ fits
+        # legitimately train small lists with < ks vectors — the oracle
+        # replays the same shrunken init.)
+        raise ValueError("k-means init over an empty frame")
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 

@@ -91,10 +91,20 @@ def lsh_bucket_pandas(n_planes: int, dims: int):
 
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
-        X = np.array(v.tolist(), dtype=np.float64)
-        if X.size == 0:
+        vals = v.tolist()
+        # NULL or wrong-length embeddings must bucket to 0 like the expr
+        # path (whose when(dot>0) falls through on NULL) instead of
+        # raising an object-dtype matmul error that kills the whole stage
+        # — the two documented-interchangeable impls must agree on
+        # exactly the rows that used to crash this one (eleventh review)
+        dims_n = H.shape[0]
+        clean = [
+            x if x is not None and len(x) == dims_n else [0.0] * dims_n
+            for x in vals
+        ]
+        if not clean:
             return pd.Series(np.empty(0, dtype=np.int64))
-        return pd.Series(_bucket_of(X, H))
+        return pd.Series(_bucket_of(np.array(clean, dtype=np.float64), H))
 
     return _bucket
 
@@ -116,7 +126,14 @@ def with_lsh_bucket(
     wrong property for an exactness gate). With literal hyperplane arrays
     the expr path is within ~2× of the matmul."""
     if dims is None:
-        dims = len(df.select(vec_col).first()[0])
+        # one tiny probe job per call — pass dims explicitly in loops
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "cannot infer dims from an empty frame or NULL first"
+                f" {vec_col!r}; pass dims= explicitly"
+            )
+        dims = len(first[0])
     if impl == "pandas":
         return df.withColumn("bucket", lsh_bucket_pandas(n_planes, dims)(vec_col))
     return df.withColumn("bucket", lsh_bucket(vec_col, n_planes, dims))

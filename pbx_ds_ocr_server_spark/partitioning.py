@@ -31,6 +31,23 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     the storage layer (sources/writer.py bucketed staging)."""
     if target is None:
         target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # eleventh-review fix: probing df.rdd under AQE finalizes the adaptive
+    # plan, which EXECUTES every upstream shuffle stage — and the real
+    # action then re-runs them (no exchange reuse across executions). A
+    # plan that already contains a shuffle-producing node emerges at
+    # shuffle parallelism anyway, so only probe pure scan/project/filter
+    # plans, where df.rdd is free. (Tradeoff: a broadcast join over a
+    # single-split scan keeps its one partition — fan the SCAN out before
+    # joining in that composition.)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        node in plan
+        for node in (
+            "Join", "Aggregate", "Window", "Sort", "Repartition",
+            "Deduplicate", "Intersect", "Except",
+        )
+    ):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

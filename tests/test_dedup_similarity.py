@@ -735,3 +735,39 @@ def test_exact_substr_empty_doc_reports_zero_words(spark):
     )
     out = {r.doc_id: r.n_words for r in exact_substr_dedup(df, k=8).collect()}
     assert out == {1: 0, 2: 4}
+
+
+def test_lsh_bucket_impls_agree_on_null_and_ragged_embeddings(spark):
+    """Eleventh-review fix: the pandas matmul path crashed on NULL or
+    wrong-length embeddings while the expr path bucketed them to 0 — the
+    documented-interchangeable impls must agree on exactly those rows."""
+    from pbx_ds_ocr_server_spark.operators.similarity import with_lsh_bucket
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 3.0]),
+        (2, None),
+        (3, [1.0, 2.0]),  # ragged: wrong dims
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_p = {r.vec_id: r.bucket
+             for r in with_lsh_bucket(df, dims=4, impl="pandas").collect()}
+    got_e = {r.vec_id: r.bucket
+             for r in with_lsh_bucket(df, dims=4, impl="expr").collect()}
+    assert got_p == got_e
+    assert got_p[2] == 0 and got_p[3] == 0
+
+
+def test_with_lsh_bucket_empty_frame_raises_diagnostic(spark):
+    from pbx_ds_ocr_server_spark.operators.similarity import with_lsh_bucket
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pass dims"):
+        with_lsh_bucket(empty)
+
+
+def test_kmeans_empty_frame_raises_diagnostic(spark):
+    from pbx_ds_ocr_server_spark.operators.kmeans import kmeans_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty frame"):
+        kmeans_fit(empty, k=4)

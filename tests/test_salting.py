@@ -45,3 +45,24 @@ def test_salting_never_changes_results(spark, corpus):
     salted = extract(corpus, salted=True).select("url", "text", "status")
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_ensure_min_partitions_fans_out_scans_not_shuffled_plans(spark, tmp_path):
+    """Eleventh-review fix: probing df.rdd under AQE finalizes the
+    adaptive plan and EXECUTES upstream shuffle stages (which the real
+    action then re-runs). Plans already containing a shuffle-producing
+    node pass through unprobed; pure scans still fan out."""
+    from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+    p = str(tmp_path / "one_group")
+    spark.range(1000).selectExpr(
+        "id", "cast(id as string) as text"
+    ).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fanned = ensure_min_partitions(scan)
+    assert fanned.rdd.getNumPartitions() >= target  # scan: fanned out
+
+    agged = scan.groupBy("text").count()
+    out = ensure_min_partitions(agged)
+    assert out is agged  # shuffle-bearing plan: passed through untouched

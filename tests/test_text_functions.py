@@ -432,3 +432,39 @@ def test_quality_clf_gate_filters_and_pushes_down(spark):
     assert count_exchanges(gated) == 0
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_table_variants_keep_null_text_docs(spark):
+    """Eleventh-review fix: the explode-based table variants dropped
+    NULL-text docs that their documented-identical column twins keep —
+    swapping impls must never change the row set."""
+    from pbx_ds_ocr_server_spark.functions.text import (
+        lang_id,
+        lang_id_table,
+        repetition_metrics,
+        simhash16,
+        simhash_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps the fence")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in simhash_table(df).collect()}
+    sh_col = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", simhash16("text").alias("s")).collect()
+    }
+    assert sh == sh_col and set(sh) == {1, 2} and sh[1] == 0
+
+    li = {r.doc_id: r.lang_pred for r in lang_id_table(df).collect()}
+    li_col = {
+        r.doc_id: r.lang
+        for r in df.select("doc_id", lang_id("text").alias("lang")).collect()
+    }
+    assert li == li_col and li[1] == "und"
+
+    rep = {r.doc_id: (r.dup_word_frac, r.top_bigram_frac)
+           for r in repetition_metrics(df).collect()}
+    assert set(rep) == {1, 2}  # NULL doc present...
+    assert rep[1] == (None, None)  # ...with honest NULL metrics

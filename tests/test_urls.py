@@ -64,3 +64,15 @@ def test_empty_authority_preserves_path(norm):
     assert norm("file:///etc/passwd")["n"] == "file:///etc/passwd"
     assert norm("file:///var/log")["n"] == "file:///var/log"
     assert norm("file:///etc/passwd")["h"] == ""
+
+
+def test_empty_path_with_query_gets_slash(spark):
+    """Eleventh-review fix: 'http://a.com?q=1' and 'http://a.com/?q=1' are
+    RFC-equivalent spellings and must share one canonical key."""
+    from pbx_ds_ocr_server_spark.functions.urls import url_normalize
+
+    df = spark.createDataFrame(
+        [("http://A.com?q=1",), ("http://a.com/?q=1",)], "url string"
+    )
+    out = {r.c for r in df.select(url_normalize("url").alias("c")).collect()}
+    assert out == {"http://a.com/?q=1"}
