@@ -359,12 +359,15 @@ def pq_search(
     # rank by ROUNDED cosine with ties to the lowest label — the exact
     # selection rule of similarity.ivf_probe_labels (round_dp=6, F.round
     # half-away semantics), so nprobe=1 probes the same list the demo/
-    # oracle coarse stage picks on the same data
+    # oracle coarse stage picks on the same data. F.round is half-AWAY on
+    # signed values: a bare floor(x*1e6+0.5) is half-UP and diverges from
+    # it on negative 6dp half-ties, so round the magnitude and re-sign.
     import math
 
     def _cos6(c: list[float]) -> float:
         x = _cosine_py(query_vec, c)
-        return math.floor(x * 1e6 + 0.5) / 1e6
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
 
     ranked = sorted(
         index.coarse,

@@ -20,7 +20,20 @@ At real scale the input has thousands of splits and the guard is a no-op
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical-plan node names that imply a shuffle (or an explicit partitioning
+# the caller chose). Anchored to the start-of-line tree prefix (spaces and
+# the :- / +- connectors) so identifiers like ``Sorted#3`` inside a node's
+# expression list cannot match.
+_SHUFFLE_NODE_RE = re.compile(
+    r"(?m)^[ :+\-]*(?:"
+    r"Join|Aggregate|Window|Sort|Repartition(?:ByExpression)?|"
+    r"RebalancePartitions|Deduplicate|Intersect|Except"
+    r")\b"
+)
 
 
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -39,14 +52,13 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     # plans, where df.rdd is free. (Tradeoff: a broadcast join over a
     # single-split scan keeps its one partition — fan the SCAN out before
     # joining in that composition.)
+    # Node names are matched at tree positions (line start + the :/+/-
+    # tree-drawing prefix), not as bare substrings: attribute names are
+    # printed inside the same string, so a column called ``Sorted`` or
+    # ``joinId`` must NOT suppress the fan-out (it appears mid-line inside
+    # the node's bracketed expression list, never at the node position).
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(
-        node in plan
-        for node in (
-            "Join", "Aggregate", "Window", "Sort", "Repartition",
-            "Deduplicate", "Intersect", "Except",
-        )
-    ):
+    if _SHUFFLE_NODE_RE.search(plan):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

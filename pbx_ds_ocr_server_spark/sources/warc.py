@@ -157,6 +157,7 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
         attempt = ctx.taskAttemptId() if ctx is not None else 0
         tmp = f"{path}.{attempt}.tmp"
         wrote = False
+        renamed = False
         f = None
         try:
             for r in it:
@@ -176,12 +177,27 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
                     )
                 )
                 wrote = True
+            if wrote:
+                f.close()
+                f = None
+                os.replace(tmp, path)  # atomic, like the manifest writes
+                renamed = True
         finally:
             if f is not None:
                 f.close()
-        if not wrote:
+            # attempt-suffixed tmp names mean a retry never overwrites a
+            # failed attempt's leftover — without this unlink, every failed
+            # or losing-speculative attempt would permanently litter
+            # out_dir (twelfth-review fix). Best-effort: a tmp on a dying
+            # node is unreachable anyway; the committed `path` is what
+            # readers see.
+            if wrote and not renamed:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        if not renamed:
             return iter(())
-        os.replace(tmp, path)  # atomic, like the manifest writes
         return iter((path,))
 
     written = (

