@@ -231,30 +231,43 @@ def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
 def _multimodal_meta_sql() -> str:
     """Mirror of the multimodal_meta slot: predicts EVERY column — header
     metadata AND decoded-pixel features — in closed form from doc_id.
-    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 7
+    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 8
     (operators/multimodal.MEDIA_VARIANTS): m 0-5 are six ENCODINGS of the
     same gradient PNG (grey8 / RGB / palette / 16-bit / Adam7 /
     grey+alpha — width = 8 + id%9, height = 8 + id%7, base = id%64,
-    pixel(x,y) = base+x+y), m=6 is a flat-block baseline JPEG (blocks_w =
-    1+(id%9)//3, blocks_h = 1+(id%6)//3, block(bx,by) = base+bx+by). Both
+    pixel(x,y) = base+x+y), m=6 is a flat-block grayscale baseline JPEG
+    (blocks_w = 1+(id%9)//3, blocks_h = 1+(id%6)//3, block(bx,by) =
+    base+bx+by), m=7 (round 8) a flat-block 4:2:0 YCbCr color JPEG whose
+    luma-block grid is TWICE the m=6 grid (ew = 2*(1+(id%9)//3), eh =
+    2*(1+(id%6)//3), base = 32+id%32, Cb 116 flat, Cr checkerboarding
+    136/138 per MCU — see multimodal.synthetic_flat_color_jpeg: the
+    BT.601 offsets make the luma bin exactly y-4 on both parities). All
     families have trapezoidal luminance histograms, so ONE lookup CTE
-    over (w,h) covers PNG pixel space and JPEG block space; a hash-green
-    row therefore proves every decode path (palette lookup, 16-bit
-    downsample, Adam7 placement, alpha skip, Huffman+IDCT) reproduced
-    every pixel. The `+ 0` in luma_entropy normalizes DuckDB's -0.0 for
-    the single-block JPEG case (doc_id=18: entropy exactly zero)."""
+    over (w,h) covers PNG pixel space and both JPEG block spaces; a
+    hash-green row therefore proves every decode path (palette lookup,
+    16-bit downsample, Adam7 placement, alpha skip, gray and per-
+    component color Huffman+IDCT, MCU interleave, chroma upsample,
+    YCbCr→RGB rounding) reproduced every pixel. m=7's luma_mean is the
+    exact integer ratio total3/(3*n_px) — ONE float division on both
+    sides, so the doubles are bit-identical before the 4dp round. The
+    `+ 0` in luma_entropy normalizes DuckDB's -0.0 for the single-block
+    JPEG case (entropy exactly zero)."""
     return """
         WITH m AS (
             SELECT doc_id, text,
                    CASE WHEN doc_id % 3 = 0
-                        THEN CAST((doc_id // 3) % 7 AS INT) END AS v,
+                        THEN CAST((doc_id // 3) % 8 AS INT) END AS v,
                    CASE WHEN doc_id % 3 <> 0 THEN NULL
-                        WHEN (doc_id // 3) % 7 = 6
+                        WHEN (doc_id // 3) % 8 = 6
                         THEN CAST(1 + (doc_id % 9) // 3 AS INT)
+                        WHEN (doc_id // 3) % 8 = 7
+                        THEN CAST(2 * (1 + (doc_id % 9) // 3) AS INT)
                         ELSE CAST(8 + doc_id % 9 AS INT) END AS ew,
                    CASE WHEN doc_id % 3 <> 0 THEN NULL
-                        WHEN (doc_id // 3) % 7 = 6
+                        WHEN (doc_id // 3) % 8 = 6
                         THEN CAST(1 + (doc_id % 6) // 3 AS INT)
+                        WHEN (doc_id // 3) % 8 = 7
+                        THEN CAST(2 * (1 + (doc_id % 6) // 3) AS INT)
                         ELSE CAST(8 + doc_id % 7 AS INT) END AS eh
             FROM documents
         ),
@@ -274,24 +287,33 @@ def _multimodal_meta_sql() -> str:
                CASE WHEN m.v IS NOT NULL THEN NULL
                     ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
                     END AS n_bytes,
-               CASE WHEN m.v = 6 THEN 'jpeg'
+               CASE WHEN m.v IN (6, 7) THEN 'jpeg'
                     WHEN m.v IS NOT NULL THEN 'png'
                     WHEN m.text IS NULL THEN NULL
                     WHEN octet_length(encode(m.text)) = 0 THEN 'empty'
                     ELSE 'binary' END AS kind,
-               CAST(CASE WHEN m.v = 6 THEN 8 * m.ew ELSE m.ew END
+               CAST(CASE WHEN m.v IN (6, 7) THEN 8 * m.ew ELSE m.ew END
                     AS INT) AS width,
-               CAST(CASE WHEN m.v = 6 THEN 8 * m.eh ELSE m.eh END
+               CAST(CASE WHEN m.v IN (6, 7) THEN 8 * m.eh ELSE m.eh END
                     AS INT) AS height,
                CASE WHEN m.v IS NOT NULL THEN NULL ELSE md5(m.text)
                     END AS digest,
                CAST(CASE WHEN m.v IN (0, 3, 4, 6) THEN 1
-                         WHEN m.v IN (1, 2) THEN 3
+                         WHEN m.v IN (1, 2, 7) THEN 3
                          WHEN m.v = 5 THEN 2 END AS INT) AS channels,
-               CAST(CASE WHEN m.v = 6 THEN 64 * m.ew * m.eh
+               CAST(CASE WHEN m.v IN (6, 7) THEN 64 * m.ew * m.eh
                          WHEN m.v IS NOT NULL THEN m.ew * m.eh
                          END AS BIGINT) AS n_px,
-               CASE WHEN m.v IS NOT NULL
+               CASE WHEN m.v = 7
+                    THEN round(
+                        (3 * 64 * (m.ew * m.eh * (32 + m.doc_id % 32)
+                                   + m.eh * (m.ew * (m.ew - 1) // 2)
+                                   + m.ew * (m.eh * (m.eh - 1) // 2))
+                         - 256 * (12 * (m.ew * m.eh // 4
+                                        - m.ew * m.eh // 4 // 2)
+                                  + 10 * (m.ew * m.eh // 4 // 2)))
+                        / CAST(3 * 64 * m.ew * m.eh AS DOUBLE), 4)
+                    WHEN m.v IS NOT NULL
                     THEN round(m.doc_id % 64 + (m.ew - 1) / 2.0
                                + (m.eh - 1) / 2.0, 4)
                     END AS luma_mean,
@@ -1032,14 +1054,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal tier: header metadata + REAL pixel decode (r6/r7) ---
     def multimodal_meta(spark, sf):
-        # every 3rd doc carries deterministic media on a 7-variant cycle
+        # every 3rd doc carries deterministic media on an 8-variant cycle
         # (six encodings of the same gradient PNG — grey/RGB/palette/
         # 16-bit/Adam7/grey+alpha, per-row filter cycle so all five
-        # unfilter paths run — plus a flat-block baseline JPEG), the rest
-        # their utf-8 text bytes. The oracle predicts every column in
-        # closed form from doc_id — decoded dims/mean/entropy included —
-        # so a hash-green row proves both pure-Python codecs reproduced
-        # every pixel through every layout path. Media byte length/digest
+        # unfilter paths run — plus a flat-block grayscale JPEG and,
+        # round 8, a flat-block 4:2:0 YCbCr COLOR JPEG with checkerboard
+        # chroma), the rest their utf-8 text bytes. The oracle predicts
+        # every column in closed form from doc_id — decoded dims/mean/
+        # entropy included — so a hash-green row proves both pure-Python
+        # codecs reproduced every pixel through every layout path,
+        # including per-component Huffman selection, MCU interleave,
+        # chroma upsample and BT.601 conversion. Media byte length/digest
         # aren't SQL-predictable (zlib/Huffman), so those two stay
         # text-rows-only by construction.
         from pbx_ds_ocr_server_spark.operators.multimodal import (

@@ -1,29 +1,39 @@
-"""Pure-Python baseline-sequential JPEG codec (grayscale) — round 7.
+"""Pure-Python baseline-sequential JPEG codec (grayscale + YCbCr color).
 
-Closes the last typed pixel-decode out-of-scope in the multimodal tier:
-round 6 shipped PNG pixel decode but kept JPEG behind a typed error. This
-module decodes BASELINE SEQUENTIAL (SOF0), single-component (grayscale),
-Huffman-coded JPEG streams with the same stdlib-only, bounded-work honesty
-as `kernels/png_codec`:
+Round 7 closed the grayscale pixel-decode gap; round 8 extends the same
+entropy core to 3-component YCbCr — the shape of essentially every real
+crawl photo. This module decodes BASELINE SEQUENTIAL (SOF0), Huffman-coded
+JPEG streams with the same stdlib-only, bounded-work honesty as
+`kernels/png_codec`:
 
   * full entropy pipeline: DHT canonical Huffman tables, DC-difference +
     AC run/length decode with EOB/ZRL, byte-stuffing (FF 00) removal,
     restart-marker (DRI/RSTn) predictor resets, zigzag de-ordering,
     dequantization, exact separable float IDCT with half-away-from-zero
     rounding and [0,255] clamp, edge-block cropping for dimensions that
-    are not multiples of 8.
+    are not multiples of the MCU size.
+  * color (round 8): 3-component interleaved scans with PER-COMPONENT
+    quant/Huffman table selection and DC predictors, luma sampling
+    factors h,v ∈ {1,2} with 1x1 chroma (4:4:4, 4:2:0, 4:2:2, 4:4:0),
+    MCU block interleave per T.81 A.2.3, chroma upsample by sample
+    replication, and the JFIF/T.871 BT.601 YCbCr→RGB conversion with the
+    repo-wide half-away rounding.
   * typed declines (:class:`JpegUnsupported`): progressive (SOF2) and
-    arithmetic (SOF9+) scans, multi-component images, non-1x1 sampling,
-    missing tables, truncated entropy data, dimension bombs past the
-    shared ``MAX_PIXELS`` work cap.
+    arithmetic (SOF9+) scans, 2/4-component (e.g. Adobe CMYK) frames,
+    subsampled-chroma shapes beyond the above, non-(1,2,3) component ids
+    and Adobe APP14 transform=0 (an RGB-coded stream YCbCr math would
+    silently miscolor), non-interleaved color scans, missing tables,
+    truncated entropy data, dimension bombs past the sampling-weighted
+    work cap.
   * encode: the same subset, from QUANTIZED COEFFICIENT blocks (the
     natural inverse of the decoder's Huffman+dequant stage — lossless to
     round-trip, unlike a pixel-level FDCT) using the public Annex K
-    luminance tables. `encode_flat_blocks` builds the driver slot's
-    deterministic synthetic images: DC-only blocks decode to exactly
-    flat 8x8 tiles (IDCT of a lone DC coefficient is F00/8 everywhere),
-    so decoded luminance mean/entropy have closed forms the DuckDB
-    oracle predicts without seeing a byte.
+    luminance + chrominance tables. `encode_flat_blocks` /
+    `encode_flat_blocks_color` build the driver slot's deterministic
+    synthetic images: DC-only blocks decode to exactly flat 8x8 tiles
+    (IDCT of a lone DC coefficient is F00/8 everywhere), so decoded
+    luminance mean/entropy have closed forms the DuckDB oracle predicts
+    without seeing a byte.
 
 Reference analog: the reference OCRs every PIL-openable raster including
 JPEG (`/root/reference/app/services/dsocr_model.py:368-405`); this gives
@@ -93,6 +103,48 @@ AC_LUMA_VALS = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# K.2 chrominance quantization table, natural (row-major) order
+STD_CHROMA_QUANT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# K.3.3.1 DC chrominance
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+# K.3.3.2 AC chrominance
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -232,14 +284,16 @@ def _idct_block(coef: list[float]) -> list[int]:
     return out
 
 
-def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """→ (width, height, row-major 8-bit luminance). Raises
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, samples): channels 1 → row-major 8-bit
+    luminance; channels 3 → row-major interleaved 8-bit RGB (JFIF/T.871
+    BT.601 YCbCr→RGB, half-away rounding, [0,255] clamp). Raises
     :class:`JpegUnsupported` for out-of-scope/inconsistent streams and
     ``ValueError`` for non-JPEG bytes."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     try:
-        return _decode_gray(payload)
+        return _decode(payload)
     except (struct.error, IndexError):
         # adversarial byte streams must decline TYPED, never escape as a
         # non-ValueError and kill a Spark task (the operators catch
@@ -248,13 +302,24 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
         raise JpegUnsupported("malformed segment structure") from None
 
 
-def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Grayscale-only wrapper around :func:`jpeg_decode` — → (width,
+    height, luminance). A color stream declines typed (callers wanting
+    both use jpeg_decode)."""
+    width, height, channels, raw = jpeg_decode(payload)
+    if channels != 1:
+        raise JpegUnsupported("color stream (use jpeg_decode)")
+    return width, height, raw
+
+
+def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_tq = None
+    comps: list[dict] | None = None  # per-component {cid, h, v, tq}
     restart_interval = 0
+    adobe_transform = None
     i = 2
     n = len(payload)
     while True:
@@ -317,19 +382,60 @@ def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
                 # frame headers are a header-vs-pixels forgery vector
                 # (second silently rebinding dimensions/quant selection)
                 raise JpegUnsupported("duplicate SOF")
-            if len(seg) < 9:
+            if len(seg) < 6:
                 raise JpegUnsupported("short SOF")
             precision, height, width, nf = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise JpegUnsupported(f"sample precision {precision}")
-            if nf != 1:
+            if nf not in (1, 3):
                 raise JpegUnsupported(
-                    f"{nf}-component image out of scope (grayscale only)"
+                    f"{nf}-component image out of scope"
+                    " (grayscale / YCbCr only)"
                 )
-            _cid, sampling, comp_tq = seg[6], seg[7], seg[8]
-            if sampling != 0x11:
-                raise JpegUnsupported("non-1x1 sampling out of scope")
-            if width == 0 or height == 0 or width * height > JPEG_MAX_PIXELS:
+            if len(seg) < 6 + 3 * nf:
+                raise JpegUnsupported("short SOF")
+            comps = [
+                {
+                    "cid": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 0x0F,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(nf)
+            ]
+            if nf == 1:
+                if (comps[0]["h"], comps[0]["v"]) != (1, 1):
+                    raise JpegUnsupported("non-1x1 sampling out of scope")
+            else:
+                # JFIF order Y, Cb, Cr (ids 1, 2, 3) — anything else may
+                # be an RGB-coded Adobe stream the YCbCr math would
+                # silently miscolor; decline typed rather than guess
+                if [c["cid"] for c in comps] != [1, 2, 3]:
+                    raise JpegUnsupported("non-YCbCr component ids")
+                y, cb, cr = comps
+                if (
+                    y["h"] not in (1, 2)
+                    or y["v"] not in (1, 2)
+                    or (cb["h"], cb["v"]) != (1, 1)
+                    or (cr["h"], cr["v"]) != (1, 1)
+                ):
+                    raise JpegUnsupported(
+                        "sampling factors out of scope (luma h,v in"
+                        " {1,2}, 1x1 chroma)"
+                    )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            # sampling-weighted work cap: decoded samples across all
+            # component planes, w*h*Σ(h_c*v_c)/(hmax*vmax) — 1x for gray
+            # (identical to the round-7 rule), 1.5x for 4:2:0, 3x for
+            # 4:4:4 — so a color bomb cannot buy 3x the block budget the
+            # grayscale cap was derived from
+            sum_hv = sum(c["h"] * c["v"] for c in comps)
+            if (
+                width == 0
+                or height == 0
+                or width * height * sum_hv > JPEG_MAX_PIXELS * hmax * vmax
+            ):
                 raise JpegUnsupported(f"dimensions {width}x{height}")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -338,86 +444,145 @@ def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
                 f"SOF{marker - 0xC0} ({kinds.get(marker, 'non-baseline')})"
                 " out of scope"
             )
+        elif marker == 0xEE:  # APP14 (Adobe)
+            # transform=0 declares RGB-coded components: YCbCr math on
+            # those silently miscolors every pixel — decline typed (the
+            # same header-vs-pixels honesty as the SOF checks); 1 = YCbCr
+            if len(seg) >= 12 and seg[:5] == b"Adobe":
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
-            if width is None:
+            if comps is None:
                 raise JpegUnsupported("SOS before SOF")
-            if len(seg) < 6:
+            if len(seg) < 1:
                 raise JpegUnsupported("short SOS")
             ns = seg[0]
-            if ns != 1:
-                raise JpegUnsupported("multi-component scan")
-            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            if ns != len(comps):
+                # a 1-component scan of a 3-component frame is a
+                # NON-INTERLEAVED color JPEG (three sequential scans) —
+                # out of scope, decline typed rather than decode Y only
+                raise JpegUnsupported(
+                    "scan/frame component count mismatch"
+                    " (non-interleaved color out of scope)"
+                )
+            if len(seg) < 4 + 2 * ns:
+                raise JpegUnsupported("short SOS")
+            if len(comps) == 3 and adobe_transform == 0:
+                raise JpegUnsupported("Adobe RGB transform out of scope")
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs != comps[c]["cid"]:
+                    # T.81 B.2.3: scan components follow frame order; a
+                    # reordered scan would interleave blocks differently
+                    raise JpegUnsupported("scan component order mismatch")
+                td, ta = tdta >> 4, tdta & 0x0F
+                if td not in dc_tables or ta not in ac_tables:
+                    raise JpegUnsupported("scan references missing DHT")
+                tq = comps[c]["tq"]
+                if tq not in qtables:
+                    raise JpegUnsupported("frame references missing DQT")
+                scan_comps.append(
+                    {
+                        "h": comps[c]["h"],
+                        "v": comps[c]["v"],
+                        "q": qtables[tq],
+                        "dc": dc_tables[td],
+                        "ac": ac_tables[ta],
+                    }
+                )
             # B.2.3 progression parameters: a baseline scan is exactly
             # Ss=0 Se=63 Ah=Al=0 — anything else (e.g. an AC-only scan
             # with Ss=1) has NO DC entropy data, and decoding it with
             # baseline semantics would misread the first symbol via the
             # DC table and return deterministic wrong pixels
-            if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+            j = 1 + 2 * ns
+            if seg[j] != 0 or seg[j + 1] != 63 or seg[j + 2] != 0:
                 raise JpegUnsupported("non-baseline scan progression")
-            if td not in dc_tables or ta not in ac_tables:
-                raise JpegUnsupported("scan references missing DHT")
-            if comp_tq not in qtables:
-                raise JpegUnsupported("frame references missing DQT")
             scan_start = i + 2 + seg_len
             return _decode_scan(
-                payload, scan_start, width, height,
-                qtables[comp_tq], dc_tables[td], ac_tables[ta],
+                payload, scan_start, width, height, scan_comps,
                 restart_interval,
             )
         # APPn / COM / anything else: skip
         i += 2 + seg_len
 
 
+def _decode_block(
+    reader: _BitReader, qtable: list[int], dc_table: dict,
+    ac_table: dict, pred: int,
+) -> tuple[list[int], int]:
+    """One entropy-coded block → (64 clamped samples, new DC predictor)."""
+    coef = [0.0] * 64
+    s = reader.decode_symbol(dc_table)
+    if s > 11:
+        raise JpegUnsupported(f"DC category {s}")
+    pred += _extend(reader.receive(s), s)
+    coef[0] = pred * qtable[0]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_table)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                # ZRL means 16 zeros FOLLOWED by more coefficients
+                # (trailing zeros are EOB's job): k past 63 leaves
+                # no room and the next symbol would be misread as
+                # the following block's DC — a silent scan desync
+                # that would decode garbage with decode_ok=true
+                if k > 63:
+                    raise JpegUnsupported("ZRL run past block end")
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegUnsupported("AC run past block end")
+        nat = ZIGZAG[k]
+        coef[nat] = _extend(reader.receive(size), size) * qtable[nat]
+        k += 1
+    return _idct_block(coef), pred
+
+
 def _decode_scan(
     payload: bytes, pos: int, width: int, height: int,
-    qtable: list[int], dc_table: dict, ac_table: dict,
-    restart_interval: int,
-) -> tuple[int, int, bytes]:
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    comps: list[dict], restart_interval: int,
+) -> tuple[int, int, int, bytes]:
+    """Interleaved baseline scan → (w, h, channels, samples). One MCU =
+    h*v blocks per component in frame order (T.81 A.2.3); the grayscale
+    1x1 case degenerates to the round-7 block-raster loop exactly (MCU ==
+    block, one predictor)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes: list[bytearray] = []
+    for c in comps:
+        c["pw"] = mcx * c["h"] * 8  # padded plane dims — cropped below
+        planes.append(bytearray(c["pw"] * mcy * c["v"] * 8))
     reader = _BitReader(payload, pos)
-    out = bytearray(width * height)
-    pred = 0
+    preds = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcy):
+        for mx in range(mcx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart()
-                pred = 0
+                preds = [0] * len(comps)  # F.2.1.3.1: ALL predictors
             mcu += 1
-            coef = [0.0] * 64
-            s = reader.decode_symbol(dc_table)
-            if s > 11:
-                raise JpegUnsupported(f"DC category {s}")
-            pred += _extend(reader.receive(s), s)
-            coef[0] = pred * qtable[0]
-            k = 1
-            while k < 64:
-                rs = reader.decode_symbol(ac_table)
-                r, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        # ZRL means 16 zeros FOLLOWED by more coefficients
-                        # (trailing zeros are EOB's job): k past 63 leaves
-                        # no room and the next symbol would be misread as
-                        # the following block's DC — a silent scan desync
-                        # that would decode garbage with decode_ok=true
-                        if k > 63:
-                            raise JpegUnsupported("ZRL run past block end")
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise JpegUnsupported("AC run past block end")
-                nat = ZIGZAG[k]
-                coef[nat] = _extend(reader.receive(size), size) * qtable[nat]
-                k += 1
-            block = _idct_block(coef)
-            for yy in range(min(8, height - by * 8)):
-                row_off = (by * 8 + yy) * width + bx * 8
-                for xx in range(min(8, width - bx * 8)):
-                    out[row_off + xx] = block[yy * 8 + xx]
+            for ci, c in enumerate(comps):
+                for bv in range(c["v"]):
+                    for bu in range(c["h"]):
+                        block, preds[ci] = _decode_block(
+                            reader, c["q"], c["dc"], c["ac"], preds[ci]
+                        )
+                        pw = c["pw"]
+                        px = (mx * c["h"] + bu) * 8
+                        py = (my * c["v"] + bv) * 8
+                        plane = planes[ci]
+                        for yy in range(8):
+                            off = (py + yy) * pw + px
+                            plane[off : off + 8] = bytes(
+                                block[yy * 8 : yy * 8 + 8]
+                            )
     # tail strictness, parity with the PNG codec's unused_data/IEND
     # declines: after the last MCU the entropy data ends at the byte
     # boundary reader.pos points past — what follows must be exactly the
@@ -428,7 +593,58 @@ def _decode_scan(
         raise JpegUnsupported("missing EOI after entropy-coded data")
     if tail[2:]:
         raise JpegUnsupported("trailing data after EOI")
-    return width, height, bytes(out)
+    if len(comps) == 1:
+        pw = comps[0]["pw"]
+        plane = planes[0]
+        out = bytearray(width * height)
+        for yy in range(height):
+            out[yy * width : (yy + 1) * width] = plane[
+                yy * pw : yy * pw + width
+            ]
+        return width, height, 1, bytes(out)
+    return width, height, 3, _ycbcr_to_rgb(
+        width, height, comps, planes, hmax, vmax
+    )
+
+
+def _ycbcr_to_rgb(
+    width: int, height: int, comps: list[dict],
+    planes: list[bytearray], hmax: int, vmax: int,
+) -> bytes:
+    """Upsample chroma by sample replication (source sample at
+    (x*h/hmax, y*v/vmax) — the box upsample T.81 implies and libjpeg's
+    default "fancy off" behavior) and convert per JFIF 1.02 / T.871:
+
+        R = Y + 1.402 (Cr-128)
+        G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
+        B = Y + 1.772 (Cb-128)
+
+    rounded half-away (floor(x+0.5); repo-wide convention — values in
+    (-0.5, 0) hit the same 0 after the clamp either way), clamped to
+    [0,255]. The BT.601 constants are exact spec literals, so flat-block
+    synthetic images decode to pixel values with closed forms."""
+    yc, cbc, crc = comps
+    ypl, cbpl, crpl = planes
+    floor = math.floor
+    out = bytearray(3 * width * height)
+    for yy in range(height):
+        yoff = yy * yc["pw"]
+        cboff = (yy * cbc["v"] // vmax) * cbc["pw"]
+        croff = (yy * crc["v"] // vmax) * crc["pw"]
+        o = 3 * yy * width
+        cbh, crh = cbc["h"], crc["h"]
+        for xx in range(width):
+            lum = ypl[yoff + xx]
+            cb = cbpl[cboff + xx * cbh // hmax] - 128
+            cr = crpl[croff + xx * crh // hmax] - 128
+            r = floor(lum + 1.402 * cr + 0.5)
+            g = floor(lum - 0.344136 * cb - 0.714136 * cr + 0.5)
+            b = floor(lum + 1.772 * cb + 0.5)
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+            o += 3
+    return bytes(out)
 
 
 # --- encoder (quantized-coefficient level — exact decoder inverse) ---
@@ -472,10 +688,48 @@ def _encode_table(table_bits, table_vals) -> dict:
 # rebuilding ~174 constant entries per call was pure waste (round-7 review)
 _DC_LUMA_ENC = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
 _AC_LUMA_ENC = _encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+_DC_CHROMA_ENC = _encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_AC_CHROMA_ENC = _encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
 
 def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _write_block(
+    w: _BitWriter, blk: list[int], pred: int, dc_enc: dict, ac_enc: dict
+) -> int:
+    """Entropy-code one quantized block (natural order); → new predictor."""
+    diff = blk[0] - pred
+    s = _category(diff)
+    if s > 11:
+        raise ValueError(f"DC difference {diff} exceeds baseline")
+    code, length = dc_enc[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    zz = [blk[ZIGZAG[k]] for k in range(64)]
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError(f"AC coefficient {v} exceeds baseline")
+        code, length = ac_enc[(run << 4) | s]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_enc[0x00]  # EOB
+        w.write(code, length)
+    return blk[0]
 
 
 def jpeg_encode_gray_coefs(
@@ -498,7 +752,6 @@ def jpeg_encode_gray_coefs(
     if len(coef_blocks) != bw * bh:
         raise ValueError(f"need {bw * bh} blocks, got {len(coef_blocks)}")
     q = qtable if qtable is not None else STD_LUMA_QUANT
-    dc_enc, ac_enc = _DC_LUMA_ENC, _AC_LUMA_ENC
     w = _BitWriter()
     pred = 0
     for mcu, blk in enumerate(coef_blocks):
@@ -508,36 +761,7 @@ def jpeg_encode_gray_coefs(
                 [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
             )
             pred = 0
-        diff = blk[0] - pred
-        pred = blk[0]
-        s = _category(diff)
-        if s > 11:
-            raise ValueError(f"DC difference {diff} exceeds baseline")
-        code, length = dc_enc[s]
-        w.write(code, length)
-        if s:
-            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        zz = [blk[ZIGZAG[k]] for k in range(64)]
-        run = 0
-        for k in range(1, 64):
-            v = zz[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_enc[0xF0]  # ZRL
-                w.write(code, length)
-                run -= 16
-            s = _category(v)
-            if s > 10:
-                raise ValueError(f"AC coefficient {v} exceeds baseline")
-            code, length = ac_enc[(run << 4) | s]
-            w.write(code, length)
-            w.write(v if v >= 0 else v + (1 << s) - 1, s)
-            run = 0
-        if run:
-            code, length = ac_enc[0x00]  # EOB
-            w.write(code, length)
+        pred = _write_block(w, blk, pred, _DC_LUMA_ENC, _AC_LUMA_ENC)
     w.flush()
     zz_q = bytes(q[ZIGZAG[k]] for k in range(64))
     dht = (
@@ -567,6 +791,104 @@ def jpeg_encode_gray_coefs(
     )
 
 
+def jpeg_encode_color_coefs(
+    width: int,
+    height: int,
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    y_sampling: tuple[int, int] = (2, 2),
+    qtable_luma: list[int] | None = None,
+    qtable_chroma: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode QUANTIZED coefficient blocks as a baseline YCbCr JPEG
+    (Annex K luma tables for Y, chroma tables for Cb/Cr — the
+    per-component table-selection path real files exercise). ``y_blocks``
+    covers the PADDED luma block grid (mcus_x*h by mcus_y*v, raster
+    order); ``cb_blocks``/``cr_blocks`` cover one 1x1-sampled block per
+    MCU. ``y_sampling=(2,2)`` emits 4:2:0, ``(1,1)`` 4:4:4, ``(2,1)``
+    4:2:2, ``(1,2)`` 4:4:0."""
+    hy, vy = y_sampling
+    if hy not in (1, 2) or vy not in (1, 2):
+        raise ValueError(f"y_sampling {y_sampling}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"dimensions {width}x{height}")
+    if width * height * (hy * vy + 2) > JPEG_MAX_PIXELS * hy * vy:
+        raise ValueError(f"dimensions {width}x{height}")
+    mcx = (width + 8 * hy - 1) // (8 * hy)
+    mcy = (height + 8 * vy - 1) // (8 * vy)
+    if len(y_blocks) != mcx * hy * mcy * vy:
+        raise ValueError(
+            f"need {mcx * hy * mcy * vy} luma blocks, got {len(y_blocks)}"
+        )
+    if len(cb_blocks) != mcx * mcy or len(cr_blocks) != mcx * mcy:
+        raise ValueError(f"need {mcx * mcy} blocks per chroma component")
+    ql = qtable_luma if qtable_luma is not None else STD_LUMA_QUANT
+    qc = qtable_chroma if qtable_chroma is not None else STD_CHROMA_QUANT
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    ybw = mcx * hy  # luma block-grid width
+    mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush()
+                w.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                preds = [0, 0, 0]
+            mcu += 1
+            for bv in range(vy):
+                for bu in range(hy):
+                    blk = y_blocks[(my * vy + bv) * ybw + mx * hy + bu]
+                    preds[0] = _write_block(
+                        w, blk, preds[0], _DC_LUMA_ENC, _AC_LUMA_ENC
+                    )
+            preds[1] = _write_block(
+                w, cb_blocks[my * mcx + mx], preds[1],
+                _DC_CHROMA_ENC, _AC_CHROMA_ENC,
+            )
+            preds[2] = _write_block(
+                w, cr_blocks[my * mcx + mx], preds[2],
+                _DC_CHROMA_ENC, _AC_CHROMA_ENC,
+            )
+    w.flush()
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        + bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        + bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    )
+    dqt = (
+        bytes([0x00]) + bytes(ql[ZIGZAG[k]] for k in range(64))
+        + bytes([0x01]) + bytes(qc[ZIGZAG[k]] for k in range(64))
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC4, dht)
+        + dri
+        + seg(0xC0, sof)
+        + seg(0xDA, sos)
+        + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
 def encode_flat_blocks(
     blocks_w: int, blocks_h: int, values: list[int]
 ) -> bytes:
@@ -585,10 +907,50 @@ def encode_flat_blocks(
     )
 
 
+def encode_flat_blocks_color(
+    mcus_w: int,
+    mcus_h: int,
+    y_values: list[int],
+    cb_values: list[int],
+    cr_values: list[int],
+    y_sampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Color twin of :func:`encode_flat_blocks`: flat 8x8 tiles per
+    component block (all-ones quant tables, DC = 8*(value-128) — the
+    lone-DC IDCT identity holds per component), so the decoded RGB image
+    is exactly piecewise-constant and every pixel has a closed form in
+    the block values. ``y_values`` covers the luma block grid
+    (mcus_w*h x mcus_h*v, raster order); ``cb/cr_values`` one per MCU."""
+    hy, vy = y_sampling
+    if len(y_values) != mcus_w * hy * mcus_h * vy:
+        raise ValueError("one luma value per luma block required")
+    if len(cb_values) != mcus_w * mcus_h or len(cr_values) != mcus_w * mcus_h:
+        raise ValueError("one chroma value per MCU required")
+    for vals in (y_values, cb_values, cr_values):
+        if any(not 0 <= v <= 255 for v in vals):
+            raise ValueError("block values must be 8-bit")
+
+    def flat(vals: list[int]) -> list[list[int]]:
+        return [[8 * (v - 128)] + [0] * 63 for v in vals]
+
+    return jpeg_encode_color_coefs(
+        mcus_w * hy * 8,
+        mcus_h * vy * 8,
+        flat(y_values),
+        flat(cb_values),
+        flat(cr_values),
+        y_sampling=y_sampling,
+        qtable_luma=[1] * 64,
+        qtable_chroma=[1] * 64,
+    )
+
+
 def jpeg_pixel_stats(payload: bytes) -> dict:
     """Decode and summarize for curation — same output contract as
-    `png_codec.png_pixel_stats` (channels is always 1 here)."""
+    `png_codec.png_pixel_stats` (channels 1 for grayscale, 3 for YCbCr
+    color; the shared pixel_stats computes RGB luma as the exact
+    rational (r+g+b)/3)."""
     from pbx_ds_ocr_server_spark.kernels.png_codec import pixel_stats
 
-    width, height, raw = jpeg_decode_gray(payload)
-    return pixel_stats(width, height, 1, raw)
+    width, height, channels, raw = jpeg_decode(payload)
+    return pixel_stats(width, height, channels, raw)

@@ -6,10 +6,11 @@ length, md5) — pure byte parsing — AND real PIXEL decode for both raster
 formats: PNG through `kernels/png_codec` (zlib inflate + full scanline
 unfilter; grey/RGB/RGBA/palette/grey+alpha, 1-16 bit, Adam7 — round 7
 closed the palette/16-bit/interlace declines) and JPEG through
-`kernels/jpeg_codec` (baseline-sequential grayscale Huffman + IDCT —
-round 7 closed the former typed out-of-scope). All Arrow-batched via
-``mapInPandas``, no image libraries. Progressive/arithmetic JPEG and
-multi-component scans still decline typed inside the codec;
+`kernels/jpeg_codec` (baseline-sequential Huffman + IDCT; round 7 shipped
+grayscale, round 8 adds 3-component YCbCr with 4:4:4/4:2:0/4:2:2
+sampling, chroma upsample and BT.601 RGB conversion). All Arrow-batched
+via ``mapInPandas``, no image libraries. Progressive/arithmetic JPEG and
+CMYK/Adobe-RGB scans still decline typed inside the codec;
 ``fake_feature`` remains as a deterministic stand-in for a decode→embed
 step in schema-level pipeline tests.
 """
@@ -80,23 +81,22 @@ def sniff_kind(payload: bytes) -> str:
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL pixel decode for both raster formats: PNG through the
     pure-Python scanline codec (`kernels/png_codec`) and JPEG through the
-    baseline-sequential grayscale codec (`kernels/jpeg_codec`, round 7 —
-    the former typed out-of-scope is closed). → (width, height, channels,
-    raw row-major 8-bit bytes). Out-of-scope subformats
-    (progressive/arithmetic JPEG, multi-component scans) raise the
+    baseline-sequential codec (`kernels/jpeg_codec`; grayscale round 7,
+    YCbCr color round 8). → (width, height, channels, raw row-major
+    8-bit bytes — interleaved RGB for color JPEG). Out-of-scope
+    subformats (progressive/arithmetic JPEG, CMYK, Adobe-RGB) raise the
     codecs' typed errors; non-raster kinds raise ``ValueError`` — header
     metadata still flows through :func:`binary_metadata`. Reference
     analog: the raster branch feeds a GPU OCR model,
     `/root/reference/app/services/dsocr_model.py:368-405`."""
-    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import jpeg_decode_gray
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import jpeg_decode
     from pbx_ds_ocr_server_spark.kernels.png_codec import png_decode
 
     kind = sniff_kind(payload or b"")
     if kind == "png":
         return png_decode(payload)
     if kind == "jpeg":
-        w, h, raw = jpeg_decode_gray(payload)
-        return w, h, 1, raw
+        return jpeg_decode(payload)
     raise ValueError(
         f"no pure-python pixel decode for kind={kind!r} — "
         "binary_metadata() provides header-level metadata for it"
@@ -280,12 +280,15 @@ def binary_pixel_metadata(
 
 GREY_PALETTE = [(i, i, i) for i in range(256)]
 
-# media-variant schedule for ids divisible by `every`: m = (id//every) % 7
-# — each variant exercises a distinct decode path, and every one keeps the
-# SAME closed-form pixel values so the oracle formulas don't fork
+# media-variant schedule for ids divisible by `every`: m = (id//every) % 8
+# — each variant exercises a distinct decode path, and every one keeps
+# closed-form pixel values so the oracle predicts the stats bit-for-bit.
+# Changing this schedule requires NO corpus-version bump (slot-internal
+# synthesis) but the oracle's closed-form predictions in
+# __spark_entry__._multimodal_meta_sql MUST move with it (CLAUDE.md).
 MEDIA_VARIANTS = (
     "png-grey8", "png-rgb8", "png-palette", "png-grey16",
-    "png-adam7", "png-grey-alpha", "jpeg-flat",
+    "png-adam7", "png-grey-alpha", "jpeg-flat", "jpeg-color",
 )
 
 
@@ -359,11 +362,59 @@ def synthetic_flat_jpeg(seed: int) -> bytes:
     return encode_flat_blocks(bw, bh, vals)
 
 
+def synthetic_flat_color_jpeg(seed: int) -> bytes:
+    """Deterministic baseline 4:2:0 YCbCr JPEG whose decoded RGB image is
+    piecewise-constant with closed-form statistics — the color twin of
+    :func:`synthetic_flat_jpeg`, exercising per-component Huffman/quant
+    selection, the MCU interleave, chroma upsample and the BT.601
+    conversion end-to-end:
+
+      mcus_w = 1 + (seed % 9) // 3, mcus_h = 1 + (seed % 6) // 3
+      width = 16*mcus_w, height = 16*mcus_h (4:2:0 MCU = 16x16)
+      base = 32 + seed % 32  (32..63 — keeps every RGB value unclamped)
+      Y block (bx, by) on the 2mcus_w x 2mcus_h luma grid = base + bx + by
+      Cb = 116 everywhere (delta -12); Cr checkerboards PER MCU:
+      136 on even (mx+my), 138 on odd (deltas +8 / +10) — a misplaced
+      chroma block lands on the wrong MCU and shifts those pixels' RGB.
+
+    With these deltas the conversion offsets are constant integers (no
+    rounding boundary is within 0.08 of any pixel):
+
+      even MCUs: (r,g,b) = (y+11, y-2,  y-21)  → r+g+b = 3y-12
+      odd  MCUs: (r,g,b) = (y+14, y-3,  y-21)  → r+g+b = 3y-10
+
+    so the luma BIN (r+g+b)//3 is y-4 for BOTH parities — the histogram
+    is the same (2mcus_w, 2mcus_h) trapezoid as the gradient PNGs and the
+    oracle reuses one entropy lookup — while luma_mean keeps an exact
+    integer-ratio closed form:
+
+      luma_mean = (3*sum(Y) - 256*(12*n_even + 10*n_odd)) / (3*n_px),
+      sum(Y) = 64*(ew*eh*base + eh*T(ew) + ew*T(eh)), T(k) = k(k-1)/2,
+      ew = 2*mcus_w, eh = 2*mcus_h, n_odd = (mcus_w*mcus_h)//2.
+    """
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+    )
+
+    mw, mh = 1 + (seed % 9) // 3, 1 + (seed % 6) // 3
+    base = 32 + seed % 32
+    yv = [base + bx + by for by in range(2 * mh) for bx in range(2 * mw)]
+    cb = [116] * (mw * mh)
+    cr = [
+        136 + 2 * ((mx + my) % 2)
+        for my in range(mh)
+        for mx in range(mw)
+    ]
+    return encode_flat_blocks_color(mw, mh, yv, cb, cr, y_sampling=(2, 2))
+
+
 def synthetic_media_payload(seed: int, every: int = 3) -> bytes:
-    """The slot's media schedule: variant m = (seed // every) % 7 over
-    :data:`MEDIA_VARIANTS` — six PNG encodings + one JPEG, all with
-    closed-form decoded statistics."""
+    """The slot's media schedule: variant m = (seed // every) % 8 over
+    :data:`MEDIA_VARIANTS` — six PNG encodings + a grayscale and a 4:2:0
+    color JPEG, all with closed-form decoded statistics."""
     m = (seed // every) % len(MEDIA_VARIANTS)
+    if m == 7:
+        return synthetic_flat_color_jpeg(seed)
     if m == 6:
         return synthetic_flat_jpeg(seed)
     return synthetic_gradient_png(seed, variant=m)
@@ -376,10 +427,10 @@ def with_synthetic_png_payloads(
     every: int = 3,
 ) -> DataFrame:
     """(id, text) → (id, payload): ids divisible by ``every`` carry a
-    :func:`synthetic_media_payload` (round 7: six PNG variants + a
-    baseline JPEG on the (id//every) % 7 cycle), the rest their utf-8
-    text bytes — the mixed-modality input the `multimodal_meta` driver
-    slot runs on."""
+    :func:`synthetic_media_payload` (round 8: six PNG variants + a
+    grayscale and a 4:2:0 color JPEG on the (id//every) % 8 cycle), the
+    rest their utf-8 text bytes — the mixed-modality input the
+    `multimodal_meta` driver slot runs on."""
     src = df.selectExpr(f"{id_col} as id", f"{text_col} as text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

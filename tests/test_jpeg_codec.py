@@ -147,10 +147,10 @@ def test_declines_are_typed():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(JpegUnsupported, match="progressive"):
         jpeg_decode_gray(prog)
-    # multi-component: claim 3 components in SOF
+    # 2-component: out of scope (1 = gray, 3 = YCbCr since round 8)
     i = good.index(b"\xff\xc0")
     multi = bytearray(good)
-    multi[i + 9] = 3
+    multi[i + 9] = 2
     with pytest.raises(JpegUnsupported, match="component"):
         jpeg_decode_gray(bytes(multi))
     # truncated entropy data
@@ -297,3 +297,271 @@ def test_missing_eoi_and_trailing_garbage_decline():
     # and the well-formed stream still decodes after the strictness
     w, h, px = jpeg_decode_gray(good)
     assert (w, h) == (8, 8)
+
+
+# --- color (3-component YCbCr) decode — round 8 ---
+
+
+def _ref_ycbcr_to_rgb(y, cb, cr):
+    """Independent JFIF/T.871 conversion (numpy arrays, full resolution)."""
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+    )
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return [np.clip(c, 0, 255).astype(np.int64) for c in (r, g, b)]
+
+
+def test_color_flat_444_exact():
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+    )
+
+    p = encode_flat_blocks_color(1, 1, [80], [116], [136], y_sampling=(1, 1))
+    w, h, c, raw = jpeg_decode(p)
+    assert (w, h, c) == (8, 8, 3)
+    # offsets from the docstring algebra: (+11, -2, -21) at dCb=-12, dCr=8
+    assert set(raw[0::3]) == {91}
+    assert set(raw[1::3]) == {78}
+    assert set(raw[2::3]) == {59}
+
+
+def test_color_420_checkerboard_chroma_placement():
+    """2x2 MCUs with per-MCU Cr values: a chroma block landed on the wrong
+    MCU (interleave/placement bug) changes exactly those 256 pixels."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+    )
+
+    yv = [50] * 16  # flat luma isolates the chroma placement
+    cr = [136, 138, 138, 136]  # checkerboard over the 2x2 MCU grid
+    p = encode_flat_blocks_color(2, 2, yv, [116] * 4, cr)
+    w, h, c, raw = jpeg_decode(p)
+    assert (w, h, c) == (32, 32, 3)
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    # dCr=8 -> R=y+11; dCr=10 -> R=y+14 (docstring algebra)
+    for my in range(2):
+        for mx in range(2):
+            tile = img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16, 0]
+            expect = 50 + (11 if (mx + my) % 2 == 0 else 14)
+            assert (tile == expect).all(), (mx, my)
+
+
+def test_color_444_random_coefs_match_numpy_reference():
+    import random
+
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        STD_CHROMA_QUANT,
+        jpeg_decode,
+        jpeg_encode_color_coefs,
+    )
+
+    rng = random.Random(13)
+    bw, bh = 2, 2
+    yb = _rand_blocks(rng, 4)
+    cbb = _rand_blocks(rng, 4, max_mag=20, density=0.1)
+    crb = _rand_blocks(rng, 4, max_mag=20, density=0.1)
+    p = jpeg_encode_color_coefs(16, 16, yb, cbb, crb, y_sampling=(1, 1))
+    w, h, c, raw = jpeg_decode(p)
+    assert (w, h, c) == (16, 16, 3)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    planes = []
+    for blocks, q in ((yb, STD_LUMA_QUANT), (cbb, STD_CHROMA_QUANT),
+                      (crb, STD_CHROMA_QUANT)):
+        plane = np.zeros((16, 16))
+        for by in range(bh):
+            for bx in range(bw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _reference_idct(blocks[by * bw + bx], q)
+                )
+        planes.append(plane)
+    r, g, b = _ref_ycbcr_to_rgb(*planes)
+    # +-1 IDCT summation noise per component can shift a converted
+    # channel by at most ~2 code values
+    assert np.abs(got[:, :, 0] - r).max() <= 2
+    assert np.abs(got[:, :, 1] - g).max() <= 2
+    assert np.abs(got[:, :, 2] - b).max() <= 2
+
+
+def test_color_420_upsample_replication_and_crop():
+    """Odd (non-MCU-multiple) dims: 20x12 at 4:2:0 needs 2x1 MCUs, crops
+    the padded 32x16 luma plane, and every pixel must read the chroma
+    sample at (x//2, y//2) — checked against a hand-built reference."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_color_coefs,
+    )
+
+    # luma: flat-DC blocks with distinct values per block on the 4x2 grid
+    yvals = [40, 42, 44, 46, 48, 50, 52, 54]
+    yb = [[8 * (v - 128)] + [0] * 63 for v in yvals]
+    # chroma: DC-only with per-block values (one block per MCU)
+    cbb = [[8 * (116 - 128)] + [0] * 63 for _ in range(2)]
+    crb = [[8 * (136 - 128)] + [0] * 63, [8 * (138 - 128)] + [0] * 63]
+    p = jpeg_encode_color_coefs(
+        20, 12, yb, cbb, crb, y_sampling=(2, 2),
+        qtable_luma=[1] * 64, qtable_chroma=[1] * 64,
+    )
+    w, h, c, raw = jpeg_decode(p)
+    assert (w, h, c) == (20, 12, 3)
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    for yy in range(12):
+        for xx in range(20):
+            y = yvals[(yy // 8) * 4 + (xx // 8)]
+            dcr = 8 if xx < 16 else 10  # MCU 0 vs MCU 1 Cr
+            assert img[yy, xx, 0] == y + (11 if dcr == 8 else 14), (xx, yy)
+            assert img[yy, xx, 2] == y - 21
+
+
+def test_color_422_sampling():
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+    )
+
+    # one 16x8 MCU: two luma blocks side by side, one chroma block
+    p = encode_flat_blocks_color(
+        1, 1, [60, 62], [116], [136], y_sampling=(2, 1)
+    )
+    w, h, c, raw = jpeg_decode(p)
+    assert (w, h, c) == (16, 8, 3)
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    assert (img[:, :8, 0] == 71).all() and (img[:, 8:, 0] == 73).all()
+
+
+def test_color_restart_markers():
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+        jpeg_encode_color_coefs,
+    )
+
+    yv = [40 + i for i in range(16)]
+    cb = [110 + i for i in range(4)]
+    cr = [130 + i for i in range(4)]
+    plain = encode_flat_blocks_color(2, 2, yv, cb, cr)
+    yb = [[8 * (v - 128)] + [0] * 63 for v in yv]
+    cbb = [[8 * (v - 128)] + [0] * 63 for v in cb]
+    crb = [[8 * (v - 128)] + [0] * 63 for v in cr]
+    with_rst = jpeg_encode_color_coefs(
+        32, 32, yb, cbb, crb, qtable_luma=[1] * 64,
+        qtable_chroma=[1] * 64, restart_interval=1,
+    )
+    assert b"\xff\xd0" in with_rst
+    assert jpeg_decode(with_rst) == jpeg_decode(plain)
+
+
+def test_color_declines_are_typed():
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+    )
+
+    good = encode_flat_blocks_color(1, 1, [80, 80, 80, 80], [116], [136])
+    i = good.index(b"\xff\xc0")
+    # CMYK (4-component) claim
+    cmyk = bytearray(good)
+    cmyk[i + 9] = 4
+    with pytest.raises(JpegUnsupported, match="component"):
+        jpeg_decode(bytes(cmyk))
+    # subsampled-luma-with-sampled-chroma: set Cb sampling to 2x1
+    bad = bytearray(good)
+    bad[i + 14] = 0x21  # component 2 H=2 V=1
+    with pytest.raises(JpegUnsupported, match="sampling"):
+        jpeg_decode(bytes(bad))
+    # non-YCbCr component ids (Adobe RGB-coded streams use 'R','G','B')
+    ids = bytearray(good)
+    ids[i + 10], ids[i + 13], ids[i + 16] = 0x52, 0x47, 0x42
+    with pytest.raises(JpegUnsupported, match="component ids"):
+        jpeg_decode(bytes(ids))
+    # Adobe APP14 transform=0 (RGB) on otherwise-normal ids
+    app14 = (
+        b"\xff\xee" + struct.pack(">H", 14)
+        + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])
+    )
+    rgb = good[:2] + app14 + good[2:]
+    with pytest.raises(JpegUnsupported, match="Adobe RGB"):
+        jpeg_decode(rgb)
+    # transform=1 (YCbCr) APP14 still decodes
+    app14_ycc = (
+        b"\xff\xee" + struct.pack(">H", 14)
+        + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1])
+    )
+    assert jpeg_decode(good[:2] + app14_ycc + good[2:]) == jpeg_decode(good)
+    # scan component order mismatch: swap Cb/Cr ids in SOS
+    sos = good.rindex(b"\xff\xda")
+    swapped = bytearray(good)
+    swapped[sos + 7], swapped[sos + 9] = swapped[sos + 9], swapped[sos + 7]
+    with pytest.raises(JpegUnsupported, match="order"):
+        jpeg_decode(bytes(swapped))
+    # non-interleaved color (1-component scan of a 3-component frame):
+    # shrink SOS to ns=1 — must decline, not decode Y silently
+    ns1 = (
+        good[:sos]
+        + b"\xff\xda" + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+        + good[sos + 2 + struct.unpack(">H", good[sos + 2 : sos + 4])[0]:]
+    )
+    with pytest.raises(JpegUnsupported, match="non-interleaved"):
+        jpeg_decode(ns1)
+
+
+def test_color_sampling_weighted_work_cap():
+    """4:4:4 triples decoded samples: a dimension that is fine in gray
+    must decline in 4:4:4 once w*h*3 exceeds the cap — the color path
+    cannot buy 3x the block budget the grayscale cap was derived from."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        JPEG_MAX_PIXELS,
+        encode_flat_blocks,
+        encode_flat_blocks_color,
+        jpeg_decode,
+    )
+
+    good = encode_flat_blocks_color(1, 1, [80], [116], [136],
+                                    y_sampling=(1, 1))
+    i = good.index(b"\xff\xc0")
+    w = h = 600
+    assert w * h <= JPEG_MAX_PIXELS < 3 * w * h
+    color = bytearray(good)
+    color[i + 5 : i + 9] = struct.pack(">HH", h, w)
+    with pytest.raises(JpegUnsupported, match="dimensions"):
+        jpeg_decode(bytes(color))
+    # the same dims in GRAY pass the cap check (fails later in the
+    # entropy decode — the frame only carries one block, so the reader
+    # runs into the EOI marker)
+    gray = bytearray(encode_flat_blocks(1, 1, [80]))
+    j = gray.index(b"\xff\xc0")
+    gray[j + 5 : j + 9] = struct.pack(">HH", h, w)
+    with pytest.raises(JpegUnsupported,
+                       match="truncated|marker inside|invalid Huffman"):
+        jpeg_decode(bytes(gray))
+
+
+def test_jpeg_pixel_stats_color_closed_form():
+    """The m=7 slot variant's algebra end-to-end: luma bin y-4 on both
+    MCU parities, mean = exact integer ratio (docstring of
+    multimodal.synthetic_flat_color_jpeg)."""
+    from pbx_ds_ocr_server_spark.operators.multimodal import (
+        synthetic_flat_color_jpeg,
+    )
+
+    for seed in (21, 45, 69, 93, 117, 141):  # ids hitting m=7 at every=3
+        mw, mh = 1 + (seed % 9) // 3, 1 + (seed % 6) // 3
+        base = 32 + seed % 32
+        ew, eh = 2 * mw, 2 * mh
+        st = jpeg_pixel_stats(synthetic_flat_color_jpeg(seed))
+        assert st["channels"] == 3
+        assert (st["px_width"], st["px_height"]) == (8 * ew, 8 * eh)
+        n_mcu = mw * mh
+        n_odd = n_mcu // 2
+        sum_y = 64 * (ew * eh * base + eh * (ew * (ew - 1) // 2)
+                      + ew * (eh * (eh - 1) // 2))
+        total3 = 3 * sum_y - 256 * (12 * (n_mcu - n_odd) + 10 * n_odd)
+        assert st["luma_mean"] == total3 / (3 * 64 * ew * eh)
+        n, ent = ew * eh, 0.0
+        for t in range(ew + eh - 1):
+            p = (min(t, ew - 1, eh - 1, ew + eh - 2 - t) + 1) / n
+            ent -= p * math.log2(p)
+        assert abs(st["luma_entropy"] - ent) < 1e-12

@@ -381,16 +381,17 @@ def test_with_synthetic_png_payloads_split(spark):
         synthetic_media_payload,
     )
 
-    # 7 media ids (0,3,...,18) cover the full MEDIA_VARIANTS cycle:
-    # six PNG encodings + the flat-block JPEG at id 18 (m = 18//3 % 7 = 6)
+    # 8 media ids (0,3,...,21) cover the full MEDIA_VARIANTS cycle: six
+    # PNG encodings + the flat-block grayscale JPEG at id 18 (m = 6) and
+    # the 4:2:0 color JPEG at id 21 (m = 21//3 % 8 = 7)
     df = spark.createDataFrame(
-        [(i, f"text {i}") for i in range(21)], "doc_id bigint, text string"
+        [(i, f"text {i}") for i in range(24)], "doc_id bigint, text string"
     )
     out = {r.id: bytes(r.payload) for r in
            with_synthetic_png_payloads(df, every=3).collect()}
-    for i in range(21):
+    for i in range(24):
         if i % 3 == 0:
-            magic = b"\xff\xd8\xff" if (i // 3) % 7 == 6 \
+            magic = b"\xff\xd8\xff" if (i // 3) % 8 in (6, 7) \
                 else b"\x89PNG\r\n\x1a\n"
             assert out[i][: len(magic)] == magic
             assert out[i] == synthetic_media_payload(i, every=3)
