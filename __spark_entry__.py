@@ -550,12 +550,18 @@ def _ann_ivf_kmeans_sql(
 def _ann_ivf_pq_sql(
     m: int = 2, ks: int = 4, iters: int = 2, k: int = 5, dims: int = 64,
 ) -> str:
-    """Mirror of operators/pq.ivf_pq_topk: the ivf_topk coarse stage (best
-    label by rounded centroid cosine, tie lowest label), then per-subspace
-    unrolled Lloyd's (centroid_round_dp=5, same init/tie/empty-cluster
-    rules as the ann_ivf_kmeans mirror), nearest-code assignment, and
-    asymmetric-distance tables rounded to 5dp per entry before the ADC
-    sum — bit-identical to the driver-side adc_tables half-away rounding.
+    """Mirror of the PRODUCTION IVFADC pair operators/pq.pq_build +
+    pq_search (round 8 — the slot previously replayed the per-list demo
+    ivf_pq_topk): global per-subspace codebooks via unrolled Lloyd's
+    (centroid_round_dp=5, same init/tie/empty-cluster rules as the
+    ann_ivf_kmeans mirror) trained on the DETERMINISTIC fit subsample
+    vec_id % 7 = 1; the coarse table = per-label centroids at 6dp
+    (label_centroid_vectors round_dp=6); list ranking by cosine rounded
+    HALF-AWAY at 6dp, tie lowest label (pq_search's driver-side rule ==
+    ivf_probe_labels'); then nearest-code assignment of the probed list
+    against the GLOBAL codebooks and asymmetric-distance tables rounded
+    to 5dp per entry before the ADC sum — bit-identical to the
+    driver-side adc_tables half-away rounding.
 
     Every DISTANCE here is summed with list_sum over an ascending-index
     list_transform — the same sequential order as Spark's aggregate fold
@@ -570,9 +576,10 @@ def _ann_ivf_pq_sql(
         centl AS (
             -- SAME frame as the Spark side (emb.filter(vec_id != 0)):
             -- including the query vector would shift its label's rounded
-            -- centroid and could flip the coarse pick across engines
+            -- centroid and could flip the coarse pick across engines.
+            -- 6dp = pq_build's label_centroid_vectors(round_dp=6)
             SELECT label, i - 1 AS dim,
-                   round(avg(embedding[i]::DOUBLE), 5) AS centroid
+                   round(avg(embedding[i]::DOUBLE), 6) AS centroid
             FROM embeddings,
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
@@ -585,20 +592,28 @@ def _ann_ivf_pq_sql(
         ),
         best AS (
             SELECT label FROM cent, q
-            ORDER BY round(list_cosine_similarity(cvec, q.e), 5) DESC,
+            ORDER BY round(list_cosine_similarity(cvec, q.e), 6) DESC,
                      label ASC
             LIMIT 1
         ),
         base AS (
+            -- the probed inverted list: ADC candidates
             SELECT vec_id, embedding::DOUBLE[] AS v
             FROM embeddings e JOIN best ON e.label = best.label
             WHERE vec_id <> 0
+        ),
+        fit AS (
+            -- pq_build's fit_df: the deterministic training subsample the
+            -- GLOBAL codebooks are fit on (all labels, not just the
+            -- probed list — that is the build-once/search-many contract)
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id <> 0 AND vec_id % 7 = 1
         ),
         init AS (
             SELECT vec_id, rn - 1 AS ci FROM (
                 SELECT vec_id, row_number() OVER (
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-                FROM base)
+                FROM fit)
             WHERE rn <= {ks}
         )"""
     ]
@@ -615,7 +630,7 @@ def _ann_ivf_pq_sql(
         off = s_i * sub
         parts.append(f"""ms{s_i} AS (
             SELECT vec_id, d - 1 AS dim, v[d + {off}] AS val
-            FROM base, UNNEST(generate_series(1, {sub})) AS t(d)
+            FROM fit, UNNEST(generate_series(1, {sub})) AS t(d)
         ),
         s{s_i}c0 AS (
             SELECT i.ci, mm.dim, mm.val AS c
@@ -631,7 +646,7 @@ def _ann_ivf_pq_sql(
             parts.append(f"""s{s_i}a{it} AS (
             SELECT b.vec_id, cl.ci,
                    {sq('b.v', 'cl.cv', off)} AS dist
-            FROM base b, {prevl} cl
+            FROM fit b, {prevl} cl
         ),
         s{s_i}asg{it} AS (
             SELECT vec_id, ci AS cluster FROM (
@@ -1227,25 +1242,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_ivf_pq_top5(spark, sf):
-        # round-6 fold: subsumes ann_ivf_top5 — the coarse stage (per-label
-        # centroid nearest by rounded cosine, tie lowest label) is
-        # byte-identical to ivf_topk's; the within-list ranking is now
-        # product-quantization ADC (per-list codebooks via the unrolled-
-        # Lloyd-mirrorable kmeans_fit at 5dp, m=2 subspaces × 4 codes,
-        # asymmetric-distance tables rounded 5dp both sides)
-        from pbx_ds_ocr_server_spark.operators.pq import ivf_pq_topk
+        # round-8 rebuild: the slot now drives the PRODUCTION IVFADC path
+        # (pq_build once → pq_search), not the per-list re-fit demo
+        # ivf_pq_topk (which stays pytest-covered). Global per-subspace
+        # codebooks are trained on a DETERMINISTIC subsample (vec_id % 7
+        # == 1 — the 100 TB fit-on-a-sample recipe, hash-mirrorable unlike
+        # Bernoulli sampling), the whole corpus is encoded, the coarse
+        # table snapshots per-label centroids at 6dp, and search ranks
+        # lists driver-side by half-away-rounded cosine (nprobe=1) before
+        # ADC-ranking the probed list against the global codebooks.
+        from pbx_ds_ocr_server_spark.caching import own_result
+        from pbx_ds_ocr_server_spark.operators.pq import pq_build, pq_search
 
         emb = _emb(spark, sf)
         qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-        return ivf_pq_topk(
-            emb.filter(F.col("vec_id") != 0),
-            [float(x) for x in qvec],
-            k=5,
+        # pq_build scans the corpus 1 (coarse) + m (Lloyd's) + 1 (encode)
+        # times and documents that it does NOT own caching — cache here,
+        # release via own_result once the k-row result is materialized
+        corpus = emb.filter(F.col("vec_id") != 0).cache()
+        index = pq_build(
+            corpus,
+            dims=64,
             m=2,
             ks=4,
             iters=2,
-            round_dp=5,
+            fit_df=corpus.filter(F.col("vec_id") % 7 == 1),
             centroid_round_dp=5,
+        )
+        return own_result(
+            pq_search(
+                index, [float(x) for x in qvec], k=5, nprobe=1, round_dp=5
+            ),
+            corpus,
         )
 
     q["label_centroids"] = label_centroids_q
