@@ -144,17 +144,39 @@ def _one_timed_pass(
         spark.stop()
 
 
+def _spin_probe(inner_reps: int = 3, n: int = 2_000_000) -> float:
+    """Single-thread pure-Python spin wall (min of ``inner_reps``) — a
+    Spark-free, input-free probe of the host window's effective CPU speed
+    (tenancy/steal/frequency). Round-8 protocol: one probe per scaling
+    rep, recorded next to that rep's efficiency ratio, so a sub-0.8 rep
+    carries its own contemporaneous host evidence (round 7's 0.797
+    evening-window rep had none). The ABSOLUTE wall only matters relative
+    to the trailing history median (scaling_host_factor)."""
+    best = float("inf")
+    for _ in range(inner_reps):
+        t0 = time.time()
+        acc = 0
+        for i in range(n):
+            acc += i * i
+        best = min(best, time.time() - t0)
+    return best
+
+
 def timed_extract_levels(n_docs: int) -> dict[int, dict]:
     """Time all parallelism levels INTERLEAVED across reps (level order
     cycles inside each rep) so host-level throttling drift hits every level
     alike; per level the min across reps is reported. The N/4N pair runs
-    SCALE_REPS reps (efficiency evidence); the full level REPS reps."""
+    SCALE_REPS reps (efficiency evidence); the full level REPS reps.
+    Each rep opens with a :func:`_spin_probe` whose wall is returned under
+    the ``"spin"`` key, index-aligned with the per-level ``all_walls``."""
     levels = [N_LOW, N_HIGH] + ([CPUS] if CPUS not in (N_LOW, N_HIGH) else [])
     reps_for = {c: SCALE_REPS if c in (N_LOW, N_HIGH) else REPS
                 for c in levels}
     walls: dict[int, list] = {c: [] for c in levels}
+    spin_walls: list[float] = []
     parquet_wall = None
     for rep in range(max(reps_for.values())):
+        spin_walls.append(round(_spin_probe(), 3))
         for cores in levels:
             if rep >= reps_for[cores]:
                 continue
@@ -163,7 +185,7 @@ def timed_extract_levels(n_docs: int) -> dict[int, dict]:
             walls[cores].append(r["wall"])
             if want_pq:
                 parquet_wall = r["wall_parquet"]
-    out = {}
+    out = {"spin": spin_walls}
     for cores in levels:
         w = min(walls[cores])
         out[cores] = {
@@ -407,24 +429,49 @@ def dedup_tier_stats() -> dict:
 # PBX_BENCH_DEDUP_SCALE=1 python bench.py  (default off: adds ~5-10 min)
 RUN_DEDUP_SCALE = os.environ.get("PBX_BENCH_DEDUP_SCALE", "0") != "0"
 DEDUP_SCALE_X = int(os.environ.get("PBX_BENCH_DEDUP_SCALE_X", "4"))
+# near-miss twins (round 8): PBX_BENCH_DEDUP_NEARMISS=0 disables
+DEDUP_NEARMISS = os.environ.get("PBX_BENCH_DEDUP_NEARMISS", "1") != "0"
+# production LSH operating point for the spot run. The round-7 run used
+# the k=4 / 2-band demo point, where "dropped below lo" was STRUCTURALLY
+# impossible: a band collision already means 2 of 4 signature components
+# are equal, so every banded pair estimates >= 0.5 > lo=0.3 — the honest
+# no-crossover result was partly an artifact of the operating point. At
+# k=64 / 16 bands x 4 rows a banded pair only guarantees est >= 4/64.
+DEDUP_SCALE_K = 64
+DEDUP_SCALE_BANDS = 16
 
 
 def dedup_scale_spot() -> dict:
-    """Round-7 verdict task: at sf0.1 the dedup_near keepers and estimated
-    walls are within noise of each other (both overhead-bound), so the
-    estimate tier's value rested on the doc-shrink argument alone. This
-    spot run times BOTH at ×DEDUP_SCALE_X the input to measure where
-    the superlinear shingle self-join starts dominating and the estimate
-    band's linear signature join pays off.
+    """Round-7/8 verdict task: at sf0.1 the dedup_near keepers and
+    estimated walls are within noise of each other (both overhead-bound),
+    so the estimate tier's value rested on the doc-shrink argument alone.
+    This spot run times BOTH at ×DEDUP_SCALE_X the input, at the
+    PRODUCTION operating point (k=64, 16×4 — see DEDUP_SCALE_K note), to
+    measure where the superlinear shingle self-join starts dominating and
+    the estimate band's linear signature join pays off.
 
     Scaling is DISTINCT docs, not duplicated docs: each replica applies a
     different character permutation to the text, rewriting nearly every
     shingle — replicating verbatim would multiply the duplicate groups
-    and measure an explosion in true pairs instead of more data."""
+    and measure an explosion in true pairs instead of more data.
+
+    NEAR-MISS twins (round 8): the base corpus's banded pairs are all
+    true near-dups (J ≈ 0.8-1.0), so nothing ever estimated below lo and
+    the band had no pairs to drop. With DEDUP_NEARMISS each base doc gets
+    ONE twin with every 5th word replaced by a doc-unique token: 3-word
+    shingles survive at s = 2/5, so true J = s/(2-s) = 0.25 — LSH at the
+    production point still bands ~6% of those pairs (P = 1-(1-J⁴)¹⁶),
+    and a banded twin estimates ≈ (4 + 60·J)/64 ≈ 0.30, straddling
+    lo=0.3. That is exactly the clear-non-dup candidate mass a real crawl
+    has and the synthetic corpus lacked; the recorded band_stats show the
+    drops."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod
-    from pbx_ds_ocr_server_spark.operators.dedup import dedup_near
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        dedup_near,
+        minhash_jaccard_estimate,
+    )
     from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
 
     spark = _session(CPUS, "dedup-scale")
@@ -443,14 +490,46 @@ def dedup_scale_spot() -> dict:
         big = reps[0]
         for r in reps[1:]:
             big = big.unionByName(r)
+        if DEDUP_NEARMISS:
+            twins = base.select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                F.expr(
+                    "array_join(transform(split(text, ' '), (w, i) ->"
+                    " CASE WHEN i % 5 = 0 THEN"
+                    " concat('zqx', doc_id, 'x', i) ELSE w END), ' ')"
+                ).alias("text"),
+            )
+            big = big.unionByName(twins)
         # narrow (id, text) frame — fan out IS allowed here (the never-
         # repartition rule is about the raw payload column)
         big = ensure_min_partitions(big).cache()
         n_docs = big.count()
+        point = {
+            "num_hashes": DEDUP_SCALE_K,
+            "num_bands": DEDUP_SCALE_BANDS,
+        }
+        # band statistics at the SAME operating point the walls run at:
+        # does the band actually drop candidates below lo here?
+        est = minhash_jaccard_estimate(
+            big, k=DEDUP_SCALE_K, num_bands=DEDUP_SCALE_BANDS
+        ).cache()
+        band_stats = {
+            "candidate_pairs": est.count(),
+            "accepted_ge_hi": est.filter(
+                F.col("est_jaccard") >= 0.9
+            ).count(),
+            "dropped_lt_lo": est.filter(F.col("est_jaccard") < 0.3).count(),
+        }
+        band_stats["exact_tier_pairs"] = (
+            band_stats["candidate_pairs"]
+            - band_stats["accepted_ge_hi"]
+            - band_stats["dropped_lt_lo"]
+        )
+        est.unpersist()
         walls: dict[str, list] = {"keepers": [], "estimated": []}
         modes = {
-            "keepers": {},
-            "estimated": {"estimate_band": (0.3, 0.9)},
+            "keepers": dict(point),
+            "estimated": dict(point, estimate_band=(0.3, 0.9)),
         }
         for _ in range(2):  # interleaved min-of-2, same noise window
             for mode, kw in modes.items():
@@ -466,6 +545,10 @@ def dedup_scale_spot() -> dict:
         return {
             "scale_x": DEDUP_SCALE_X,
             "n_docs": n_docs,
+            "nearmiss_twins": DEDUP_NEARMISS,
+            "operating_point": f"k={DEDUP_SCALE_K},"
+                               f" b={DEDUP_SCALE_BANDS}",
+            "band_stats": band_stats,
             "wall_keepers": wk,
             "wall_estimated": we,
             "all_walls": walls,
@@ -614,6 +697,8 @@ def append_history(payload: dict) -> None:
         "wall_full": payload["wall_full"],
         "scaling_efficiency": payload["scaling_efficiency"],
         "scaling_efficiency_per_rep": payload["scaling_efficiency_per_rep"],
+        "scaling_spin_walls": payload.get("scaling_spin_walls"),
+        "scaling_host_factor": payload.get("scaling_host_factor"),
         "scaling_walls": {
             "n": payload["all_walls"][str(payload["parallelism_n"])],
             "4n": payload["all_walls"][str(payload["parallelism_4n"])],
@@ -630,6 +715,20 @@ def append_history(payload: dict) -> None:
 
 def write_md(payload: dict) -> None:
     p = payload
+    slow_reps = [
+        (i, e, (p.get("scaling_spin_walls") or [None] * (i + 1))[i])
+        for i, e in enumerate(p.get("scaling_efficiency_per_rep", []))
+        if e < 0.8
+    ]
+    slow_note = (
+        "Sub-0.8 reps this run: "
+        + "; ".join(
+            f"rep {i} eff={e} (spin probe {s} s)" for i, e, s in slow_reps
+        )
+        + "."
+        if slow_reps
+        else "No sub-0.8 reps this run."
+    )
     lines = [
         "# BENCH — measured numbers (this machine, local mode)",
         "",
@@ -656,6 +755,17 @@ def write_md(payload: dict) -> None:
         " within-rep ratios — pairing cancels the host's common-mode"
         f" throttling; per-rep: {p.get('scaling_efficiency_per_rep')};"
         " target ≥ 0.8)",
+        "",
+        "Host-window protocol (round 8): every scaling rep opens with a"
+        " single-thread pure-Python spin probe (min of 3); its wall is"
+        " recorded index-aligned with that rep's efficiency ratio"
+        f" (this run: {p.get('scaling_spin_walls')} s), and the run-level"
+        " `scaling_host_factor` compares this run's median spin wall to"
+        " the trailing history median"
+        f" (this run: {p.get('scaling_host_factor', 'n/a')}; >1 = the"
+        " scaling phase ran in a slower host window than the series norm)."
+        " A sub-0.8 rep therefore carries its own contemporaneous"
+        " host evidence instead of an after-the-fact guess. " + slow_note,
         "",
         "Statistic cross-reference: this file quotes MIN-of-reps walls"
         " (and the docs/sec they imply); BASELINE.md's `## Measured`"
@@ -753,15 +863,28 @@ def write_md(payload: dict) -> None:
             if p.get("dedup_scale_carried")
             else ""
         )
+        bs = ds.get("band_stats") or {}
         lines += [
             "",
             f"## Dedup-tier crossover at ×{ds['scale_x']} scale"
             f" ({ds['n_docs']} distinct docs){carried}",
             "",
             "Each replica applies a distinct character permutation"
-            " (distinct docs — more data, not more duplicates); both"
-            " composed paths run on the same cached frame, interleaved"
-            " min-of-2:",
+            " (distinct docs — more data, not more duplicates)."
+            + (
+                " Round 8: each base doc additionally gets a NEAR-MISS"
+                " twin (every 5th word replaced → true shingle J ≈ 0.25)"
+                " — the clear-non-dup candidate mass a real crawl has;"
+                " the round-7 run had none, AND ran at the k=4/2-band"
+                " demo point where a banded pair structurally estimates"
+                " ≥ 0.5, so dropping below lo=0.3 was impossible. This"
+                f" run uses the production point"
+                f" ({ds.get('operating_point', 'k=4, b=2')})."
+                if ds.get("nearmiss_twins")
+                else ""
+            )
+            + " Both composed paths run on the same cached frame,"
+            " interleaved min-of-2:",
             "",
             "| path | wall (s) |",
             "|---|---|",
@@ -770,6 +893,18 @@ def write_md(payload: dict) -> None:
             f"| dedup_near estimated (band (0.3, 0.9) — only undecided"
             f" pairs pay it) | {ds['wall_estimated']} |",
             "",
+        ]
+        if bs:
+            lines += [
+                f"Band statistics at the same operating point:"
+                f" {bs.get('candidate_pairs')} banded candidate pairs →"
+                f" {bs.get('accepted_ge_hi')} accepted (est ≥ 0.9),"
+                f" **{bs.get('dropped_lt_lo')} dropped (est < 0.3)**,"
+                f" {bs.get('exact_tier_pairs')} left for the exact"
+                " shingle tier.",
+                "",
+            ]
+        lines += [
             f"estimated / keepers = **{ds['estimated_over_keepers']}×**. "
             + (
                 "The crossover is REACHED at this scale: the exact"
@@ -778,19 +913,15 @@ def write_md(payload: dict) -> None:
                 " doc-shrink statistic has become measured time."
                 if (ds.get("estimated_over_keepers") or 1) < 1
                 else "The crossover is NOT yet reached at this scale —"
-                " honest result: this corpus's candidate pairs are"
-                " similar enough that the band drops almost nothing below"
-                " lo (see the shrink stats above:"
-                f" {(p.get('dedup_tiers') or {}).get('dropped_lt_lo', '?')}"
-                " dropped), so the"
-                " estimate tier still pays its signature-carry overhead"
-                " on top of a shingle join it only partially shrinks."
-                " The estimate band pays off when the pair-similarity"
-                " distribution has mass outside the band (real crawl"
-                " corpora: most LSH candidates are either clear dups or"
-                " clear non-dups); the doc-shrink statistic above remains"
-                " the asymptotic argument, now with a measured bound on"
-                " its overhead at this distribution"
+                " honest result: the estimate tier still pays its"
+                " signature-carry overhead on top of a shingle join it"
+                f" only partially shrinks ({bs.get('dropped_lt_lo', '?')}"
+                " of"
+                f" {bs.get('candidate_pairs', '?')} candidates dropped"
+                " below lo this run). The estimate band pays off when"
+                " dropped+accepted dominate the candidate set; the"
+                " doc-shrink statistic above remains the asymptotic"
+                " argument, now with a measured bound on the overhead"
                 f" ({round(((ds.get('estimated_over_keepers') or 1) - 1) * 100)}%)."
             ),
         ]
@@ -887,6 +1018,7 @@ def main() -> int:
     write_markdown = "--no-md" not in sys.argv
     n_docs = stage_corpus()
     levels = timed_extract_levels(n_docs)
+    spin_walls = levels.pop("spin")
     low, high, full = levels[N_LOW], levels[N_HIGH], levels[CPUS]
     # Efficiency per rep, pairing runs from the SAME noise window: host
     # throttling slows both levels of a rep alike, so the within-rep ratio
@@ -900,6 +1032,21 @@ def main() -> int:
         for wn, w4 in zip(low["all_walls"], high["all_walls"])
     ]
     eff = round(statistics.median(eff_reps), 3)
+    # scaling host factor (round 8): this run's median spin wall vs the
+    # trailing history median — >1 means the scaling reps ran in a slower
+    # host window than the series norm, the self-explaining annotation the
+    # round-7 0.797 outlier rep lacked
+    hist_spins = [
+        statistics.median(r["scaling_spin_walls"])
+        for r in _load_history()[-DRIFT_WINDOW:]
+        if r.get("scaling_spin_walls")
+    ]
+    spin_med = statistics.median(spin_walls)
+    scaling_host = (
+        round(spin_med / statistics.median(hist_spins), 3)
+        if hist_spins
+        else None
+    )
     queries = timed_queries(HEADLINE)
     skew = timed_skew() if RUN_SKEW else None
     from pbx_ds_ocr_server_spark.corpus import CORPUS_VERSION
@@ -924,6 +1071,8 @@ def main() -> int:
         "docs_per_sec_full": full["docs_per_sec"],
         "scaling_efficiency": eff,
         "scaling_efficiency_per_rep": eff_reps,
+        "scaling_spin_walls": spin_walls,
+        "scaling_host_factor": scaling_host,
         "all_walls": {
             str(c): levels[c]["all_walls"] for c in sorted(levels)
         },
