@@ -231,13 +231,16 @@ def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
 def _multimodal_meta_sql() -> str:
     """Mirror of the multimodal_meta slot: predicts EVERY column — header
     metadata AND decoded-pixel features — in closed form from doc_id.
-    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 8
+    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 9
     (operators/multimodal.MEDIA_VARIANTS): m 0-5 are six ENCODINGS of the
     same gradient PNG (grey8 / RGB / palette / 16-bit / Adam7 /
     grey+alpha — width = 8 + id%9, height = 8 + id%7, base = id%64,
     pixel(x,y) = base+x+y), m=6 is a flat-block grayscale baseline JPEG
     (blocks_w = 1+(id%9)//3, blocks_h = 1+(id%6)//3, block(bx,by) =
-    base+bx+by), m=7 (round 8) a flat-block 4:2:0 YCbCr color JPEG whose
+    base+bx+by), m=8 (round 8) the SAME grayscale image as a Huffman
+    PROGRESSIVE stream (DC+AC first + refinement scans — identical
+    closed forms, rides every m=6 branch), m=7 (round 8) a flat-block
+    4:2:0 YCbCr color JPEG whose
     luma-block grid is TWICE the m=6 grid (ew = 2*(1+(id%9)//3), eh =
     2*(1+(id%6)//3), base = 32+id%32, Cb 116 flat, Cr checkerboarding
     136/138 per MCU — see multimodal.synthetic_flat_color_jpeg: the
@@ -256,17 +259,17 @@ def _multimodal_meta_sql() -> str:
         WITH m AS (
             SELECT doc_id, text,
                    CASE WHEN doc_id % 3 = 0
-                        THEN CAST((doc_id // 3) % 8 AS INT) END AS v,
+                        THEN CAST((doc_id // 3) % 9 AS INT) END AS v,
                    CASE WHEN doc_id % 3 <> 0 THEN NULL
-                        WHEN (doc_id // 3) % 8 = 6
+                        WHEN (doc_id // 3) % 9 IN (6, 8)
                         THEN CAST(1 + (doc_id % 9) // 3 AS INT)
-                        WHEN (doc_id // 3) % 8 = 7
+                        WHEN (doc_id // 3) % 9 = 7
                         THEN CAST(2 * (1 + (doc_id % 9) // 3) AS INT)
                         ELSE CAST(8 + doc_id % 9 AS INT) END AS ew,
                    CASE WHEN doc_id % 3 <> 0 THEN NULL
-                        WHEN (doc_id // 3) % 8 = 6
+                        WHEN (doc_id // 3) % 9 IN (6, 8)
                         THEN CAST(1 + (doc_id % 6) // 3 AS INT)
-                        WHEN (doc_id // 3) % 8 = 7
+                        WHEN (doc_id // 3) % 9 = 7
                         THEN CAST(2 * (1 + (doc_id % 6) // 3) AS INT)
                         ELSE CAST(8 + doc_id % 7 AS INT) END AS eh
             FROM documents
@@ -287,21 +290,21 @@ def _multimodal_meta_sql() -> str:
                CASE WHEN m.v IS NOT NULL THEN NULL
                     ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
                     END AS n_bytes,
-               CASE WHEN m.v IN (6, 7) THEN 'jpeg'
+               CASE WHEN m.v IN (6, 7, 8) THEN 'jpeg'
                     WHEN m.v IS NOT NULL THEN 'png'
                     WHEN m.text IS NULL THEN NULL
                     WHEN octet_length(encode(m.text)) = 0 THEN 'empty'
                     ELSE 'binary' END AS kind,
-               CAST(CASE WHEN m.v IN (6, 7) THEN 8 * m.ew ELSE m.ew END
+               CAST(CASE WHEN m.v IN (6, 7, 8) THEN 8 * m.ew ELSE m.ew END
                     AS INT) AS width,
-               CAST(CASE WHEN m.v IN (6, 7) THEN 8 * m.eh ELSE m.eh END
+               CAST(CASE WHEN m.v IN (6, 7, 8) THEN 8 * m.eh ELSE m.eh END
                     AS INT) AS height,
                CASE WHEN m.v IS NOT NULL THEN NULL ELSE md5(m.text)
                     END AS digest,
-               CAST(CASE WHEN m.v IN (0, 3, 4, 6) THEN 1
+               CAST(CASE WHEN m.v IN (0, 3, 4, 6, 8) THEN 1
                          WHEN m.v IN (1, 2, 7) THEN 3
                          WHEN m.v = 5 THEN 2 END AS INT) AS channels,
-               CAST(CASE WHEN m.v IN (6, 7) THEN 64 * m.ew * m.eh
+               CAST(CASE WHEN m.v IN (6, 7, 8) THEN 64 * m.ew * m.eh
                          WHEN m.v IS NOT NULL THEN m.ew * m.eh
                          END AS BIGINT) AS n_px,
                CASE WHEN m.v = 7
@@ -1069,12 +1072,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal tier: header metadata + REAL pixel decode (r6/r7) ---
     def multimodal_meta(spark, sf):
-        # every 3rd doc carries deterministic media on an 8-variant cycle
+        # every 3rd doc carries deterministic media on a 9-variant cycle
         # (six encodings of the same gradient PNG — grey/RGB/palette/
         # 16-bit/Adam7/grey+alpha, per-row filter cycle so all five
         # unfilter paths run — plus a flat-block grayscale JPEG and,
         # round 8, a flat-block 4:2:0 YCbCr COLOR JPEG with checkerboard
-        # chroma), the rest their utf-8 text bytes. The oracle predicts
+        # chroma AND a PROGRESSIVE re-encoding of the grayscale image
+        # exercising all four SOF2 scan kinds), the rest their utf-8
+        # text bytes. The oracle predicts
         # every column in closed form from doc_id — decoded dims/mean/
         # entropy included — so a hash-green row proves both pure-Python
         # codecs reproduced every pixel through every layout path,

@@ -18,13 +18,21 @@ JPEG streams with the same stdlib-only, bounded-work honesty as
     MCU block interleave per T.81 A.2.3, chroma upsample by sample
     replication, and the JFIF/T.871 BT.601 YCbCr→RGB conversion with the
     repo-wide half-away rounding.
-  * typed declines (:class:`JpegUnsupported`): progressive (SOF2) and
-    arithmetic (SOF9+) scans, 2/4-component (e.g. Adobe CMYK) frames,
+  * progressive (SOF2, round 8): Huffman progressive with both spectral
+    selection and successive approximation — interleaved/single DC first
+    + refinement scans, non-interleaved AC first + refinement scans with
+    EOBRUN, per T.81 G.1; coefficients accumulate across scans and the
+    IDCT runs once at EOI. Work is bounded by a cumulative coded-block
+    budget (PROG_MAX_BLOCK_PASSES full passes) on top of the pixel cap.
+  * typed declines (:class:`JpegUnsupported`): arithmetic (SOF9+) and
+    lossless/hierarchical frames, 2/4-component (e.g. Adobe CMYK) frames,
     subsampled-chroma shapes beyond the above, non-(1,2,3) component ids
     and Adobe APP14 transform=0 (an RGB-coded stream YCbCr math would
-    silently miscolor), non-interleaved color scans, missing tables,
-    truncated entropy data, dimension bombs past the sampling-weighted
-    work cap.
+    silently miscolor), non-interleaved BASELINE color scans, progressive
+    scan-script violations (Ah != Al+1 chains, AC scans before the
+    component's DC scan, interleaved AC scans, EOB runs crossing restart
+    intervals), missing tables, truncated entropy data, dimension bombs
+    past the sampling-weighted work cap.
   * encode: the same subset, from QUANTIZED COEFFICIENT blocks (the
     natural inverse of the decoder's Huffman+dequant stage — lossless to
     round-trip, unlike a pixel-level FDCT) using the public Annex K
@@ -55,6 +63,14 @@ from pbx_ds_ocr_server_spark.kernels.png_codec import MAX_PIXELS
 # pixels = 8192 blocks ≈ 1.6e7 ops keeps the worst adversarial in-bounds
 # payload at seconds, the same per-doc cost convention as the PNG cap.
 JPEG_MAX_PIXELS = min(MAX_PIXELS, 1 << 19)
+
+# Progressive adds a second work axis: a scan script can revisit every
+# block once per scan, so the per-image budget is a cumulative CODED-BLOCK
+# count — 12 equivalents of a full single pass (real files use ~4-6
+# pass-equivalents: one interleaved DC scan + per-component AC scans +
+# refinements). Past it the stream declines typed, same convention as the
+# pixel cap.
+PROG_MAX_BLOCK_PASSES = 12
 
 
 class JpegUnsupported(ValueError):
@@ -320,10 +336,12 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
     comps: list[dict] | None = None  # per-component {cid, h, v, tq}
     restart_interval = 0
     adobe_transform = None
+    progressive = False
+    prog: dict | None = None  # progressive accumulation state
     i = 2
     n = len(payload)
     while True:
-        if i + 4 > n:
+        if i + 2 > n:
             raise JpegUnsupported("truncated marker stream")
         if payload[i] != 0xFF:
             raise JpegUnsupported(f"expected marker at {i}")
@@ -331,8 +349,16 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xFF:  # fill byte
             i += 1
             continue
-        if marker == 0xD9:  # EOI before SOS
-            raise JpegUnsupported("EOI before scan data")
+        if marker == 0xD9:  # EOI
+            if prog is None or not prog["n_scans"]:
+                raise JpegUnsupported("EOI before scan data")
+            if payload[i + 2 :]:
+                raise JpegUnsupported("trailing data after EOI")
+            return _prog_finalize(
+                width, height, comps, qtables, prog
+            )
+        if i + 4 > n:
+            raise JpegUnsupported("truncated marker stream")
         (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
         if seg_len < 2 or i + 2 + seg_len > n:
             raise JpegUnsupported("truncated segment")
@@ -376,7 +402,8 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 2:
                 raise JpegUnsupported("short DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if width is not None:
                 # parity with the PNG codec's duplicate-IHDR decline: two
                 # frame headers are a header-vs-pixels forgery vector
@@ -437,9 +464,9 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 or width * height * sum_hv > JPEG_MAX_PIXELS * hmax * vmax
             ):
                 raise JpegUnsupported(f"dimensions {width}x{height}")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kinds = {0xC2: "progressive", 0xC9: "arithmetic"}
+            kinds = {0xC9: "arithmetic", 0xCA: "arithmetic progressive"}
             raise JpegUnsupported(
                 f"SOF{marker - 0xC0} ({kinds.get(marker, 'non-baseline')})"
                 " out of scope"
@@ -456,18 +483,27 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 1:
                 raise JpegUnsupported("short SOS")
             ns = seg[0]
-            if ns != len(comps):
-                # a 1-component scan of a 3-component frame is a
-                # NON-INTERLEAVED color JPEG (three sequential scans) —
-                # out of scope, decline typed rather than decode Y only
-                raise JpegUnsupported(
-                    "scan/frame component count mismatch"
-                    " (non-interleaved color out of scope)"
-                )
             if len(seg) < 4 + 2 * ns:
                 raise JpegUnsupported("short SOS")
             if len(comps) == 3 and adobe_transform == 0:
                 raise JpegUnsupported("Adobe RGB transform out of scope")
+            if progressive:
+                if prog is None:
+                    prog = _prog_init(width, height, comps)
+                i = _decode_prog_scan(
+                    payload, i + 2 + seg_len, seg, comps, dc_tables,
+                    ac_tables, restart_interval, prog,
+                )
+                continue
+            if ns != len(comps):
+                # a 1-component scan of a 3-component frame is a
+                # NON-INTERLEAVED color JPEG (three sequential scans) —
+                # out of scope for BASELINE, decline typed rather than
+                # decode Y only (progressive handles it above)
+                raise JpegUnsupported(
+                    "scan/frame component count mismatch"
+                    " (non-interleaved color out of scope)"
+                )
             scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -593,6 +629,16 @@ def _decode_scan(
         raise JpegUnsupported("missing EOI after entropy-coded data")
     if tail[2:]:
         raise JpegUnsupported("trailing data after EOI")
+    return _planes_to_output(width, height, comps, planes, hmax, vmax)
+
+
+def _planes_to_output(
+    width: int, height: int, comps: list[dict],
+    planes: list[bytearray], hmax: int, vmax: int,
+) -> tuple[int, int, int, bytes]:
+    """Padded component planes → final (w, h, channels, samples): crop for
+    grayscale, upsample+convert for color. Shared by the baseline scan
+    decoder and the progressive finalize step."""
     if len(comps) == 1:
         pw = comps[0]["pw"]
         plane = planes[0]
@@ -645,6 +691,314 @@ def _ycbcr_to_rgb(
             out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
             o += 3
     return bytes(out)
+
+
+# --- progressive (SOF2) decode — round 8, T.81 Annex G.1 ---
+
+
+def _prog_init(width: int, height: int, comps: list[dict]) -> dict:
+    """Per-component coefficient accumulators + both addressing grids.
+    Interleaved (DC) scans address the MCU-padded block grid (bw x bh);
+    non-interleaved scans address ceil(comp_dims/8) (bw_ni x bh_ni, T.81
+    A.2.2) — a subset of the padded grid, so one storage serves both.
+    ``al_state[k]`` tracks successive approximation per coefficient: None
+    = never coded, else the lowest Al received so far (scan chains must
+    walk Al down by exactly one — G.1.1.1.2)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (width + 8 * hmax - 1) // (8 * hmax)
+    mcy = (height + 8 * vmax - 1) // (8 * vmax)
+    geom, coefs, al = [], [], []
+    for c in comps:
+        bw, bh = mcx * c["h"], mcy * c["v"]
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        geom.append(
+            {
+                "bw": bw,
+                "bh": bh,
+                "bw_ni": (cw + 7) // 8,
+                "bh_ni": (ch + 7) // 8,
+            }
+        )
+        coefs.append([[0] * 64 for _ in range(bw * bh)])
+        al.append([None] * 64)
+    total_blocks = sum(g["bw"] * g["bh"] for g in geom)
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcx": mcx,
+        "mcy": mcy,
+        "geom": geom,
+        "coefs": coefs,
+        "al_state": al,
+        "n_scans": 0,
+        "coded_blocks": 0,
+        "block_budget": PROG_MAX_BLOCK_PASSES * max(total_blocks, 1),
+    }
+
+
+def _prog_band_check(al_state: list, ss: int, se: int, ah: int, al: int):
+    """Enforce the G.1.1.1.2 successive-approximation chain per
+    coefficient band: a first scan (Ah=0) may only touch virgin
+    coefficients; a refinement must continue every coefficient of its
+    band from exactly Al+1."""
+    band = al_state[ss : se + 1]
+    if ah == 0:
+        if any(s is not None for s in band):
+            raise JpegUnsupported("band coded twice at Ah=0")
+    else:
+        if ah != al + 1:
+            raise JpegUnsupported("successive approximation must step by 1")
+        if any(s != ah for s in band):
+            raise JpegUnsupported("refinement does not continue its band")
+    for k in range(ss, se + 1):
+        al_state[k] = al
+
+
+def _dc_first_block(reader, coef, pred, dc_table, al):
+    s = reader.decode_symbol(dc_table)
+    if s > 11:
+        raise JpegUnsupported(f"DC category {s}")
+    pred += _extend(reader.receive(s), s)
+    coef[0] = pred << al
+    return pred
+
+
+def _ac_first_block(reader, coef, ss, se, al, ac_table, eobrun):
+    """G.1.2.2: AC first scan for one block; returns the new EOBRUN."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                if k > se:
+                    raise JpegUnsupported("ZRL run past band end")
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        if s > 10:
+            raise JpegUnsupported(f"AC category {s}")
+        k += r
+        if k > se:
+            raise JpegUnsupported("AC run past band end")
+        coef[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, coef, ss, se, al, ac_table, eobrun):
+    """G.1.2.3: AC refinement for one block — correction bits for
+    already-nonzero coefficients, newly-significant coefficients at
+    ±2^Al, EOBRUN consuming correction bits through the band tail.
+    Returns the new EOBRUN."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegUnsupported("refinement size must be 1")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z]:
+                    if reader.read_bit() and not (abs(coef[z]) & p1):
+                        coef[z] += p1 if coef[z] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise JpegUnsupported("refinement run past band end")
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z]:
+                if reader.read_bit() and not (abs(coef[z]) & p1):
+                    coef[z] += p1 if coef[z] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    payload: bytes, pos: int, seg: bytes, comps: list[dict],
+    dc_tables: dict, ac_tables: dict, restart_interval: int, prog: dict,
+) -> int:
+    """Decode ONE progressive scan into the coefficient accumulators;
+    returns the payload offset of the marker that follows the scan's
+    entropy data. Scan-script violations decline typed — wrong progression
+    state would deterministically decode garbage with decode_ok."""
+    ns = seg[0]
+    j = 1 + 2 * ns
+    ss, se = seg[j], seg[j + 1]
+    ah, al = seg[j + 2] >> 4, seg[j + 2] & 0x0F
+    if al > 13 or ah > 13:
+        raise JpegUnsupported("point transform out of range")
+    # resolve scan components against frame order
+    idxs, tabs = [], []
+    by_cid = {c["cid"]: ci for ci, c in enumerate(comps)}
+    for c in range(ns):
+        cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+        if cs not in by_cid:
+            raise JpegUnsupported("scan references unknown component")
+        ci = by_cid[cs]
+        if idxs and ci <= idxs[-1]:
+            raise JpegUnsupported("scan component order mismatch")
+        idxs.append(ci)
+        tabs.append((tdta >> 4, tdta & 0x0F))
+    is_dc = ss == 0
+    if is_dc:
+        if se != 0:
+            raise JpegUnsupported("DC scan with Se != 0")
+    else:
+        if ns != 1:
+            raise JpegUnsupported("interleaved AC scan")
+        if not 1 <= ss <= se <= 63:
+            raise JpegUnsupported("bad spectral selection")
+        if prog["al_state"][idxs[0]][0] is None:
+            raise JpegUnsupported("AC scan before the component's DC scan")
+    for ci in idxs:
+        _prog_band_check(prog["al_state"][ci], ss, se, ah, al)
+    # table presence: DC refinements read raw bits (no Huffman table)
+    for ci, (td, ta) in zip(idxs, tabs):
+        if is_dc and ah == 0 and td not in dc_tables:
+            raise JpegUnsupported("scan references missing DHT")
+        if not is_dc and ta not in ac_tables:
+            raise JpegUnsupported("scan references missing DHT")
+    # work budget: units this scan will code
+    if ns > 1:
+        units = prog["mcx"] * prog["mcy"]
+        blocks = units * sum(
+            comps[ci]["h"] * comps[ci]["v"] for ci in idxs
+        )
+    else:
+        g = prog["geom"][idxs[0]]
+        units = blocks = g["bw_ni"] * g["bh_ni"]
+    prog["coded_blocks"] += blocks
+    if prog["coded_blocks"] > prog["block_budget"]:
+        raise JpegUnsupported("progressive scan budget exceeded")
+    reader = _BitReader(payload, pos)
+    preds = {ci: 0 for ci in idxs}
+    eobrun = 0
+    unit = 0
+    if ns > 1:
+        # interleaved DC scan: MCU addressing over the padded grid
+        for my in range(prog["mcy"]):
+            for mx in range(prog["mcx"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.sync_restart()
+                    preds = {ci: 0 for ci in idxs}
+                unit += 1
+                for ci, (td, _ta) in zip(idxs, tabs):
+                    c, g = comps[ci], prog["geom"][ci]
+                    for bv in range(c["v"]):
+                        for bu in range(c["h"]):
+                            blk = prog["coefs"][ci][
+                                (my * c["v"] + bv) * g["bw"]
+                                + mx * c["h"] + bu
+                            ]
+                            if ah == 0:
+                                preds[ci] = _dc_first_block(
+                                    reader, blk, preds[ci],
+                                    dc_tables[td], al,
+                                )
+                            else:
+                                blk[0] |= reader.read_bit() << al
+    else:
+        ci = idxs[0]
+        td, ta = tabs[0]
+        g = prog["geom"][ci]
+        for by in range(g["bh_ni"]):
+            for bx in range(g["bw_ni"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if eobrun:
+                        raise JpegUnsupported(
+                            "EOB run crosses restart interval"
+                        )
+                    reader.sync_restart()
+                    preds = {ci: 0}
+                unit += 1
+                blk = prog["coefs"][ci][by * g["bw"] + bx]
+                if is_dc:
+                    if ah == 0:
+                        preds[ci] = _dc_first_block(
+                            reader, blk, preds[ci], dc_tables[td], al
+                        )
+                    else:
+                        blk[0] |= reader.read_bit() << al
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, blk, ss, se, al, ac_tables[ta], eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, blk, ss, se, al, ac_tables[ta], eobrun
+                    )
+    if eobrun:
+        raise JpegUnsupported("EOB run past scan end")
+    prog["n_scans"] += 1
+    end = reader.pos
+    # a scan whose final padded byte is 0xFF carries an unconsumed stuffed
+    # 00 the bit reader never pulled — step over it so the marker loop
+    # resumes at a real marker
+    if payload[end : end + 2] == b"\xff\x00":
+        end += 2
+    return end
+
+
+def _prog_finalize(
+    width: int, height: int, comps: list[dict], qtables: dict, prog: dict
+) -> tuple[int, int, int, bytes]:
+    """All scans received: dequantize + IDCT every accumulated block into
+    component planes, then the shared crop/upsample/convert tail. A
+    component whose DC band never arrived decodes as a scan-script
+    violation (the spec requires a DC scan per component)."""
+    for ci, c in enumerate(comps):
+        if prog["al_state"][ci][0] is None:
+            raise JpegUnsupported("component missing its DC scan")
+        if c["tq"] not in qtables:
+            raise JpegUnsupported("frame references missing DQT")
+    planes = []
+    for ci, c in enumerate(comps):
+        g = prog["geom"][ci]
+        q = qtables[c["tq"]]
+        c["pw"] = g["bw"] * 8
+        plane = bytearray(g["bw"] * 8 * g["bh"] * 8)
+        for bi, blk in enumerate(prog["coefs"][ci]):
+            coef = [blk[z] * q[z] for z in range(64)]
+            block = _idct_block(coef)
+            bx, by = bi % g["bw"], bi // g["bw"]
+            px, py = bx * 8, by * 8
+            pw = c["pw"]
+            for yy in range(8):
+                off = (py + yy) * pw + px
+                plane[off : off + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+    return _planes_to_output(
+        width, height, comps, planes, prog["hmax"], prog["vmax"]
+    )
 
 
 # --- encoder (quantized-coefficient level — exact decoder inverse) ---
@@ -885,6 +1239,326 @@ def jpeg_encode_color_coefs(
         + seg(0xC0, sof)
         + seg(0xDA, sos)
         + bytes(w.out)
+        + b"\xff\xd9"
+    )
+
+
+# Progressive AC scans emit EOBn run-length symbols (r<<4, r>=1) that the
+# Annex K baseline tables do NOT define (real progressive encoders ship
+# optimized tables). This fixed canonical table covers every symbol the
+# progressive encoder can emit — 15 EOBn + ZRL + 160 (run,size) — all at
+# code length 8 (176 < 255, so the all-ones max-length code stays unused
+# as C.2 requires).
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_ENC = _encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+class _ProgScanWriter(_BitWriter):
+    """_BitWriter + the progressive AC bookkeeping. Correction bits live
+    in TWO buffers with different flush points, mirroring the decoder's
+    consumption order (and jcphuff's BE/BR split): ``eob_bits`` belong to
+    blocks already absorbed into the EOB run and are emitted right after
+    the EOBn symbol (the decoder's run-tail walk reads them); ``cur_bits``
+    belong to the current block since its last symbol and are emitted
+    right after the next ZRL / (run,1) symbol (the decoder's in-block
+    walk reads them). Folding the two together desynchronizes the decoder
+    one symbol later."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+        self.cur_bits: list[int] = []
+        self.rstn = 0
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = _PROG_AC_ENC[r << 4]
+            self.write(code, length)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.eob_bits:
+                self.write(b, 1)
+            self.eob_bits = []
+
+    def emit_cur_bits(self) -> None:
+        for b in self.cur_bits:
+            self.write(b, 1)
+        self.cur_bits = []
+
+    def end_block(self, has_tail: bool) -> None:
+        """Block ended with untouched positions or unflushed correction
+        bits: absorb it into the EOB run."""
+        if has_tail:
+            self.eobrun += 1
+            self.eob_bits += self.cur_bits
+            self.cur_bits = []
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def restart(self) -> None:
+        self.flush_eobrun()
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + self.rstn % 8])
+        self.rstn += 1
+
+
+def jpeg_encode_progressive(
+    width: int,
+    height: int,
+    comp_blocks: list[list[list[int]]],
+    y_sampling: tuple[int, int] = (2, 2),
+    qtable_luma: list[int] | None = None,
+    qtable_chroma: list[int] | None = None,
+    al: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode QUANTIZED coefficient blocks as a Huffman PROGRESSIVE
+    (SOF2) JPEG exercising every scan kind the decoder implements:
+
+      1. interleaved DC first scan (Ah=0, Al=``al``),
+      2. DC refinement scans walking Al down to 0 (raw bits),
+      3. per-component AC first scans (Ss=1..63, Al=``al``) with EOBn
+         run-length coding,
+      4. per-component AC refinement scans (correction bits + newly
+         significant coefficients) walking Al down to 0.
+
+    ``al=0`` degrades to spectral-selection-only progressive (no
+    refinement scans). ``comp_blocks`` is ``[y]`` for grayscale or
+    ``[y, cb, cr]`` with the exact block shapes of
+    :func:`jpeg_encode_gray_coefs` / :func:`jpeg_encode_color_coefs`.
+    The decoded image is bit-identical to the baseline encoding of the
+    same blocks — the round-trip equivalence the tests pin."""
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError(f"{ncomp} components")
+    if not 0 <= al <= 13:
+        raise ValueError(f"al={al}")
+    hy, vy = y_sampling if ncomp == 3 else (1, 1)
+    if hy not in (1, 2) or vy not in (1, 2):
+        raise ValueError(f"y_sampling {y_sampling}")
+    samp = [(hy, vy)] + [(1, 1)] * (ncomp - 1)
+    mcx = (width + 8 * hy - 1) // (8 * hy)
+    mcy = (height + 8 * vy - 1) // (8 * vy)
+    bw_pad = [mcx * h for h, _ in samp]
+    bh_pad = [mcy * v for _, v in samp]
+    for ci in range(ncomp):
+        if len(comp_blocks[ci]) != bw_pad[ci] * bh_pad[ci]:
+            raise ValueError(
+                f"component {ci}: need {bw_pad[ci] * bh_pad[ci]} blocks,"
+                f" got {len(comp_blocks[ci])}"
+            )
+    # non-interleaved grids (AC scans): ceil(comp_dims / 8)
+    bw_ni = [
+        ((width * h + hy - 1) // hy + 7) // 8 for h, _ in samp
+    ]
+    bh_ni = [
+        ((height * v + vy - 1) // vy + 7) // 8 for _, v in samp
+    ]
+    dc_encs = [_DC_LUMA_ENC] + [_DC_CHROMA_ENC] * (ncomp - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_specs: list[tuple[int, int]], ss, se, ah, a) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, tdta in comp_specs:
+            body += bytes([cid, tdta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | a]))
+
+    scans: list[bytes] = []
+
+    # 1. interleaved DC first scan
+    w = _ProgScanWriter()
+    preds = [0] * ncomp
+    unit = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and unit and unit % restart_interval == 0:
+                w.restart()
+                preds = [0] * ncomp
+            unit += 1
+            for ci in range(ncomp):
+                h, v = samp[ci]
+                for bv in range(v):
+                    for bu in range(h):
+                        c0 = comp_blocks[ci][
+                            (my * v + bv) * bw_pad[ci] + mx * h + bu
+                        ][0]
+                        t = c0 >> al
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        s = _category(diff)
+                        if s > 11:
+                            raise ValueError(
+                                f"DC difference {diff} exceeds baseline"
+                            )
+                        code, length = dc_encs[ci][s]
+                        w.write(code, length)
+                        if s:
+                            w.write(
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1, s,
+                            )
+    w.flush()
+    scans.append(
+        sos([(ci + 1, (min(ci, 1) << 4)) for ci in range(ncomp)],
+            0, 0, 0, al)
+        + bytes(w.out)
+    )
+
+    # 2. DC refinement scans (raw bits, no Huffman table)
+    for a in range(al, 0, -1):
+        w = _ProgScanWriter()
+        unit = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    w.restart()
+                unit += 1
+                for ci in range(ncomp):
+                    h, v = samp[ci]
+                    for bv in range(v):
+                        for bu in range(h):
+                            c0 = comp_blocks[ci][
+                                (my * v + bv) * bw_pad[ci] + mx * h + bu
+                            ][0]
+                            w.write((c0 >> (a - 1)) & 1, 1)
+        w.flush()
+        scans.append(
+            sos([(ci + 1, 0) for ci in range(ncomp)], 0, 0, a, a - 1)
+            + bytes(w.out)
+        )
+
+    # 3. per-component AC first scans
+    for ci in range(ncomp):
+        w = _ProgScanWriter()
+        unit = 0
+        for by in range(bh_ni[ci]):
+            for bx in range(bw_ni[ci]):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    w.restart()
+                unit += 1
+                blk = comp_blocks[ci][by * bw_pad[ci] + bx]
+                zz = [blk[ZIGZAG[k]] for k in range(64)]
+                r = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    w.flush_eobrun()
+                    while r > 15:
+                        code, length = _PROG_AC_ENC[0xF0]
+                        w.write(code, length)
+                        r -= 16
+                    s = t.bit_length()
+                    if s > 10:
+                        raise ValueError(
+                            f"AC coefficient {v} exceeds baseline"
+                        )
+                    code, length = _PROG_AC_ENC[(r << 4) | s]
+                    w.write(code, length)
+                    vv = t if v > 0 else -t
+                    w.write(vv if vv >= 0 else vv + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    w.eobrun += 1
+                    if w.eobrun == 0x7FFF:
+                        w.flush_eobrun()
+        w.flush_eobrun()
+        w.flush()
+        scans.append(sos([(ci + 1, 0x00)], 1, 63, 0, al) + bytes(w.out))
+
+    # 4. per-component AC refinement scans
+    for a in range(al, 0, -1):
+        a_lo = a - 1  # |coef| >> a is the history from the previous scan
+        for ci in range(ncomp):
+            w = _ProgScanWriter()
+            unit = 0
+            for by in range(bh_ni[ci]):
+                for bx in range(bw_ni[ci]):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        w.restart()
+                    unit += 1
+                    blk = comp_blocks[ci][by * bw_pad[ci] + bx]
+                    zz = [blk[ZIGZAG[k]] for k in range(64)]
+                    # last newly-significant index: ZRLs past it fold into
+                    # the EOB run instead (jcphuff's k <= EOB guard)
+                    eob_k = 0
+                    for k in range(1, 64):
+                        if (abs(zz[k]) >> a_lo) == 1:
+                            eob_k = k
+                    r = 0
+                    for k in range(1, 64):
+                        v = zz[k]
+                        t = abs(v) >> a_lo
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_k:
+                            w.flush_eobrun()
+                            code, length = _PROG_AC_ENC[0xF0]
+                            w.write(code, length)
+                            r -= 16
+                            w.emit_cur_bits()
+                        if t > 1:  # history-nonzero: buffered correction
+                            w.cur_bits.append(t & 1)
+                            continue
+                        # newly significant in this scan
+                        w.flush_eobrun()
+                        code, length = _PROG_AC_ENC[(r << 4) | 1]
+                        w.write(code, length)
+                        w.write(1 if v > 0 else 0, 1)
+                        w.emit_cur_bits()
+                        r = 0
+                    w.end_block(bool(r or w.cur_bits))
+            w.flush_eobrun()
+            w.flush()
+            scans.append(
+                sos([(ci + 1, 0x00)], 1, 63, a, a_lo) + bytes(w.out)
+            )
+
+    ql = qtable_luma if qtable_luma is not None else STD_LUMA_QUANT
+    dqt = bytes([0x00]) + bytes(ql[ZIGZAG[k]] for k in range(64))
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    sof_comps = bytes([1, (hy << 4) | vy, 0])
+    if ncomp == 3:
+        qc = (
+            qtable_chroma if qtable_chroma is not None else STD_CHROMA_QUANT
+        )
+        dqt += bytes([0x01]) + bytes(qc[ZIGZAG[k]] for k in range(64))
+        dht += (
+            bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        )
+        sof_comps += bytes([2, 0x11, 1, 3, 0x11, 1])
+    sof = struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC4, dht)
+        + dri
+        + seg(0xC2, sof)
+        + b"".join(scans)
         + b"\xff\xd9"
     )
 

@@ -280,7 +280,7 @@ def binary_pixel_metadata(
 
 GREY_PALETTE = [(i, i, i) for i in range(256)]
 
-# media-variant schedule for ids divisible by `every`: m = (id//every) % 8
+# media-variant schedule for ids divisible by `every`: m = (id//every) % 9
 # — each variant exercises a distinct decode path, and every one keeps
 # closed-form pixel values so the oracle predicts the stats bit-for-bit.
 # Changing this schedule requires NO corpus-version bump (slot-internal
@@ -289,6 +289,7 @@ GREY_PALETTE = [(i, i, i) for i in range(256)]
 MEDIA_VARIANTS = (
     "png-grey8", "png-rgb8", "png-palette", "png-grey16",
     "png-adam7", "png-grey-alpha", "jpeg-flat", "jpeg-color",
+    "jpeg-progressive",
 )
 
 
@@ -343,22 +344,35 @@ def synthetic_gradient_png(seed: int, variant: int | None = None) -> bytes:
     raise ValueError(f"variant {variant}")
 
 
-def synthetic_flat_jpeg(seed: int) -> bytes:
-    """Deterministic baseline-grayscale JPEG of flat 8x8 blocks whose
-    decoded statistics have closed forms in ``seed`` (block value =
-    base + bx + by — the block-space twin of the PNG gradient, so the
-    oracle reuses the same trapezoid-entropy lookup):
+def synthetic_flat_jpeg(seed: int, progressive: bool = False) -> bytes:
+    """Deterministic grayscale JPEG of flat 8x8 blocks whose decoded
+    statistics have closed forms in ``seed`` (block value = base + bx +
+    by — the block-space twin of the PNG gradient, so the oracle reuses
+    the same trapezoid-entropy lookup):
 
       blocks_w = 1 + (seed % 9) // 3   (1..3 — seed is a multiple of 3
       blocks_h = 1 + (seed % 6) // 3    in the slot, so %9/%6 land on
       base     = seed % 64              {0,3,6}/{0,3})
       width = 8*blocks_w, height = 8*blocks_h, channels = 1
       luma_mean = base + (blocks_w-1)/2 + (blocks_h-1)/2
-    """
-    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import encode_flat_blocks
+
+    ``progressive=True`` (variant m=8) emits the SAME logical image as a
+    Huffman-progressive (SOF2) stream with successive approximation
+    (al=1: DC first + DC refinement + AC first + AC refinement scans) —
+    the PNG trick applied to JPEG: one image, another decode path, the
+    identical oracle prediction."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks,
+        jpeg_encode_progressive,
+    )
 
     bw, bh, base = 1 + (seed % 9) // 3, 1 + (seed % 6) // 3, seed % 64
     vals = [base + bx + by for by in range(bh) for bx in range(bw)]
+    if progressive:
+        blocks = [[8 * (v - 128)] + [0] * 63 for v in vals]
+        return jpeg_encode_progressive(
+            bw * 8, bh * 8, [blocks], qtable_luma=[1] * 64, al=1
+        )
     return encode_flat_blocks(bw, bh, vals)
 
 
@@ -409,10 +423,13 @@ def synthetic_flat_color_jpeg(seed: int) -> bytes:
 
 
 def synthetic_media_payload(seed: int, every: int = 3) -> bytes:
-    """The slot's media schedule: variant m = (seed // every) % 8 over
-    :data:`MEDIA_VARIANTS` — six PNG encodings + a grayscale and a 4:2:0
-    color JPEG, all with closed-form decoded statistics."""
+    """The slot's media schedule: variant m = (seed // every) % 9 over
+    :data:`MEDIA_VARIANTS` — six PNG encodings + a grayscale baseline, a
+    4:2:0 color, and a progressive JPEG, all with closed-form decoded
+    statistics."""
     m = (seed // every) % len(MEDIA_VARIANTS)
+    if m == 8:
+        return synthetic_flat_jpeg(seed, progressive=True)
     if m == 7:
         return synthetic_flat_color_jpeg(seed)
     if m == 6:
@@ -428,9 +445,9 @@ def with_synthetic_png_payloads(
 ) -> DataFrame:
     """(id, text) → (id, payload): ids divisible by ``every`` carry a
     :func:`synthetic_media_payload` (round 8: six PNG variants + a
-    grayscale and a 4:2:0 color JPEG on the (id//every) % 8 cycle), the
-    rest their utf-8 text bytes — the mixed-modality input the
-    `multimodal_meta` driver slot runs on."""
+    grayscale baseline, a 4:2:0 color, and a progressive JPEG on the
+    (id//every) % 9 cycle), the rest their utf-8 text bytes — the
+    mixed-modality input the `multimodal_meta` driver slot runs on."""
     src = df.selectExpr(f"{id_col} as id", f"{text_col} as text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

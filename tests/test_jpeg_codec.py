@@ -143,10 +143,15 @@ def test_declines_are_typed():
     good = encode_flat_blocks(1, 1, [50])
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_decode_gray(b"\x89PNG\r\n\x1a\nnope")
-    # progressive: flip SOF0 -> SOF2
+    # SOF0 -> SOF2: progressive DECODES since round 8, but a baseline
+    # scan header (Ss=0, Se=63) under SOF2 is a scan-script violation
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(JpegUnsupported, match="progressive"):
+    with pytest.raises(JpegUnsupported, match="Se"):
         jpeg_decode_gray(prog)
+    # lossless (SOF3) stays a typed non-baseline decline
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(JpegUnsupported, match="non-baseline"):
+        jpeg_decode_gray(lossless)
     # 2-component: out of scope (1 = gray, 3 = YCbCr since round 8)
     i = good.index(b"\xff\xc0")
     multi = bytearray(good)
@@ -565,3 +570,176 @@ def test_jpeg_pixel_stats_color_closed_form():
             p = (min(t, ew - 1, eh - 1, ew + eh - 2 - t) + 1) / n
             ent -= p * math.log2(p)
         assert abs(st["luma_entropy"] - ent) < 1e-12
+
+
+# --- progressive (SOF2) decode — round 8 ---
+
+
+def _prog_roundtrip_gray(blocks, w, h, **kw):
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    return jpeg_decode(jpeg_encode_progressive(w, h, [blocks], **kw))
+
+
+def test_progressive_equals_baseline_gray():
+    """The core equivalence: a progressive scan script (DC first +
+    refinements + per-band AC first + refinements) must reconstruct the
+    EXACT coefficients the baseline encoding carries — decoded pixels
+    bit-identical. The baseline decoder is the independent reference, so
+    a sign/shift/EOBRUN bug in either progressive codec half shows as a
+    pixel diff."""
+    import random
+
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import jpeg_decode
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        blocks = _rand_blocks(rng, 6, density=0.35)
+        base = jpeg_decode(jpeg_encode_gray_coefs(24, 16, blocks))
+        for al in (0, 1, 3):
+            assert _prog_roundtrip_gray(blocks, 24, 16, al=al) == base, (
+                seed, al,
+            )
+
+
+def test_progressive_equals_baseline_color_420():
+    import random
+
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_color_coefs,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(99)
+    yb = _rand_blocks(rng, 8)
+    cbb = _rand_blocks(rng, 2, max_mag=20, density=0.1)
+    crb = _rand_blocks(rng, 2, max_mag=20, density=0.1)
+    # 20x12: odd dims — Y's non-interleaved AC grid (3x2) is SMALLER than
+    # its padded DC grid (4x2); padded-edge blocks get DC but no AC
+    base = jpeg_decode(jpeg_encode_color_coefs(20, 12, yb, cbb, crb))
+    for al in (0, 1):
+        prog = jpeg_decode(
+            jpeg_encode_progressive(20, 12, [yb, cbb, crb], al=al)
+        )
+        assert prog == base, al
+
+
+def test_progressive_restart_intervals():
+    import random
+
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import jpeg_decode
+
+    blocks = _rand_blocks(random.Random(3), 6, density=0.3)
+    base = jpeg_decode(jpeg_encode_gray_coefs(24, 16, blocks))
+    for ri in (1, 2, 5):
+        got = _prog_roundtrip_gray(
+            blocks, 24, 16, al=2, restart_interval=ri
+        )
+        assert got == base, ri
+
+
+def test_progressive_eobrun_spans_blocks():
+    """Mostly-empty blocks force multi-block EOB runs in both first and
+    refinement AC scans (the EOBn path the Annex K tables can't even
+    express — the progressive encoder ships its own table)."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import jpeg_decode
+
+    blocks = [[0] * 64 for _ in range(8)]
+    blocks[0][0] = 80
+    blocks[7][9] = 3  # one lone AC coefficient in the last block
+    base = jpeg_decode(jpeg_encode_gray_coefs(64, 8, blocks))
+    for al in (0, 1):
+        assert _prog_roundtrip_gray(blocks, 64, 8, al=al) == base
+
+
+def test_progressive_scan_script_violations_decline():
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    good = jpeg_encode_progressive(8, 8, [[[40] + [0] * 63]], al=1)
+    w, h, c, raw = jpeg_decode(good)
+    assert (w, h, c) == (8, 8, 1)
+
+    def scans(payload):
+        out, i = [], 2
+        while i < len(payload) - 2:
+            if payload[i] == 0xFF and payload[i + 1] == 0xDA:
+                out.append(i)
+            i += 1
+        return out
+
+    sos_list = scans(good)
+    assert len(sos_list) == 4  # DC first, DC refine, AC first, AC refine
+    # drop the DC first scan: the DC refinement then has no band to
+    # continue (and the AC scans would arrive before any DC data)
+    dc_first, dc_ref = sos_list[0], sos_list[1]
+    no_dc = good[:dc_first] + good[dc_ref:]
+    with pytest.raises(JpegUnsupported, match="band|DC scan"):
+        jpeg_decode(no_dc)
+    # drop BOTH DC scans: the AC first scan arrives before any DC scan
+    no_dc2 = good[:dc_first] + good[sos_list[2]:]
+    with pytest.raises(JpegUnsupported, match="before the component"):
+        jpeg_decode(no_dc2)
+    # break the Ah chain: make the DC refinement claim Ah=2 (Al=1)
+    bad = bytearray(good)
+    ah_off = dc_ref + 2 + 2 + 1 + 2 * 1 + 2  # seg hdr + ns + comps + Ss,Se
+    assert bad[ah_off] == 0x10
+    bad[ah_off] = 0x21
+    with pytest.raises(JpegUnsupported, match="approximation|refinement"):
+        jpeg_decode(bytes(bad))
+    # truncation inside a scan
+    with pytest.raises(JpegUnsupported, match="truncated"):
+        jpeg_decode(good[: sos_list[2] + 12])
+    # trailing garbage after EOI still declines
+    with pytest.raises(JpegUnsupported, match="trailing"):
+        jpeg_decode(good + b"!!")
+
+
+def test_progressive_block_budget_declines():
+    """A scan script revisiting blocks past PROG_MAX_BLOCK_PASSES is a
+    work bomb — decline typed. Build one by repeating the (legal-looking)
+    DC refinement scan beyond the budget; it trips the band-state check
+    OR the budget, both typed."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        PROG_MAX_BLOCK_PASSES,
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    assert PROG_MAX_BLOCK_PASSES >= 4  # the canonical script fits
+    good = jpeg_encode_progressive(8, 8, [[[40] + [0] * 63]], al=1)
+    # al=13 would make the canonical script 1 + 13 + 1 + 13 = 28 passes
+    # at one block per pass — over the budget of 12
+    with pytest.raises(JpegUnsupported, match="budget"):
+        jpeg_decode(
+            jpeg_encode_progressive(8, 8, [[[40] + [0] * 63]], al=13)
+        )
+    assert jpeg_decode(good)[2] == 1
+
+
+def test_progressive_pixel_stats_and_dispatch():
+    """jpeg_pixel_stats / multimodal decode_image accept SOF2 streams."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_encode_progressive,
+    )
+    from pbx_ds_ocr_server_spark.operators.multimodal import (
+        decode_image,
+        jpeg_dimensions,
+    )
+
+    blocks = [[8 * (v - 128)] + [0] * 63 for v in (30, 31, 32, 33)]
+    p = jpeg_encode_progressive(
+        16, 16, [blocks], qtable_luma=[1] * 64, al=1
+    )
+    assert jpeg_dimensions(p) == (16, 16)
+    w, h, c, raw = decode_image(p)
+    assert (w, h, c) == (16, 16, 1)
+    assert set(raw[:8]) == {30} and raw[8] == 31
+    st = jpeg_pixel_stats(p)
+    assert st["luma_mean"] == (30 + 31 + 32 + 33) / 4
