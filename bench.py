@@ -477,6 +477,11 @@ def dedup_scale_spot() -> dict:
     spark = _session(CPUS, "dedup-scale")
     try:
         base = entry_mod._docs_u(spark, SF_DIR)
+        if DEDUP_SCALE_X >= 10:
+            # replica ids live at kk*10M and twins at 100M: a 10th
+            # replica would collide with the twin id space and corrupt
+            # every pair statistic silently
+            raise ValueError("PBX_BENCH_DEDUP_SCALE_X must be < 10")
         alphabet = "abcdefghijklmnop"
         reps = []
         for kk in range(DEDUP_SCALE_X):

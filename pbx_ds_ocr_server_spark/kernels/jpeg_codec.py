@@ -320,15 +320,22 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     """Grayscale-only wrapper around :func:`jpeg_decode` — → (width,
-    height, luminance). A color stream declines typed (callers wanting
-    both use jpeg_decode)."""
-    width, height, channels, raw = jpeg_decode(payload)
-    if channels != 1:
-        raise JpegUnsupported("color stream (use jpeg_decode)")
+    height, luminance). A color stream declines typed AT THE FRAME
+    HEADER (callers wanting both use jpeg_decode): decoding a capped
+    color image only to throw it away would burn seconds of pure-Python
+    IDCT per adversarial doc."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    try:
+        width, height, _channels, raw = _decode(payload, gray_only=True)
+    except (struct.error, IndexError):
+        raise JpegUnsupported("malformed segment structure") from None
     return width, height, raw
 
 
-def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
+def _decode(
+    payload: bytes, gray_only: bool = False
+) -> tuple[int, int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
@@ -419,6 +426,10 @@ def _decode(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"{nf}-component image out of scope"
                     " (grayscale / YCbCr only)"
                 )
+            if gray_only and nf != 1:
+                # jpeg_decode_gray's contract: decline color at the frame
+                # header, BEFORE paying the capped entropy+IDCT decode
+                raise JpegUnsupported("color stream (use jpeg_decode)")
             if len(seg) < 6 + 3 * nf:
                 raise JpegUnsupported("short SOF")
             comps = [
@@ -570,6 +581,12 @@ def _decode_block(
                     raise JpegUnsupported("ZRL run past block end")
                 continue
             break  # EOB
+        if size > 10:
+            # T.81 F.1.2.2.1 caps baseline AC magnitude categories at 10;
+            # the progressive path already declines this — a symbol table
+            # smuggling SSSS 11-15 would otherwise decode huge
+            # deterministic-wrong coefficients with decode_ok
+            raise JpegUnsupported(f"AC category {size}")
         k += r
         if k > 63:
             raise JpegUnsupported("AC run past block end")
@@ -830,6 +847,12 @@ def _ac_refine_block(reader, coef, ss, se, al, ac_table, eobrun):
                 if k > se:
                     raise JpegUnsupported("refinement run past band end")
                 coef[ZIGZAG[k]] = val
+            elif k > se:
+                # the ZRL's 16 zero-history positions did not fit before
+                # Se — same silent-desync shape the first-scan/baseline
+                # ZRL checks decline (a conforming encoder only emits ZRL
+                # when another new coefficient follows within the band)
+                raise JpegUnsupported("ZRL run past band end")
             k += 1
     if eobrun > 0:
         while k <= se:
@@ -959,13 +982,11 @@ def _decode_prog_scan(
     if eobrun:
         raise JpegUnsupported("EOB run past scan end")
     prog["n_scans"] += 1
-    end = reader.pos
-    # a scan whose final padded byte is 0xFF carries an unconsumed stuffed
-    # 00 the bit reader never pulled — step over it so the marker loop
-    # resumes at a real marker
-    if payload[end : end + 2] == b"\xff\x00":
-        end += 2
-    return end
+    # reader.pos rests on the marker that follows the scan: the final
+    # entropy byte always carries at least one needed bit, so _fill pulled
+    # it — together with its stuffed 00 when the byte is 0xFF. A stray
+    # FF 00 here is malformed padding; the marker loop declines it typed.
+    return reader.pos
 
 
 def _prog_finalize(

@@ -171,7 +171,8 @@ def pixel_features(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
     """(id, payload:binary) → decoded-pixel curation features per raster
-    payload (PNG or baseline-grayscale JPEG): luminance mean and byte
+    payload (PNG, or JPEG — baseline grayscale/YCbCr color and Huffman
+    progressive since round 8): luminance mean and byte
     entropy of the luminance plane, plus ``decode_ok`` = the payload fully
     decoded (the codecs REJECT header-vs-stream mismatches, CRC
     corruption, duplicate-IHDR forgeries, truncation and bombs — a true
@@ -211,7 +212,7 @@ def pixel_features(
 
 
 # the round-6 name — PNG was the only decodable kind then; the operator
-# now also decodes baseline-grayscale JPEG
+# now also decodes baseline (gray + YCbCr color) and progressive JPEG
 png_pixel_features = pixel_features
 
 

@@ -552,7 +552,10 @@ def test_jpeg_pixel_stats_color_closed_form():
         synthetic_flat_color_jpeg,
     )
 
-    for seed in (21, 45, 69, 93, 117, 141):  # ids hitting m=7 at every=3
+    # seeds spanning all (mw, mh, base) combos; the closed form holds for
+    # ANY seed (only id 21 of these is an actual m=7 slot id — the slot
+    # schedule is (id//3) % 9 == 7, i.e. id ≡ 21 mod 27)
+    for seed in (21, 45, 69, 93, 117, 141):
         mw, mh = 1 + (seed % 9) // 3, 1 + (seed % 6) // 3
         base = 32 + seed % 32
         ew, eh = 2 * mw, 2 * mh
@@ -743,3 +746,80 @@ def test_progressive_pixel_stats_and_dispatch():
     assert set(raw[:8]) == {30} and raw[8] == 31
     st = jpeg_pixel_stats(p)
     assert st["luma_mean"] == (30 + 31 + 32 + 33) / 4
+
+
+def test_gray_wrapper_declines_color_at_frame_header():
+    """Round-8 review fix: jpeg_decode_gray must decline a color stream
+    at the SOF parse, not after paying the full capped decode. Proof: a
+    color stream TRUNCATED right after its SOF (undecodable) still gets
+    the 'color stream' decline — the scan was never attempted."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+    )
+
+    good = encode_flat_blocks_color(1, 1, [80], [116], [136],
+                                    y_sampling=(1, 1))
+    i = good.index(b"\xff\xc0")
+    (ln,) = struct.unpack(">H", good[i + 2 : i + 4])
+    header_only = good[: i + 2 + ln]
+    with pytest.raises(JpegUnsupported, match="color stream"):
+        jpeg_decode_gray(header_only)
+    # and jpeg_decode still decodes the full stream
+    assert jpeg_decode(good)[2] == 3
+
+
+def test_baseline_ac_category_over_10_declines():
+    """T.81 F.1.2.2.1 caps baseline AC SSSS at 10; a custom DHT smuggling
+    an SSSS=11 symbol must decline typed, not decode a huge coefficient
+    (round-8 review fix — the progressive path already declined it)."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        JpegUnsupported,
+        _BitReader,
+        _BitWriter,
+        _decode_block,
+        _encode_table,
+        build_huffman,
+    )
+
+    dc_table = build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_enc = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_table = {(1, 0): 0x0B}  # SSSS=11 at a 1-bit code
+    w = _BitWriter()
+    code, length = dc_enc[0]
+    w.write(code, length)  # DC diff 0
+    w.write(0, 1)  # the s=11 AC symbol
+    w.write(0x7FF, 11)  # its magnitude bits
+    w.flush()
+    reader = _BitReader(bytes(w.out) + b"\xff\xd9", 0)
+    with pytest.raises(JpegUnsupported, match="AC category 11"):
+        _decode_block(reader, [1] * 64, dc_table, ac_table, 0)
+
+
+def test_refinement_zrl_past_band_declines():
+    """Round-8 review fix: an AC-refinement ZRL whose 16 zero-history
+    positions do not fit before Se is the same silent-desync vector the
+    first-scan/baseline ZRL checks decline — unit-tested against the
+    refinement block decoder directly."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        _PROG_AC_BITS,
+        _PROG_AC_VALS,
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _encode_table,
+        build_huffman,
+    )
+
+    ac_table = build_huffman(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_enc = _encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    w = _BitWriter()
+    code, length = ac_enc[0xF0]  # ZRL with only 4 band positions left
+    w.write(code, length)
+    w.flush()
+    reader = _BitReader(bytes(w.out) + b"\xff\xd9", 0)
+    coef = [0] * 64
+    with pytest.raises(JpegUnsupported, match="ZRL run past band end"):
+        _ac_refine_block(reader, coef, 60, 63, 0, ac_table, 0)
