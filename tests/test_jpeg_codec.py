@@ -823,3 +823,53 @@ def test_refinement_zrl_past_band_declines():
     coef = [0] * 64
     with pytest.raises(JpegUnsupported, match="ZRL run past band end"):
         _ac_refine_block(reader, coef, 60, 63, 0, ac_table, 0)
+
+
+def test_color_and_progressive_mutation_fuzz_declines_typed():
+    """Every single-byte mutation of a valid color/progressive stream
+    must either decode (harmless bit flip in entropy data) or raise a
+    ValueError subtype — never struct.error/IndexError/KeyError that
+    would kill a Spark task, and never hang. 300 deterministic mutations
+    across both new round-8 stream shapes."""
+    import random
+
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        encode_flat_blocks_color,
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    color = encode_flat_blocks_color(2, 1, [60, 61, 62, 63, 64, 65, 66,
+                                            67], [116, 117], [136, 138])
+    prog = jpeg_encode_progressive(
+        16, 16, [[[8 * (v - 128)] + [0] * 63 for v in (30, 40, 50, 60)]],
+        qtable_luma=[1] * 64, al=1,
+    )
+    rng = random.Random(42)
+    for base in (color, prog):
+        for _ in range(150):
+            buf = bytearray(base)
+            pos = rng.randrange(2, len(buf))  # keep the SOI magic
+            buf[pos] ^= 1 << rng.randrange(8)
+            try:
+                jpeg_decode(bytes(buf))
+            except ValueError:
+                pass  # JpegUnsupported is a ValueError — typed decline
+
+
+def test_progressive_every_truncation_declines_typed():
+    """A progressive stream cut at EVERY byte offset must decline typed
+    (EOI is mandatory, so no prefix is a valid stream) — exhaustive, not
+    sampled."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    prog = jpeg_encode_progressive(
+        16, 8, [[[8 * (v - 128)] + [0] * 63 for v in (30, 60)]],
+        qtable_luma=[1] * 64, al=1, restart_interval=1,
+    )
+    for cut in range(2, len(prog)):
+        with pytest.raises(ValueError):
+            jpeg_decode(prog[:cut])
