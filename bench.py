@@ -582,6 +582,18 @@ DRIFT_WINDOW = 5  # trailing runs consulted
 # queries whose DEFINITION changed this round: drift vs older history is
 # expected, not a regression — rendered as a note instead of a ⚠ flag.
 # Prune entries once the history window is all post-change runs.
+# noise adjudications: a ⚠ that was investigated and attributed, with the
+# evidence. NOT suppressed — if the same query re-flags, the note is the
+# starting point, and a real regression still shows.
+ADJUDICATED = {
+    "ann_lsh_histogram": (
+        "2026-08-18: rel 1.239 adjudicated as small-query noise — history"
+        " swings 0.83→1.12→0.83 s with unchanged code, and an isolated"
+        " 5-rep re-measure moved the CONTROL queries (ann_brute_top5,"
+        " tpch_q1) by the same relative amount in the same window"
+    ),
+}
+
 EXPECTED_DRIFT = {
     "sequence_pack": "slot now runs BOTH packers + join (round-5 fold)",
     "quality_scores": "slot now also computes the hashed-bigram classifier"
@@ -839,6 +851,13 @@ def write_md(payload: dict) -> None:
             f"| {k} | {v} | {med if med is not None else '—'} |"
             f" {raw_cell} | {cell} |"
         )
+    flagged = [k for k, v in drift.items() if v.get("flag")]
+    adjudications = [
+        f"- `{k}` — {ADJUDICATED[k]}" for k in flagged if k in ADJUDICATED
+    ]
+    if adjudications:
+        lines += ["", "Adjudicated ⚠ rows (investigated, attributed;"
+                  " flag NOT suppressed):", *adjudications]
     dt = p.get("dedup_tiers")
     if dt:
         lines += [
