@@ -595,26 +595,16 @@ ADJUDICATED = {
 }
 
 EXPECTED_DRIFT = {
-    "sequence_pack": "slot now runs BOTH packers + join (round-5 fold)",
-    "quality_scores": "slot now also computes the hashed-bigram classifier"
-                      " column (round-6 fold)",
-    "multimodal_meta": "round 7: 7-variant media schedule (palette/16-bit/"
-                       "Adam7/grey+alpha PNG + JPEG pixel decode)",
-    "exactsubstr_chunks": "round 7: result materialized via own_result"
-                          " (cache ownership)",
-    "corpus_curation": "round 7: result materialized via own_result"
-                       " (cache ownership)",
-    # (ann_ivf_pq_top5 also gained own_result, but it is not a HEADLINE
-    # query — query_drift only tracks HEADLINE members, so an entry here
-    # would be dead; add one IF it ever joins HEADLINE)
-    # corpus v10 (round 6) appended 2 PDF font classes (41 -> 43 table
-    # entries): every doc's class re-hashed and the PDF share rose — the
-    # TIMED extraction queries cost more per doc by input composition, not
-    # by a plan regression (only HEADLINE members need entries here).
-    # Prune once the history window is all post-v10 runs.
-    "extract_plain": "corpus v10: +2 PDF classes, higher PDF share",
-    "extract_boiler": "corpus v10: +2 PDF classes, higher PDF share",
-    "extract_markdown": "corpus v10: +2 PDF classes, higher PDF share",
+    # round-8 prune: the DRIFT_WINDOW=5 trailing runs are now all
+    # post-v10, post-round-5/6 slot folds and post-own_result, so the
+    # sequence_pack / quality_scores / exactsubstr_chunks /
+    # corpus_curation / extract_* entries came out per their own protocol.
+    # (ann_ivf_pq_top5's round-8 rebuild onto pq_build/pq_search is not a
+    # HEADLINE query — query_drift only tracks HEADLINE members.)
+    "multimodal_meta": "round 8: media schedule grew 7 → 9 variants"
+                       " (4:2:0 color + progressive JPEG); window still"
+                       " mixed — prune once all trailing runs are"
+                       " 9-variant",
 }
 
 
