@@ -306,31 +306,33 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     BT.601 YCbCr→RGB, half-away rounding, [0,255] clamp). Raises
     :class:`JpegUnsupported` for out-of-scope/inconsistent streams and
     ``ValueError`` for non-JPEG bytes."""
+    return _decode_guarded(payload)
+
+
+def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Grayscale-only entry — → (width, height, luminance). A color
+    stream declines typed AT THE FRAME HEADER (callers wanting both use
+    :func:`jpeg_decode`): decoding a capped color image only to throw it
+    away would burn seconds of pure-Python IDCT per adversarial doc."""
+    width, height, _channels, raw = _decode_guarded(payload, gray_only=True)
+    return width, height, raw
+
+
+def _decode_guarded(
+    payload: bytes, gray_only: bool = False
+) -> tuple[int, int, int, bytes]:
+    """The ONE guarded entry both public decoders share — a fuzzing find
+    that widens the exception net lands on both paths by construction."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     try:
-        return _decode(payload)
+        return _decode(payload, gray_only=gray_only)
     except (struct.error, IndexError):
         # adversarial byte streams must decline TYPED, never escape as a
         # non-ValueError and kill a Spark task (the operators catch
         # ValueError only); the explicit per-segment checks below cover
         # the known shapes — this net covers the ones fuzzing finds next
         raise JpegUnsupported("malformed segment structure") from None
-
-
-def jpeg_decode_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """Grayscale-only wrapper around :func:`jpeg_decode` — → (width,
-    height, luminance). A color stream declines typed AT THE FRAME
-    HEADER (callers wanting both use jpeg_decode): decoding a capped
-    color image only to throw it away would burn seconds of pure-Python
-    IDCT per adversarial doc."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG stream")
-    try:
-        width, height, _channels, raw = _decode(payload, gray_only=True)
-    except (struct.error, IndexError):
-        raise JpegUnsupported("malformed segment structure") from None
-    return width, height, raw
 
 
 def _decode(
@@ -364,6 +366,15 @@ def _decode(
             return _prog_finalize(
                 width, height, comps, qtables, prog
             )
+        if marker in (0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            # not length-bearing segments: 0x00 only exists as byte
+            # stuffing INSIDE entropy data (a stray one here would parse
+            # an attacker-controlled length of junk as a skippable
+            # pseudo-segment and decode garbage-bearing streams with
+            # decode_ok — twelfth-review repro), 0x01 is TEM
+            # (arithmetic-only), RSTn belongs inside a scan, and a second
+            # SOI is a framing forgery
+            raise JpegUnsupported(f"stray marker {marker:#04x}")
         if i + 4 > n:
             raise JpegUnsupported("truncated marker stream")
         (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])

@@ -873,3 +873,28 @@ def test_progressive_every_truncation_declines_typed():
     for cut in range(2, len(prog)):
         with pytest.raises(ValueError):
             jpeg_decode(prog[:cut])
+
+
+def test_stray_markers_between_segments_decline():
+    """Thirteenth-review repro: a stray FF 00 between a progressive scan
+    and EOI must NOT parse as a length-bearing pseudo-segment smuggling
+    attacker-controlled junk into a decode_ok=true stream; same for TEM,
+    out-of-scan RSTn and a second SOI."""
+    from pbx_ds_ocr_server_spark.kernels.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    good = jpeg_encode_progressive(
+        8, 8, [[[40] + [0] * 63]], qtable_luma=[1] * 64, al=0
+    )
+    assert good.endswith(b"\xff\xd9")
+    body, eoi = good[:-2], good[-2:]
+    # FF 00 + bogus length + junk, spliced before EOI
+    smuggle = b"\xff\x00" + struct.pack(">H", 6) + b"JUNK"
+    with pytest.raises(JpegUnsupported, match="stray marker"):
+        jpeg_decode(body + smuggle + eoi)
+    for stray in (b"\xff\x01", b"\xff\xd3", b"\xff\xd8"):
+        with pytest.raises(JpegUnsupported, match="stray marker"):
+            jpeg_decode(body + stray + struct.pack(">H", 6) + b"JUNK" + eoi)
+    assert jpeg_decode(good)[2] == 1  # the unspliced stream still decodes
