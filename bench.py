@@ -590,12 +590,21 @@ DRIFT_WINDOW = 5  # trailing runs consulted
 # starting point, and a real regression still shows.
 ADJUDICATED = {
     "ann_lsh_histogram": (
-        "2026-08-18 run (raw 1.341×; rel 1.239 at the live run's"
+        "2026-08-18 run 2 (raw 1.341×; rel 1.239 at the live run's"
         " pre-prune stable set, 1.254 re-rendered post-prune) adjudicated"
         " as small-query noise — history swings 0.83→1.12→0.83 s with"
-        " unchanged code, and an isolated 5-rep re-measure moved the"
-        " CONTROL queries (ann_brute_top5, tpch_q1) by the same relative"
-        " amount in the same window"
+        " unchanged code, an isolated 5-rep re-measure moved the CONTROL"
+        " queries (ann_brute_top5, tpch_q1) by the same relative amount"
+        " in the same window, and run 3 measured it BELOW median (0.738"
+        " s, rel <1) with no code change"
+    ),
+    "ann_brute_top5": (
+        "2026-08-18 run 3 (rel 1.387 on a ~0.4 s wall) — the same"
+        " sub-second-ANN noise family as ann_lsh_histogram (which"
+        " simultaneously dropped to rel <1): these two queries are"
+        " dominated by fixed per-query session overheads, so ±40%"
+        " min-of-3 swings with unchanged code recur; neither plan has"
+        " changed since round 2"
     ),
 }
 
