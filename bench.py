@@ -581,6 +581,14 @@ HISTORY_PATH = os.path.join(
     os.path.dirname(__file__) or ".", "BENCH_HISTORY.jsonl"
 )
 DRIFT_FLAG = 1.2  # >20% above the trailing median flags a regression
+# ... AND at least this many seconds above the host-adjusted expectation:
+# sub-second queries (the tiny ANN slots) are dominated by fixed per-query
+# session overheads and swing ±40% at min-of-3 with unchanged code (runs 2
+# and 3 flagged ann_lsh_histogram then ann_brute_top5 in opposite
+# directions) — a RELATIVE tripwire alone just generates noise
+# adjudications there, while any regression worth a plan diff moves the
+# wall by a visible absolute amount too.
+DRIFT_ABS_FLOOR = 0.25
 DRIFT_WINDOW = 5  # trailing runs consulted
 # queries whose DEFINITION changed this round: drift vs older history is
 # expected, not a regression — rendered as a note instead of a ⚠ flag.
@@ -698,12 +706,27 @@ def query_drift(queries: dict[str, float]) -> dict[str, dict]:
             round(ratio / host, 3) if ratio is not None and host else ratio
         )
         expected = EXPECTED_DRIFT.get(name)
+        # absolute slack above the host-adjusted expectation — the floor
+        # that keeps sub-second fixed-overhead queries from tripping on
+        # relative noise (see DRIFT_ABS_FLOOR)
+        delta = (
+            queries[name] - v["median"] * (host or 1.0)
+            if v["median"] is not None
+            else None
+        )
         out[name] = {
             "median": v["median"],
             "ratio": ratio,
             "rel_ratio": rel,
             "host_factor": host,
-            "flag": bool(rel and rel > DRIFT_FLAG and not expected),
+            "abs_delta": round(delta, 3) if delta is not None else None,
+            "flag": bool(
+                rel
+                and rel > DRIFT_FLAG
+                and delta is not None
+                and delta > DRIFT_ABS_FLOOR
+                and not expected
+            ),
             "note": expected,
         }
     return out
@@ -817,8 +840,13 @@ def write_md(payload: dict) -> None:
         " definition-stable queries — the VM's tenancy moves every wall"
         " together; round 7 measured a 1.15-1.33× common-mode shift"
         f" within one day on identical inputs). ⚠ marks a RELATIVE ratio"
-        f" >{round((DRIFT_FLAG - 1) * 100)}% — a query slower than its"
-        " neighbors got — a tripwire to diff the plan, not proof.",
+        f" >{round((DRIFT_FLAG - 1) * 100)}% that is ALSO"
+        f" >{DRIFT_ABS_FLOOR} s above the host-adjusted expectation"
+        " (sub-second queries are fixed-overhead-dominated and swing"
+        " ±40% at min-of-3 with unchanged code — runs 2/3 of round 8"
+        " flagged the two tiny ANN slots in opposite directions; a"
+        " regression worth a plan diff moves absolute wall too) — a"
+        " tripwire to diff the plan, not proof.",
         "",
     ]
     drift = p.get("query_drift", {})
