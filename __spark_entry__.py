@@ -231,7 +231,7 @@ def _paragraph_dedup_sql(wpp: int = 10, max_doc_freq: int = 1) -> str:
 def _multimodal_meta_sql() -> str:
     """Mirror of the multimodal_meta slot: predicts EVERY column — header
     metadata AND decoded-pixel features — in closed form from doc_id.
-    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 9
+    Media rows (doc_id %% 3 = 0) cycle variant m = (doc_id//3) %% 11
     (operators/multimodal.MEDIA_VARIANTS): m 0-5 are six ENCODINGS of the
     same gradient PNG (grey8 / RGB / palette / 16-bit / Adam7 /
     grey+alpha — width = 8 + id%9, height = 8 + id%7, base = id%64,
@@ -244,7 +244,12 @@ def _multimodal_meta_sql() -> str:
     luma-block grid is TWICE the m=6 grid (ew = 2*(1+(id%9)//3), eh =
     2*(1+(id%6)//3), base = 32+id%32, Cb 116 flat, Cr checkerboarding
     136/138 per MCU — see multimodal.synthetic_flat_color_jpeg: the
-    BT.601 offsets make the luma bin exactly y-4 on both parities). All
+    BT.601 offsets make the luma bin exactly y-4 on both parities), and
+    m=9/m=10 (round 8) a PCM WAV / minimal MP4 whose REAL container
+    parses (kernels/av_meta RIFF chunk walk, ISO-BMFF box walk) must
+    reproduce the closed-form channels / sample_rate / duration_ms /
+    n_bytes — decode_ok stays NULL for them (it asserts PIXEL decode;
+    sample data is opaque payload by design). All
     families have trapezoidal luminance histograms, so ONE lookup CTE
     over (w,h) covers PNG pixel space and both JPEG block spaces; a
     hash-green row therefore proves every decode path (palette lookup,
@@ -259,18 +264,20 @@ def _multimodal_meta_sql() -> str:
         WITH m AS (
             SELECT doc_id, text,
                    CASE WHEN doc_id % 3 = 0
-                        THEN CAST((doc_id // 3) % 9 AS INT) END AS v,
+                        THEN CAST((doc_id // 3) % 11 AS INT) END AS v,
                    CASE WHEN doc_id % 3 <> 0 THEN NULL
-                        WHEN (doc_id // 3) % 9 IN (6, 8)
+                        WHEN (doc_id // 3) % 11 IN (6, 8)
                         THEN CAST(1 + (doc_id % 9) // 3 AS INT)
-                        WHEN (doc_id // 3) % 9 = 7
+                        WHEN (doc_id // 3) % 11 = 7
                         THEN CAST(2 * (1 + (doc_id % 9) // 3) AS INT)
+                        WHEN (doc_id // 3) % 11 IN (9, 10) THEN NULL
                         ELSE CAST(8 + doc_id % 9 AS INT) END AS ew,
                    CASE WHEN doc_id % 3 <> 0 THEN NULL
-                        WHEN (doc_id // 3) % 9 IN (6, 8)
+                        WHEN (doc_id // 3) % 11 IN (6, 8)
                         THEN CAST(1 + (doc_id % 6) // 3 AS INT)
-                        WHEN (doc_id // 3) % 9 = 7
+                        WHEN (doc_id // 3) % 11 = 7
                         THEN CAST(2 * (1 + (doc_id % 6) // 3) AS INT)
+                        WHEN (doc_id // 3) % 11 IN (9, 10) THEN NULL
                         ELSE CAST(8 + doc_id % 7 AS INT) END AS eh
             FROM documents
         ),
@@ -287,10 +294,17 @@ def _multimodal_meta_sql() -> str:
             ) GROUP BY w, h
         )
         SELECT m.doc_id AS id,
-               CASE WHEN m.v IS NOT NULL THEN NULL
+               CASE WHEN m.v = 9
+                    THEN CAST(44 + (400 + m.doc_id % 512)
+                              * (1 + m.doc_id % 2) * 2 AS BIGINT)
+                    WHEN m.v = 10
+                    THEN CAST(144 + m.doc_id % 97 AS BIGINT)
+                    WHEN m.v IS NOT NULL THEN NULL
                     ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
                     END AS n_bytes,
                CASE WHEN m.v IN (6, 7, 8) THEN 'jpeg'
+                    WHEN m.v = 9 THEN 'wav'
+                    WHEN m.v = 10 THEN 'mp4'
                     WHEN m.v IS NOT NULL THEN 'png'
                     WHEN m.text IS NULL THEN NULL
                     WHEN octet_length(encode(m.text)) = 0 THEN 'empty'
@@ -303,7 +317,9 @@ def _multimodal_meta_sql() -> str:
                     END AS digest,
                CAST(CASE WHEN m.v IN (0, 3, 4, 6, 8) THEN 1
                          WHEN m.v IN (1, 2, 7) THEN 3
-                         WHEN m.v = 5 THEN 2 END AS INT) AS channels,
+                         WHEN m.v = 5 THEN 2
+                         WHEN m.v = 9 THEN 1 + m.doc_id % 2
+                         END AS INT) AS channels,
                CAST(CASE WHEN m.v IN (6, 7, 8) THEN 64 * m.ew * m.eh
                          WHEN m.v IS NOT NULL THEN m.ew * m.eh
                          END AS BIGINT) AS n_px,
@@ -321,8 +337,17 @@ def _multimodal_meta_sql() -> str:
                                + (m.eh - 1) / 2.0, 4)
                     END AS luma_mean,
                round(ent.e + 0, 4) AS luma_entropy,
-               CASE WHEN m.v IS NOT NULL THEN CAST(1 AS INT)
-                    END AS decode_ok
+               CASE WHEN m.v IS NOT NULL AND m.v < 9 THEN CAST(1 AS INT)
+                    END AS decode_ok,
+               CAST(CASE WHEN m.v = 9
+                         THEN 8000 + (m.doc_id % 8) * 1000
+                         END AS INT) AS sample_rate,
+               CAST(CASE WHEN m.v = 9
+                         THEN (400 + m.doc_id % 512) * 1000
+                              // (8000 + (m.doc_id % 8) * 1000)
+                         WHEN m.v = 10
+                         THEN (600 + m.doc_id % 6000) * 1000 // 600
+                         END AS BIGINT) AS duration_ms
         FROM m
         LEFT JOIN ent ON ent.w = m.ew AND ent.h = m.eh
     """
@@ -1072,13 +1097,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal tier: header metadata + REAL pixel decode (r6/r7) ---
     def multimodal_meta(spark, sf):
-        # every 3rd doc carries deterministic media on a 9-variant cycle
-        # (six encodings of the same gradient PNG — grey/RGB/palette/
-        # 16-bit/Adam7/grey+alpha, per-row filter cycle so all five
-        # unfilter paths run — plus a flat-block grayscale JPEG and,
-        # round 8, a flat-block 4:2:0 YCbCr COLOR JPEG with checkerboard
-        # chroma AND a PROGRESSIVE re-encoding of the grayscale image
-        # exercising all four SOF2 scan kinds), the rest their utf-8
+        # every 3rd doc carries deterministic media on an 11-variant
+        # cycle (six encodings of the same gradient PNG — grey/RGB/
+        # palette/16-bit/Adam7/grey+alpha, per-row filter cycle so all
+        # five unfilter paths run — plus a flat-block grayscale JPEG
+        # and, round 8: a flat-block 4:2:0 YCbCr COLOR JPEG with
+        # checkerboard chroma, a PROGRESSIVE re-encoding of the grayscale
+        # image exercising all four SOF2 scan kinds, a PCM WAV and a
+        # minimal MP4 whose real container parses must reproduce the
+        # closed-form audio/video metadata), the rest their utf-8
         # text bytes. The oracle predicts
         # every column in closed form from doc_id — decoded dims/mean/
         # entropy included — so a hash-green row proves both pure-Python
@@ -1109,14 +1136,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composable binary_metadata/png_pixel_features pair stays
         # pytest-covered; the slot runs the hot-path shape
         meta = binary_pixel_metadata(payloads, id_col="id")
-        is_text = ~F.col("kind").isin("png", "jpeg")
+        # n_bytes IS closed-form for the fixed-layout av containers (44 +
+        # PCM bytes / 144 + mdat payload), unlike zlib/Huffman media;
+        # digest (md5 of the raw payload) is never SQL-predictable for
+        # any media kind
+        keep_nbytes = ~F.col("kind").isin("png", "jpeg")
+        keep_digest = ~F.col("kind").isin("png", "jpeg", "wav", "mp4")
         return meta.select(
             "id",
-            F.when(is_text, F.col("n_bytes")).alias("n_bytes"),
+            F.when(keep_nbytes, F.col("n_bytes")).alias("n_bytes"),
             "kind",
             "width",
             "height",
-            F.when(is_text, F.col("digest")).alias("digest"),
+            F.when(keep_digest, F.col("digest")).alias("digest"),
             "channels",
             "n_px",
             F.round("luma_mean", 4).alias("luma_mean"),
@@ -1124,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # int, not boolean: a nullable bool round-trips as None-vs-NaN
             # dtype soup in the pandas compare; 1/NULL is stable
             F.col("decode_ok").cast("int").alias("decode_ok"),
+            "sample_rate",
+            "duration_ms",
         )
 
     q["multimodal_meta"] = multimodal_meta

@@ -219,7 +219,8 @@ png_pixel_features = pixel_features
 FULL_SCHEMA = (
     "id bigint, n_bytes bigint, kind string, width int, height int,"
     " digest string, channels int, n_px bigint, luma_mean double,"
-    " luma_entropy double, decode_ok boolean"
+    " luma_entropy double, decode_ok boolean, sample_rate int,"
+    " duration_ms bigint"
 )
 
 
@@ -232,10 +233,17 @@ def binary_pixel_metadata(
     mapInPandas discards partitioning, so composing the two operators
     costs a second Python pass plus a shuffle on both sides of the join —
     the composable forms stay available, this is the hot-path shape).
-    A NULL payload yields an all-NULL row (id only)."""
+    A NULL payload yields an all-NULL row (id only).
+
+    Round 8 extends the typed-metadata surface to AUDIO/VIDEO containers
+    (`kernels/av_meta`): WAV rows carry channels / sample_rate /
+    duration_ms from a real RIFF chunk walk, MP4 rows duration_ms from
+    the mvhd box; ``decode_ok`` stays NULL for them — it asserts PIXEL
+    decode, and sample data is opaque payload by design."""
     src = df.selectExpr(f"{id_col} as id", f"{bin_col} as payload")
     pixel_cols = [
         "channels", "n_px", "luma_mean", "luma_entropy", "decode_ok",
+        "sample_rate", "duration_ms",
     ]
     cols = [
         "id", "n_bytes", "kind", "width", "height", "digest", *pixel_cols,
@@ -273,6 +281,32 @@ def binary_pixel_metadata(
                             luma_entropy=st["luma_entropy"],
                             decode_ok=True,
                         )
+                elif kind == "wav":
+                    from pbx_ds_ocr_server_spark.kernels.av_meta import (
+                        wav_info,
+                    )
+
+                    try:
+                        ai = wav_info(p)
+                    except ValueError:
+                        pass  # malformed container: av columns stay null
+                    else:
+                        row.update(
+                            channels=ai["channels"],
+                            sample_rate=ai["sample_rate"],
+                            duration_ms=ai["duration_ms"],
+                        )
+                elif kind == "mp4":
+                    from pbx_ds_ocr_server_spark.kernels.av_meta import (
+                        mp4_info,
+                    )
+
+                    try:
+                        mi = mp4_info(p)
+                    except ValueError:
+                        pass
+                    else:
+                        row.update(duration_ms=mi["duration_ms"])
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -281,16 +315,16 @@ def binary_pixel_metadata(
 
 GREY_PALETTE = [(i, i, i) for i in range(256)]
 
-# media-variant schedule for ids divisible by `every`: m = (id//every) % 9
-# — each variant exercises a distinct decode path, and every one keeps
-# closed-form pixel values so the oracle predicts the stats bit-for-bit.
+# media-variant schedule for ids divisible by `every`: m = (id//every) % 11
+# — each variant exercises a distinct decode/parse path, and every one
+# keeps closed-form metadata so the oracle predicts the stats bit-for-bit.
 # Changing this schedule requires NO corpus-version bump (slot-internal
 # synthesis) but the oracle's closed-form predictions in
 # __spark_entry__._multimodal_meta_sql MUST move with it (CLAUDE.md).
 MEDIA_VARIANTS = (
     "png-grey8", "png-rgb8", "png-palette", "png-grey16",
     "png-adam7", "png-grey-alpha", "jpeg-flat", "jpeg-color",
-    "jpeg-progressive",
+    "jpeg-progressive", "wav-pcm", "mp4-moov",
 )
 
 
@@ -423,12 +457,48 @@ def synthetic_flat_color_jpeg(seed: int) -> bytes:
     return encode_flat_blocks_color(mw, mh, yv, cb, cr, y_sampling=(2, 2))
 
 
+def synthetic_wav(seed: int) -> bytes:
+    """Deterministic PCM WAV with closed-form metadata:
+
+      sample_rate = 8000 + (seed % 8) * 1000
+      channels    = 1 + seed % 2
+      n_samples   = 400 + seed % 512   (16-bit PCM)
+      duration_ms = n_samples * 1000 // sample_rate
+      n_bytes     = 44 + n_samples * channels * 2
+    """
+    from pbx_ds_ocr_server_spark.kernels.av_meta import wav_encode
+
+    sr = 8000 + (seed % 8) * 1000
+    ch = 1 + seed % 2
+    ns = 400 + seed % 512
+    pcm = bytes((i * 7 + seed) % 256 for i in range(ns * ch * 2))
+    return wav_encode(sr, ch, pcm)
+
+
+def synthetic_mp4(seed: int) -> bytes:
+    """Deterministic minimal ISO-BMFF file with closed-form metadata:
+
+      timescale      = 600
+      duration_units = 600 + seed % 6000
+      duration_ms    = duration_units * 1000 // 600
+      n_bytes        = 144 + seed % 97   (20 ftyp + 116 moov + 8 mdat
+                                          header + payload)
+    """
+    from pbx_ds_ocr_server_spark.kernels.av_meta import mp4_encode
+
+    return mp4_encode(600, 600 + seed % 6000, bytes(seed % 97))
+
+
 def synthetic_media_payload(seed: int, every: int = 3) -> bytes:
-    """The slot's media schedule: variant m = (seed // every) % 9 over
+    """The slot's media schedule: variant m = (seed // every) % 11 over
     :data:`MEDIA_VARIANTS` — six PNG encodings + a grayscale baseline, a
-    4:2:0 color, and a progressive JPEG, all with closed-form decoded
-    statistics."""
+    4:2:0 color, and a progressive JPEG, plus a PCM WAV and a minimal
+    MP4, all with closed-form decoded statistics/metadata."""
     m = (seed // every) % len(MEDIA_VARIANTS)
+    if m == 10:
+        return synthetic_mp4(seed)
+    if m == 9:
+        return synthetic_wav(seed)
     if m == 8:
         return synthetic_flat_jpeg(seed, progressive=True)
     if m == 7:
@@ -445,10 +515,11 @@ def with_synthetic_png_payloads(
     every: int = 3,
 ) -> DataFrame:
     """(id, text) → (id, payload): ids divisible by ``every`` carry a
-    :func:`synthetic_media_payload` (round 8: six PNG variants + a
-    grayscale baseline, a 4:2:0 color, and a progressive JPEG on the
-    (id//every) % 9 cycle), the rest their utf-8 text bytes — the
-    mixed-modality input the `multimodal_meta` driver slot runs on."""
+    :func:`synthetic_media_payload` (round 8: six PNG variants, three
+    JPEGs — grayscale baseline / 4:2:0 color / progressive — plus a PCM
+    WAV and a minimal MP4 on the (id//every) % 11 cycle), the rest their
+    utf-8 text bytes — the mixed-modality input the `multimodal_meta`
+    driver slot runs on."""
     src = df.selectExpr(f"{id_col} as id", f"{text_col} as text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -381,19 +381,23 @@ def test_with_synthetic_png_payloads_split(spark):
         synthetic_media_payload,
     )
 
-    # 9 media ids (0,3,...,24) cover the full MEDIA_VARIANTS cycle: six
+    # 11 media ids (0,3,...,30) cover the full MEDIA_VARIANTS cycle: six
     # PNG encodings + the flat-block grayscale JPEG at id 18 (m = 6),
-    # the 4:2:0 color JPEG at id 21 (m = 7) and the progressive
-    # grayscale at id 24 (m = 24//3 % 9 = 8)
+    # the 4:2:0 color JPEG at id 21 (m = 7), the progressive grayscale
+    # at id 24 (m = 8), the PCM WAV at id 27 (m = 9) and the minimal
+    # MP4 at id 30 (m = 30//3 % 11 = 10)
     df = spark.createDataFrame(
-        [(i, f"text {i}") for i in range(27)], "doc_id bigint, text string"
+        [(i, f"text {i}") for i in range(33)], "doc_id bigint, text string"
     )
     out = {r.id: bytes(r.payload) for r in
            with_synthetic_png_payloads(df, every=3).collect()}
-    for i in range(27):
+    for i in range(33):
         if i % 3 == 0:
-            magic = b"\xff\xd8\xff" if (i // 3) % 9 in (6, 7, 8) \
+            m = (i // 3) % 11
+            magic = {9: b"RIFF", 10: b"\x00\x00\x00\x14ftyp"}.get(
+                m, b"\xff\xd8\xff" if m in (6, 7, 8)
                 else b"\x89PNG\r\n\x1a\n"
+            )
             assert out[i][: len(magic)] == magic
             assert out[i] == synthetic_media_payload(i, every=3)
         else:
