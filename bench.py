@@ -623,10 +623,11 @@ EXPECTED_DRIFT = {
     # corpus_curation / extract_* entries came out per their own protocol.
     # (ann_ivf_pq_top5's round-8 rebuild onto pq_build/pq_search is not a
     # HEADLINE query — query_drift only tracks HEADLINE members.)
-    "multimodal_meta": "round 8: media schedule grew 7 → 9 variants"
-                       " (4:2:0 color + progressive JPEG); window still"
-                       " mixed — prune once all trailing runs are"
-                       " 9-variant",
+    "multimodal_meta": "round 8: media schedule grew 7 → 11 variants"
+                       " (4:2:0 color + progressive JPEG + WAV + MP4)"
+                       " and the slot gained sample_rate/duration_ms;"
+                       " window still mixed — prune once all trailing"
+                       " runs are 11-variant",
 }
 
 
