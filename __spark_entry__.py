@@ -1111,9 +1111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entropy included — so a hash-green row proves both pure-Python
         # codecs reproduced every pixel through every layout path,
         # including per-component Huffman selection, MCU interleave,
-        # chroma upsample and BT.601 conversion. Media byte length/digest
-        # aren't SQL-predictable (zlib/Huffman), so those two stay
-        # text-rows-only by construction.
+        # chroma upsample and BT.601 conversion. Digest (md5 of raw
+        # payload) is never SQL-predictable for media; byte length isn't
+        # either for zlib/Huffman media (PNG/JPEG) but IS for the
+        # fixed-layout av containers — hence keep_nbytes vs keep_digest
+        # masking different kind sets below.
         from pbx_ds_ocr_server_spark.operators.multimodal import (
             binary_pixel_metadata,
             with_synthetic_png_payloads,

@@ -141,7 +141,11 @@ def mp4_info(payload: bytes) -> dict:
                 brand = payload[body : body + 4].decode("latin-1")
             elif btype == b"moov" and depth == 0:
                 walk(body, i + size, 1)
-            elif btype == b"mvhd":
+            elif btype == b"mvhd" and depth == 1:
+                # mvhd is only valid INSIDE moov (ISO-BMFF 8.2.2); a
+                # top-level one is ignored like any unknown box, so a
+                # moov-less file still declines via the missing-moov
+                # check below instead of yielding confident metadata
                 version = payload[body]
                 if version == 0:
                     if size - (body - i) < 24:
@@ -201,6 +205,8 @@ def wav_encode(
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
     body += b"data" + struct.pack("<I", len(samples)) + samples
+    if len(samples) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned (odd sizes pad)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -209,8 +215,12 @@ def mp4_encode(
     brand: str = "isom",
 ) -> bytes:
     """Minimal ISO-BMFF file: ftyp + moov(mvhd v0) + mdat."""
-    ftyp = struct.pack(">I", 20) + b"ftyp" + brand.encode("latin-1") \
-        + struct.pack(">I", 0) + brand.encode("latin-1")
+    b = brand.encode("latin-1")
+    if len(b) != 4:
+        # the ftyp size field below is a constant 20 — a short brand
+        # would silently shift every subsequent box boundary
+        raise ValueError(f"brand must be exactly 4 bytes, got {brand!r}")
+    ftyp = struct.pack(">I", 20) + b"ftyp" + b + struct.pack(">I", 0) + b
     mvhd = (
         struct.pack(">I", 108) + b"mvhd" + bytes(4)  # version 0 + flags
         + bytes(8)  # creation/modification

@@ -24,6 +24,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from pbx_ds_ocr_server_spark.kernels.av_meta import mp4_info, wav_info
+
 META_SCHEMA = (
     "id bigint, n_bytes bigint, kind string, width int, height int,"
     " digest string"
@@ -282,10 +284,6 @@ def binary_pixel_metadata(
                             decode_ok=True,
                         )
                 elif kind == "wav":
-                    from pbx_ds_ocr_server_spark.kernels.av_meta import (
-                        wav_info,
-                    )
-
                     try:
                         ai = wav_info(p)
                     except ValueError:
@@ -297,10 +295,6 @@ def binary_pixel_metadata(
                             duration_ms=ai["duration_ms"],
                         )
                 elif kind == "mp4":
-                    from pbx_ds_ocr_server_spark.kernels.av_meta import (
-                        mp4_info,
-                    )
-
                     try:
                         mi = mp4_info(p)
                     except ValueError:

@@ -31,13 +31,26 @@ def test_wav_round_trip_and_closed_forms():
 
 
 def test_wav_odd_data_chunk_is_word_padded():
-    # 8-bit mono with an odd sample count: the data chunk carries a pad
-    # byte the walk must skip (RIFF chunks are word-aligned)
-    w = wav_encode(8000, 1, bytes(7), bits=8)
-    padded = w[:-7] + bytes(7) + b"\x00"
-    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
-    info = wav_info(padded)
+    # 8-bit mono with an odd sample count: the encoder must emit the RIFF
+    # word-alignment pad byte its own parser's walk skips (14th-review
+    # fix — the encoder previously failed its own round trip here)
+    info = wav_info(wav_encode(8000, 1, bytes(7), bits=8))
     assert info["n_samples"] == 7 and info["bits_per_sample"] == 8
+
+
+def test_mp4_mvhd_outside_moov_declines():
+    """14th-review fix: a top-level mvhd (invalid per ISO-BMFF 8.2.2)
+    must not yield confident metadata — the file still lacks moov."""
+    m = mp4_encode(600, 50, bytes(4))
+    moov_start = 20
+    mvhd_only = m[:20] + m[moov_start + 8 : moov_start + 116] + m[136:]
+    with pytest.raises(AvUnsupported, match="missing moov"):
+        mp4_info(mvhd_only)
+
+
+def test_mp4_encode_rejects_short_brand():
+    with pytest.raises(ValueError, match="4 bytes"):
+        mp4_encode(600, 50, b"", brand="iso")
 
 
 def test_wav_declines_typed():
