@@ -933,8 +933,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sides via the co-located qclf_sql mirror
     def quality_scores_q(spark, sf):
         from pbx_ds_ocr_server_spark.functions.text import quality_clf_score
+        from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
 
-        return _docs(spark, sf).select(
+        # fan out: single-row-group scan, and the hashed-bigram clf is
+        # per-row-heavy (md5 per bigram) — one core otherwise (round 9)
+        return ensure_min_partitions(
+            _docs(spark, sf).select("doc_id", "text")
+        ).select(
             "doc_id",
             quality_score("text").alias("quality"),
             quality_clf_score("text").alias("clf"),
@@ -958,9 +963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") % 256).cast("string"),
             F.lit(" now"),
         )
-        return _docs(spark, sf).select(
-            "doc_id", pii_scrub(injected).alias("scrubbed")
-        )
+        from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+        # fan out: two corpus-wide regexp_replace passes on a single-split
+        # scan would run on one core (round 9)
+        return ensure_min_partitions(
+            _docs(spark, sf).select("doc_id", "text")
+        ).select("doc_id", pii_scrub(injected).alias("scrubbed"))
 
     q["pii_scrub"] = pii_scrub_q
 
@@ -1085,7 +1094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_lsh_histogram(spark, sf):
         # impl='expr' for the same reason as embedding_neardup_pairs: the
-        # oracle gate needs the mirror's exact summation order
+        # oracle gate needs the mirror's exact summation order.
+        # deliberately NOT fanned out (round-9 measurement): single
+        # consumer, so there is no re-evaluation to save, and the 2k-row
+        # bucket fold on 1-2 cores beats an extra exchange + stage
         return (
             with_lsh_bucket(_emb(spark, sf), n_planes=8, dims=64, impl="expr")
             .groupBy("bucket")
@@ -1253,8 +1265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_topk(spark, sf):
         from pbx_ds_ocr_server_spark.operators.dedup import shingles
 
-        sh = _docs(spark, sf).select(
-            "doc_id", F.explode(shingles("text", 3)).alias("shingle")
+        from pbx_ds_ocr_server_spark.partitioning import ensure_min_partitions
+
+        from pbx_ds_ocr_server_spark.functions.text import words
+
+        # fan out before the corpus-wide shingle explode (single-split scan
+        # would run on one core), and bind the word array as an attribute
+        # so the shingle transform doesn't re-split per position (round 9)
+        sh = ensure_min_partitions(
+            _docs(spark, sf).select("doc_id", "text")
+        ).select("doc_id", words("text").alias("ws")).select(
+            "doc_id", F.explode(shingles(F.col("ws"), 3)).alias("shingle")
         )
         return (
             sh.groupBy("shingle")
@@ -1555,7 +1576,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup_exact,
         )
 
-        d = _docs_u(spark, sf).select("doc_id", "text")
+        from pbx_ds_ocr_server_spark.partitioning import (
+            ensure_min_partitions,
+        )
+
+        # fan the narrow frame out BEFORE scoring: the driver parquet is
+        # single-row-group, so without this the token/quality/lang scoring
+        # that materializes the cached gate frame runs on 1-2 of 32 cores
+        d = ensure_min_partitions(_docs_u(spark, sf).select("doc_id", "text"))
         filtered = (
             d.withColumn("n_tokens", token_count("text"))
             .withColumn("quality", quality_score("text"))
@@ -1577,20 +1605,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # thresholds sized to the synthetic corpus (10-99 words/doc, no
         # symbols, all-alpha): words/stopword/dup/bigram rules each cut a
         # real slice; the per-rule violator coverage lives in pytest
-        gophered = gopher_filter(
+        # checkpoint the survivor frontiers (round-9 profile): decontaminate
+        # scans its input twice (shingle side + anti-join left side) and
+        # dedup_exact twice more (fingerprint groupBy + semi join), so the
+        # lazily-composed chain re-derived the whole gopher pipeline ~4×
+        # (measured: dedup_exact's wall was 2× decon's, which was 2×
+        # gopher's). The frontiers are gate survivors — tiny relative to
+        # the corpus — and the checkpointed blocks are freed by the
+        # ContextCleaner when the returned plan is GC'd (own_result doc).
+        from pbx_ds_ocr_server_spark.operators.dedup import _materialize
+
+        gophered = _materialize(gopher_filter(
             filtered,
             min_words=25,
             min_stopword_hits=2,
             max_dup_word_frac=0.6,
             max_top_bigram_frac=0.18,
-        )
+        ))
         # deterministic stand-in eval set: every 37th source doc — its
         # survivors (and their injected dups) share all their 8-gram
         # shingles with the eval side, so decontamination provably fires
         eval_df = _docs(spark, sf).filter(F.col("doc_id") % 37 == 0).select(
             "text"
         )
-        decon = decontaminate(gophered, eval_df, ngram=8)
+        decon = _materialize(decontaminate(gophered, eval_df, ngram=8))
         from pbx_ds_ocr_server_spark.caching import own_result
 
         return own_result(

@@ -59,9 +59,16 @@ def minhash_signatures(
     games needed. Shingles (not single words) keep band collisions
     proportional to real content overlap even on small vocabularies.
     """
-    w = F.explode(shingles(text_col, ngram)).alias("w")
-    base = ensure_min_partitions(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        F.col("id"), w
+    # materialize the word array as a COLUMN before shingling: the
+    # transform lambda inside shingles() references its input per element,
+    # and an inlined words() subtree would re-run the regex normalize +
+    # split once per shingle position (O(words²) regex work per doc —
+    # measured 2-3× the whole signature wall at sf0.1; round 9). As an
+    # attribute reference it is evaluated once per row.
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", words(text_col).alias("ws")).select(
+        "id", F.explode(shingles(F.col("ws"), ngram)).alias("w")
     )
     aggs = [
         F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"s{i}")
@@ -209,7 +216,12 @@ def jaccard_pairs(
     narrow = ensure_min_partitions(
         df.select(F.col(id_col).alias("id"), F.col(text_col))
     )
-    base = narrow.select("id", shingles(text_col, n).alias("arr"))
+    # two-step projection (round 9): bind the word array as an attribute so
+    # the shingle transform doesn't re-run the regex split per shingle
+    # position (see minhash_signatures for the measured O(words²) trap)
+    base = narrow.select("id", words(text_col).alias("ws")).select(
+        "id", shingles(F.col("ws"), n).alias("arr")
+    )
     sh = base.select("id", F.explode("arr").alias("sh"))
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df)
@@ -276,75 +288,28 @@ def _candidate_pair_estimates(
     k: int,
     max_bucket_df: int | None = None,
 ) -> DataFrame:
-    """(a, b, est_jaccard) for LSH candidate pairs with the signature
-    columns CARRIED THROUGH the band self-join: the (expensive) signature
-    subtree is evaluated exactly twice — once per side of the one melted
-    self-join — instead of four times as with ``lsh_candidate_pairs`` +
-    ``_pair_estimates`` (pairs join + two per-side estimate joins). The
-    price is a wider shuffle row (2k extra hex columns); at the k=64
-    production point that is ~4 KB/row on a relation of |docs|×bands rows,
-    still far cheaper than re-running the shingle-explode aggregation
-    twice. Values are identical to the two-step form (same estimator,
-    same rounding)."""
+    """(a, b, est_jaccard) for LSH candidate pairs: slim banded self-join
+    for the candidates, then the per-side signature joins of
+    :func:`_pair_estimates`.
 
-    def melt(side: str, prefix: str) -> DataFrame:
-        return sig.select(
-            F.col("id").alias(side),
-            *[F.col(f"s{i}").alias(f"{prefix}{i}") for i in range(k)],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_id"),
-                            F.concat_ws(
-                                "|", *[F.col(c) for c in band]
-                            ).alias("key"),
-                        )
-                        for i, band in enumerate(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            side,
-            *[f"{prefix}{i}" for i in range(k)],
-            F.col("bk.band_id").alias("band_id"),
-            F.col("bk.key").alias("key"),
-        )
-
-    matches = sum(
-        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
-        for i in range(k)
-    )
-    la, rb = melt("a", "xa"), melt("b", "yb")
-    if max_bucket_df is not None:
-        # same exact-dup-megabucket guard as lsh_candidate_pairs; the slim
-        # count relation re-evaluates the signature subtree once more, so
-        # the "exactly twice" claim above holds only for the uncapped form
-        hot = (
-            sig.select(
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.concat_ws("|", *[F.col(c) for c in band])
-                            for band in bands
-                        ]
-                    )
-                ).alias("band_id", "key")
-            )
-            .groupBy("band_id", "key")
-            .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") > max_bucket_df)
-            .select("band_id", "key")
-        )
-        la = la.join(hot, ["band_id", "key"], "left_anti")
-        rb = rb.join(hot, ["band_id", "key"], "left_anti")
-    return (
-        la.join(rb, ["band_id", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
-        .select("a", "b", "est_jaccard")
-        .distinct()
-    )
+    Round-9 rewrite (the round-8 ×4-scale run measured the cost): the
+    previous form CARRIED all 2k signature hex columns through the band
+    self-join — ~4 KB/row over a |docs|×bands×2 relation at the k=64
+    production point, 57% of the whole estimate-tier wall at ×4 scale.
+    This form shuffles the band join at ~50 B/row (id, band_id, key) and
+    re-attaches signatures by joining the candidate pairs back to the
+    signature relation. The signature AGGREGATION's exchange
+    (hashpartitioning(id) under the groupBy) is planned identically in all
+    its consumers, so AQE reuses ONE materialization of the expensive
+    shingle-explode map side (ReusedExchange — pinned by
+    tests/test_plans.py::test_estimate_tier_reuses_signature_exchange);
+    only the cheap final-merge aggregation re-runs per consumer. The
+    per-side joins need no extra shuffle of the signature relation either:
+    its groupBy partitioning (id) already satisfies the join keys (a / b),
+    so only the (small) candidate-pair relation is re-shuffled. Values are
+    identical to the fused form (same estimator, same rounding)."""
+    cand = lsh_candidate_pairs(sig, bands=bands, max_bucket_df=max_bucket_df)
+    return _pair_estimates(sig, cand, k)
 
 
 def minhash_jaccard_estimate(
@@ -397,6 +362,12 @@ def paragraph_dedup(
     paras = base.select(
         "id", F.posexplode(F.expr(chunk_expr)).alias("pos", "para")
     ).withColumn("h", F.md5("para"))
+    # NOT pinned with repartition("h") (round-9 measurement): the hot set
+    # is tiny and AQE BROADCASTS the anti-join, so the paras relation never
+    # shuffles today — a pin would add a full-width shuffle (including the
+    # para strings) just to save one explode evaluation, measured ~0.5 s
+    # slower at sf0.1 (contrast exact_substr_spans, where the reused
+    # exchange is no wider than the aggregate's partial rows)
     hot = (
         paras.groupBy("h")
         .agg(F.countDistinct("id").alias("doc_freq"))
@@ -454,11 +425,14 @@ def contamination_report(
     tr = ensure_min_partitions(
         df.select(F.col(id_col), F.col(text_col))
     ).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, ngram)).alias("sh"),
+        F.col(id_col).alias("id"), words(text_col).alias("ws")
+    ).select(
+        "id",
+        F.explode(shingles(F.col("ws"), ngram)).alias("sh"),
     ).filter(F.col("sh") != "")
     ev = (
-        eval_df.select(F.explode(shingles(eval_text_col, ngram)).alias("sh"))
+        eval_df.select(words(eval_text_col).alias("ws"))
+        .select(F.explode(shingles(F.col("ws"), ngram)).alias("sh"))
         .filter(F.col("sh") != "")
         .distinct()
     )
@@ -516,8 +490,13 @@ def winnowing_fingerprints(
 
     df = ensure_min_partitions(
         df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        # bind the word array as an attribute first — an inlined words()
+        # subtree inside the transform lambda re-runs the regex split per
+        # window position (O(words²); see minhash_signatures, round 9)
+        F.col(id_col).alias("id"), words(text_col).alias("ws")
     )
-    w = words(text_col)
+    w = F.col("ws")
     ordered = F.when(
         F.size(w) >= ngram,
         F.transform(
@@ -526,7 +505,7 @@ def winnowing_fingerprints(
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
     sh = df.select(
-        F.col(id_col).alias("id"), F.posexplode(ordered).alias("i", "s")
+        "id", F.posexplode(ordered).alias("i", "s")
     ).withColumn("h", F.md5("s"))
     counts = W.partitionBy("id")
     win = W.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
@@ -611,6 +590,18 @@ def connected_min_label(
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint a SMALL intermediate that several downstream
+    branches re-scan (candidate pairs / estimate rows — O(near-dup docs),
+    never corpus-sized). Same durability rule as
+    :func:`connected_min_label`: reliable ``checkpoint()`` when the session
+    has a checkpoint dir, else ``localCheckpoint()`` (executor blocks,
+    freed by the ContextCleaner when the consuming plan is GC'd
+    driver-side — no unpersist contract needed)."""
+    sc = df.sparkSession.sparkContext
+    return df.checkpoint() if sc.getCheckpointDir() is not None else df.localCheckpoint()
+
+
 _REQUIRED = object()  # sentinel: dedup_near's cap must be an explicit choice
 
 
@@ -689,15 +680,22 @@ def dedup_near(
         lo, hi = estimate_band
         if not (0.0 <= lo <= hi <= 1.0):
             raise ValueError(f"estimate_band must satisfy 0 ≤ lo ≤ hi ≤ 1, got {estimate_band}")
-        # fused candidates+estimates: signatures ride the band self-join,
-        # so the signature subtree runs twice, not four times
-        est = _candidate_pair_estimates(sigs, bands, num_hashes)
+        # materialize the (small) estimate rows ONCE: accepted, the exact-
+        # tier cand, cand_ids (both union sides) and the verified semi-join
+        # all re-scan this frontier — without the checkpoint each consumer
+        # re-executes the band-join/estimate stages (the heavy exchanges
+        # below them are AQE-reused, but the join stages are not; round 9)
+        est = _materialize(
+            _candidate_pair_estimates(sigs, bands, num_hashes)
+        )
         accepted = est.filter(F.col("est_jaccard") >= hi).select("a", "b")
         cand = est.filter(
             (F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi)
         ).select("a", "b")
     else:
-        cand = lsh_candidate_pairs(sigs, bands=bands)
+        # same re-scan argument: cand feeds cand_ids (twice) + the
+        # verified semi-join
+        cand = _materialize(lsh_candidate_pairs(sigs, bands=bands))
     # verify candidates with exact jaccard (restricted via semi joins)
     cand_ids = cand.select(F.col("a").alias("id")).unionByName(
         cand.select(F.col("b").alias("id"))
@@ -875,8 +873,17 @@ def embedding_neardup_lsh(
     # lazy import: similarity.py imports cosine() from this module
     from pbx_ds_ocr_server_spark.operators.similarity import with_lsh_bucket
 
-    b = with_lsh_bucket(df, vec_col, n_planes, dims, impl=impl).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    # materialize the bucketed relation ONCE: three consumers re-scan it
+    # (probes, the id2 join side, va/vb) and the bucket computation —
+    # n_planes fold dot products per row on the expr path — would
+    # otherwise run per consumer (round 9). At corpus scale prefer
+    # impl='pandas' (matmul) and note the checkpoint holds (id, vec,
+    # bucket) in executor storage — the standard bucketed-frontier
+    # materialization.
+    b = _materialize(
+        with_lsh_bucket(df, vec_col, n_planes, dims, impl=impl).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+        )
     )
     probes = b.select(
         "id",
@@ -978,6 +985,12 @@ def exact_substr_spans(
         )
         .select("id", (F.col("p0") + 1).alias("s"), "h")
     )
+    # pin a hash exchange on the join/agg key: the dup-count aggregate and
+    # the probe side of the hits join then read ONE materialized evaluation
+    # of the k-shingle posexplode+md5 (ReusedExchange) instead of exploding
+    # the corpus twice — and the equi-join below needs
+    # hashpartitioning(h) anyway (same trick as jaccard_pairs; round 9)
+    pos = pos.repartition("h")
     dup = (
         pos.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))

@@ -60,6 +60,10 @@ PAGES_SCHEMA = (
     f" page_text string, spans array<{SPAN_STRUCT}>,"
     " title string, status string, error string"
 )
+DOCS_SCHEMA = (
+    f"url string, text string, spans array<{SPAN_STRUCT}>, n_pages int,"
+    " title string, content_type string, status string, error string"
+)
 
 # JobStatus analog (/root/reference/app/schemas.py:10-16) + rejection reasons
 ST_OK = "succeeded"
@@ -363,6 +367,60 @@ def keep_latest_snapshot(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
     )
 
 
+# doc-status tie-break among success tiers (see assemble_documents): the
+# BEST page wins; rejections/failures (rank -1) dominate. Shared by the JVM
+# aggregation and the fused Python assembly below — keep in sync.
+_STATUS_RANK = {ST_OK: 0, ST_PARTIAL: 1, ST_EMPTY: 2, ST_NOOP: 3}
+
+
+def _assemble_one(rows: list[dict], sep: str, sep_b: int) -> dict:
+    """Python mirror of :func:`assemble_documents` for the page rows of ONE
+    document (they are produced together by ``_extract_one``, so no shuffle
+    is needed to co-locate them). Must stay semantically identical to the
+    JVM aggregation — the extract_* driver queries hash-gate both paths:
+
+      * non-blank test = ``F.trim(page_text) != ''`` → strip(' ') (trim
+        removes only 0x20, not general whitespace)
+      * span offsets re-based by cumulative UTF-8 bytes of PRECEDING
+        non-blank pages (+ separator bytes each)
+      * text = non-blank pages joined by the separator in seq order
+      * title/content_type/error = max ignoring None (per doc these are
+        single-valued, so ordering quirks cannot surface)
+      * status = min by (rank, status)
+    """
+    rows.sort(key=lambda r: r["seq"])
+    parts: list[str] = []
+    spans: list[dict] = []
+    base_off = 0
+    for r in rows:
+        pt = r["page_text"]
+        if pt.strip(" ") == "":
+            continue
+        parts.append(pt)
+        for s in r["spans"]:
+            spans.append(
+                dict(s, start=s["start"] + base_off, end=s["end"] + base_off)
+            )
+        base_off += len(pt.encode("utf-8")) + sep_b
+    titles = [r["title"] for r in rows if r["title"] is not None]
+    errors = [r["error"] for r in rows if r["error"] is not None]
+    status = min(
+        ((_STATUS_RANK.get(r["status"], -1), r["status"]) for r in rows)
+    )[1]
+    return {
+        "url": rows[0]["url"],
+        "text": sep.join(parts),
+        "spans": spans,
+        "n_pages": max(r["n_pages"] for r in rows),
+        "title": max(titles) if titles else None,
+        "content_type": max(
+            r["content_type"] for r in rows
+        ),  # never None (detect_content_type is total)
+        "status": status,
+        "error": max(errors) if errors else None,
+    }
+
+
 def extract(
     df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salted: bool = False
 ) -> DataFrame:
@@ -372,5 +430,42 @@ def extract(
 
     Input must be UNIQUE on url (url ≙ the reference's task_id); for raw
     crawls with revisits, apply ``keep_latest_snapshot`` first — duplicate
-    urls would otherwise merge into one output row at assembly."""
-    return assemble_documents(extract_pages(df, cfg, salted=salted), cfg)
+    urls would otherwise merge into one output row at assembly.
+
+    FUSED single-pass since round 9: every page of a document is produced by
+    the same ``_extract_one`` call inside the same Arrow batch, so document
+    assembly needs no url shuffle at all — it runs in Python right after
+    extraction and only the finished document rows leave the pass. That
+    removes the one Exchange the pipeline had (the page rows — extracted
+    text + spans — no longer cross the wire; guide rule: when data is
+    already co-located, don't shuffle to "group" it). The composable
+    page-level API (``extract_pages`` → ``assemble_documents``) is unchanged
+    for callers that need page rows; byte-identity of the two assembly paths
+    is pinned by tests/test_extract_e2e.py::test_fused_extract_matches_page_assembly."""
+    src = df.select("url", "html")
+    if salted:
+        src = salt_partitions(src)
+    from pbx_ds_ocr_server_spark.kernels.pdf_fonts import (
+        cid_tables_snapshot,
+        restore_cid_tables,
+    )
+
+    cid_tables = cid_tables_snapshot()
+    sep = cfg.page_separator
+    sep_b = len(sep.encode("utf-8"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        restore_cid_tables(cid_tables)
+        cols = [
+            "url", "text", "spans", "n_pages", "title", "content_type",
+            "status", "error",
+        ]
+        for pdf_batch in batches:
+            out: list[dict] = []
+            for r in pdf_batch.itertuples():
+                out.append(
+                    _assemble_one(_extract_one(r.url, r.html, cfg), sep, sep_b)
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(run, schema=DOCS_SCHEMA)

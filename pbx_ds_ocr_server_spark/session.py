@@ -31,6 +31,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Allow shuffled-hash joins (round 9, guide §3.1/§9): the pipeline's
+        # self-joins key on hash buckets/shingles where per-partition build
+        # sides are bounded, so skipping the sort-merge sorts is a measured
+        # ~4% win on the heavy dedup slots locally and avoids O(n log n)
+        # sorts at scale. AQE may also rewrite SMJ→SHJ when every
+        # post-shuffle partition is under 128 MB (conservative vs per-task
+        # memory; AQE skew-split still applies first). Both are plain SQL
+        # confs — override via extra_conf for memory-tight deployments.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         # Pin UTC: parquet timestamps are TIMESTAMP_NTZ and the DuckDB
         # oracles use naive epoch()/date_trunc — on a non-UTC host,
         # unix_timestamp/F.window would otherwise interpret NTZ values in

@@ -69,6 +69,28 @@ def test_pdf_spans_have_page_indexes(result):
     assert any(len(idx) >= 2 for idx in indexes)
 
 
+def test_fused_extract_matches_page_assembly(spark, corpus):
+    """Round-9 optimization: extract() assembles documents inside the
+    extraction pass (zero shuffles). The composable page-level path
+    (extract_pages → assemble_documents) is the JVM reference
+    implementation of the same assembly spec — the two must be row- and
+    byte-identical across every corpus class (all statuses, multi-page
+    PDFs with span re-basing, blank-page skipping, rasters, rejects)."""
+    from pbx_ds_ocr_server_spark.operators.extract import assemble_documents
+
+    fused = extract(corpus)
+    paged = assemble_documents(extract_pages(corpus))
+    assert fused.columns == paged.columns
+    # same names and types; nullability differs by construction (mapInPandas
+    # schemas are always nullable, concat_ws is provably non-null) and is
+    # invisible to the driver's pandas comparison
+    assert [(f.name, f.dataType) for f in fused.schema] == [
+        (f.name, f.dataType) for f in paged.schema
+    ]
+    assert fused.exceptAll(paged).count() == 0
+    assert paged.exceptAll(fused).count() == 0
+
+
 def test_determinism_across_partitionings(spark, corpus):
     """Same input at two parallelism shapes → identical bytes (north rule)."""
     a = extract(corpus.repartition(3)).select("url", "text", "status")

@@ -30,8 +30,10 @@ def test_extract_pages_has_no_shuffle(parquet_corpus):
     assert count_exchanges(extract_pages(parquet_corpus)) == 0
 
 
-def test_extract_has_exactly_one_shuffle(parquet_corpus):
-    assert count_exchanges(extract(parquet_corpus)) == 1
+def test_extract_has_no_shuffle(parquet_corpus):
+    # round-9 fused assembly: pages of a doc are born co-located inside the
+    # extraction pass, so the whole pipeline needs zero exchanges
+    assert count_exchanges(extract(parquet_corpus)) == 0
 
 
 def test_scan_prunes_to_url_and_html(parquet_corpus):
@@ -42,7 +44,13 @@ def test_scan_prunes_to_url_and_html(parquet_corpus):
 
 
 def test_assembly_agg_is_partial_final(parquet_corpus):
-    plan = extract(parquet_corpus)._jdf.queryExecution().executedPlan().toString()
+    # the composable page-level path (extract_pages → assemble_documents)
+    # keeps its one url shuffle with map-side combine
+    from pbx_ds_ocr_server_spark.operators.extract import assemble_documents
+
+    df = assemble_documents(extract_pages(parquet_corpus))
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_collect_list" in plan  # map-side combine present
 
 
@@ -52,7 +60,7 @@ def test_filter_pushdown_reaches_scan(parquet_corpus):
 
 
 def test_salted_variant_adds_exactly_one_exchange(parquet_corpus):
-    assert count_exchanges(extract(parquet_corpus, salted=True)) == 2
+    assert count_exchanges(extract(parquet_corpus, salted=True)) == 1
 
 
 def test_jaccard_reuses_shingle_exchange(spark):
@@ -66,6 +74,26 @@ def test_jaccard_reuses_shingle_exchange(spark):
     df.collect()  # reuse is an AQE stage-materialization decision
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Reused" in plan  # ReusedExchange / reused shuffle query stage
+    assert "CartesianProduct" not in plan
+
+
+def test_estimate_tier_reuses_signature_exchange(spark):
+    """Round-9: the estimate tier joins candidate pairs back to the
+    signature relation instead of carrying 2k hex columns through the band
+    self-join. That is only a win if the signature aggregation's exchange
+    is materialized ONCE and reused by the band-join sides and both
+    per-side estimate joins — pin the ReusedExchange so a plan regression
+    (e.g. diverging column pruning) cannot silently re-run the expensive
+    shingle-explode map side per consumer."""
+    from pbx_ds_ocr_server_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = minhash_jaccard_estimate(docs.select("doc_id", "text"))
+    df.collect()  # reuse is an AQE stage-materialization decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Reused" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -170,17 +198,19 @@ def test_contamination_report_broadcasts_eval_shingles(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_fused_estimate_plan_has_single_self_join(spark):
-    """_candidate_pair_estimates exists to halve evaluations of the
-    signature subtree: its plan must contain exactly ONE join (the band
-    self-join) — the two-step form's plan carries three. A regression
-    back to per-side estimate joins would re-run the shingle aggregation
-    twice more."""
+def test_estimate_band_join_carries_no_signature_columns(spark):
+    """Round-9 rewrite of the estimate tier: the band self-join must
+    shuffle only (id, band_id, key) — the round-8 ×4-scale run measured
+    57% of the estimate-tier wall in the 2k hex signature columns the old
+    fused form carried through this join. Signatures are re-attached via
+    the per-side joins of _pair_estimates instead (whose input reuses the
+    signature aggregation's exchange — see
+    test_estimate_tier_reuses_signature_exchange). A regression back to
+    the wide melt would reintroduce the xa*/yb* aliases below the band
+    join."""
     from pbx_ds_ocr_server_spark.operators.dedup import (
         _candidate_pair_estimates,
-        _pair_estimates,
         banding,
-        lsh_candidate_pairs,
         minhash_signatures,
     )
 
@@ -188,21 +218,23 @@ def test_fused_estimate_plan_has_single_self_join(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).select("doc_id", "text")
     sigs = minhash_signatures(docs)
-    fused_plan = _candidate_pair_estimates(
+    plan = _candidate_pair_estimates(
         sigs, banding(4, 2), 4
-    )._jdf.queryExecution().executedPlan().toString()
-    two_step_plan = _pair_estimates(
-        sigs, lsh_candidate_pairs(sigs, banding(4, 2)), 4
     )._jdf.queryExecution().executedPlan().toString()
     import re
 
-    def n_joins(plan):
-        # every physical join operator name contains 'Join' exactly once
-        return len(re.findall(r"Join", plan))
-
-    assert n_joins(fused_plan) < n_joins(two_step_plan)
-    # the melted self-join is the only join in the fused plan
-    assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", fused_plan)) == 1
+    # two-step shape: slim band self-join + the two per-side estimate
+    # joins = exactly 3 equi-joins (the wide-melt form had 1); and the
+    # signature aliases (xa*/yb*) may appear only in the estimate joins
+    # ABOVE the band join, never interleaved with the band-key explode —
+    # i.e. no Generate (explode) node outputs a signature alias
+    joins = re.findall(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan
+    )
+    assert len(joins) == 3, plan
+    for m in re.finditer(r"Generate .*", plan):
+        assert "xa0" not in m.group(0) and "yb0" not in m.group(0)
+    assert "CartesianProduct" not in plan
 
 
 def test_hash_sample_mix_stays_shuffle_free(spark):
