@@ -158,11 +158,13 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
         tmp = f"{path}.{attempt}.tmp"
         wrote = False
         renamed = False
+        opened = False
         f = None
         try:
             for r in it:
                 if f is None:
                     f = open(tmp, "wb")
+                    opened = True
                 f.write(
                     warc_record_bytes(
                         {
@@ -188,10 +190,13 @@ def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
             # attempt-suffixed tmp names mean a retry never overwrites a
             # failed attempt's leftover — without this unlink, every failed
             # or losing-speculative attempt would permanently litter
-            # out_dir (twelfth-review fix). Best-effort: a tmp on a dying
-            # node is unreachable anyway; the committed `path` is what
-            # readers see.
-            if wrote and not renamed:
+            # out_dir (twelfth-review fix). Gate on the file having been
+            # CREATED, not on `wrote`: if warc_record_bytes or the first
+            # write raises right after open(tmp), the empty orphan must
+            # still be removed (round-9 advice fix). Best-effort: a tmp on
+            # a dying node is unreachable anyway; the committed `path` is
+            # what readers see.
+            if opened and not renamed:
                 try:
                     os.remove(tmp)
                 except OSError:
