@@ -1452,10 +1452,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         d = _docs(spark, sf).select("doc_id", "text")
-        cont = sequence_pack(d, budget=512, n_buckets=16)
-        bf = sequence_pack_greedy(d, budget=512, n_buckets=16).select(
-            "doc_id", F.col("pack_id").alias("pack_id_bf")
+        # share ONE tokenization between the two packers (round 9): the
+        # (id, bucket, n_tokens) frame is tiny, and without the shared
+        # checkpointed base each packer re-ran the regex token counting
+        from pbx_ds_ocr_server_spark.functions.text import (
+            _bucketed_token_frame,
         )
+        from pbx_ds_ocr_server_spark.operators.dedup import _materialize
+
+        base = _materialize(
+            _bucketed_token_frame(d, "doc_id", "text", 16)
+        )
+        cont = sequence_pack(d, budget=512, n_buckets=16, _base=base)
+        bf = sequence_pack_greedy(
+            d, budget=512, n_buckets=16, _base=base
+        ).select("doc_id", F.col("pack_id").alias("pack_id_bf"))
         return cont.join(bf, "doc_id")
 
     q["sequence_pack"] = sequence_pack_q

@@ -712,7 +712,8 @@ def chunk_documents(df, id_col: str = "doc_id", text_col: str = "text",
 
 
 def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
-                  id_col: str = "doc_id", text_col: str = "text"):
+                  id_col: str = "doc_id", text_col: str = "text",
+                  _base=None):
     """Assign documents to fixed-token-budget training sequences ("packs"):
     (id, bucket, pack_id, n_tokens) where all docs sharing (bucket,
     pack_id) concatenate into one ~``budget``-token sequence.
@@ -729,10 +730,15 @@ def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
 
     Deterministic and engine-mirrorable: bucket = md5 prefix (the same
     order statistic hash_sample uses), pack_id = floor(preceding-tokens /
-    budget) over the (bucket, id) order."""
+    budget) over the (bucket, id) order.
+
+    ``_base``: a pre-computed :func:`_bucketed_token_frame` (same id/text
+    cols and n_buckets) — callers running BOTH packers over one input
+    pass it so the tokenization happens once (round 9)."""
     from pyspark.sql import Window
 
-    base = _bucketed_token_frame(df, id_col, text_col, n_buckets)
+    base = (_base if _base is not None
+            else _bucketed_token_frame(df, id_col, text_col, n_buckets))
     w = (
         Window.partitionBy("bucket")
         .orderBy("id")
@@ -747,7 +753,8 @@ def sequence_pack(df, budget: int = 2048, n_buckets: int = 256,
 
 
 def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
-                         id_col: str = "doc_id", text_col: str = "text"):
+                         id_col: str = "doc_id", text_col: str = "text",
+                         _base=None):
     """Greedy Best-Fit-Decreasing pack assignment — the tighter cousin of
     :func:`sequence_pack`: docs are sorted by (n_tokens desc, id) inside
     each bucket and each goes into the open pack with the LEAST remaining
@@ -774,7 +781,8 @@ def sequence_pack_greedy(df, budget: int = 512, n_buckets: int = 64,
     identical to sequence_pack: (id, bucket, pack_id, n_tokens)."""
     import bisect
 
-    base = _bucketed_token_frame(df, id_col, text_col, n_buckets)
+    base = (_base if _base is not None
+            else _bucketed_token_frame(df, id_col, text_col, n_buckets))
     id_type = base.schema["id"].dataType.simpleString()
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -985,12 +985,14 @@ def exact_substr_spans(
         )
         .select("id", (F.col("p0") + 1).alias("s"), "h")
     )
-    # pin a hash exchange on the join/agg key: the dup-count aggregate and
-    # the probe side of the hits join then read ONE materialized evaluation
-    # of the k-shingle posexplode+md5 (ReusedExchange) instead of exploding
-    # the corpus twice — and the equi-join below needs
-    # hashpartitioning(h) anyway (same trick as jaccard_pairs; round 9)
-    pos = pos.repartition("h")
+    # NOT pinned with repartition("h") (round-9 interleaved A/B): when the
+    # dup-hash set fits a broadcast (AQE decides), the hits join never
+    # shuffles `pos` at all and the pin would force a full (id, s, h)
+    # shuffle just to save one posexplode+md5 evaluation — measured 0.7 s
+    # slower at sf0.1. When dup outgrows broadcast, the join plans its own
+    # hash exchange anyway, so the unpinned form stays scale-safe (two
+    # bounded map-side evaluations, shuffles only where the join needs
+    # them); contrast jaccard_pairs, whose FOUR consumers justify its pin.
     dup = (
         pos.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
