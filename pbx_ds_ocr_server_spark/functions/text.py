@@ -179,53 +179,74 @@ def lang_id_table(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _sorted_bigrams(ws: Column) -> Column:
+    """Sorted bigram array of a word-array COLUMN (docs with <2 words fall
+    back to the word array itself, mirroring the explode form's
+    ``otherwise`` branch). Callers must pass a bound attribute, not an
+    inlined words() tree (round-9 ws-binding rule)."""
+    return F.array_sort(
+        F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+            ),
+        ).otherwise(ws)
+    )
+
+
+# Count of the most frequent element of the (pre-sorted, pre-bound) `sbg`
+# array = longest run of equal adjacent elements. O(n log n) per row in
+# the sort, one fold pass here — replaces the round-2..8 explode + two
+# hash aggregates + join, whose per-(id,bigram) partial rows were a
+# |corpus words|-sized shuffle (round-9 measurement: 1.66 s → 0.29 s for
+# the top-bigram sub-pipeline at sf0.1, values bit-identical).
+#
+# The fold runs over the ARRAY ITSELF, carrying the previous element in
+# the accumulator, so `sbg` is referenced exactly ONCE. That is load-
+# bearing: filter pushdown substitutes column aliases into predicates
+# with no cheapness check, so a form indexing sbg[i]/sbg[i-1] per
+# iteration would inline the whole array_sort(transform(...)) tree at
+# every reference — re-sorting per element, O(n² log n) per doc
+# (measured +3.3 s on corpus_curation, whose gopher gate filters on the
+# conjunction containing this expression).
+# Elements are never NULL (concat_ws output), so `x = acc.prev` is false
+# on the first element (NULL prev) and exact afterwards; a single-element
+# array yields 1 like the explode form; a NULL array propagates NULL.
+_MAX_RUN_SQL = (
+    "aggregate(sbg,"
+    " struct(cast(null as string) as prev, 0 as run, 0 as best),"
+    " (acc, x) -> struct(x as prev,"
+    "   IF(x = acc.prev, acc.run + 1, 1) as run,"
+    "   greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1)) as best),"
+    " acc -> acc.best)"
+)
+
+
 def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style repetition signals per document:
     ``dup_word_frac`` = 1 − |distinct words| / |words|, and
     ``top_bigram_frac`` = words covered by the most frequent bigram / |words|.
-    High values flag boilerplate/spam for training-data filtering."""
+    High values flag boilerplate/spam for training-data filtering.
+
+    One shuffle-free projection since round 9: the most-frequent-bigram
+    count is the longest equal-run of the SORTED in-row bigram array
+    (identical values to the former explode + count + max join — equal
+    elements are adjacent under any total order). A NULL-text doc gets
+    honest NULL metrics via the n_words guard, exactly as before."""
     base = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), words(text_col).alias("ws")
-    )
-    stats = base.select(
-        "id",
-        F.size("ws").alias("n_words"),
-        F.size(F.array_distinct("ws")).alias("n_distinct"),
-    )
-    bigrams = base.select(
-        "id",
-        F.explode_outer(
-            F.when(
-                F.size("ws") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2)),
-                ),
-            ).otherwise(F.col("ws")),
-        ).alias("bg"),
-    )
-    top = (
-        bigrams.groupBy("id", "bg")
-        .count()
-        .groupBy("id")
-        .agg(F.max("count").alias("top_bg"))
-    )
-    # left join + n_words guard: a NULL-text doc (size(NULL) = -1) gets
-    # honest NULL metrics instead of being dropped by the inner join
-    # (gopher_flags previously worked around the drop with its own left
-    # join; direct callers silently lost the doc)
-    valid = F.col("n_words") > 0
-    return (
-        stats.join(top, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.when(
-                valid, F.round(1 - F.col("n_distinct") / F.col("n_words"), 6)
-            ).alias("dup_word_frac"),
-            F.when(
-                valid, F.round(2 * F.col("top_bg") / F.col("n_words"), 6)
-            ).alias("top_bigram_frac"),
-        )
+    ).withColumn("sbg", _sorted_bigrams(F.col("ws")))
+    n = F.size("ws")
+    valid = n > 0
+    return base.select(
+        F.col("id").alias(id_col),
+        F.when(
+            valid, F.round(1 - F.size(F.array_distinct("ws")) / n, 6)
+        ).alias("dup_word_frac"),
+        F.when(
+            valid, F.round(2 * F.expr(_MAX_RUN_SQL) / n, 6)
+        ).alias("top_bigram_frac"),
     )
 
 
@@ -336,11 +357,12 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
     plus the conjunction: (id, word count / mean-word-length / symbol /
     alpha-word / stopword / repetition rule booleans, keep).
 
-    The scalar rules are JVM column expressions over one projected
-    normalized-text column; ``top_bigram_frac`` joins in from
-    :func:`repetition_metrics` (explode + hash aggs — an in-row bigram
-    count is quadratic per document), LEFT join so NULL-text/NULL-id rows
-    stay visible in the audit (they fail ok_words with every flag
+    ONE shuffle-free projection (round 9): every rule, including
+    ``top_bigram_frac``, is an in-row column expression —
+    the most-frequent-bigram count is the longest equal-run of the sorted
+    in-row bigram array (O(n log n) per doc; identical values to the
+    former explode + hash aggs + LEFT join, and NULL-text/NULL-id rows
+    stay visible exactly as before: they fail ok_words with every flag
     non-null). The repetition pair is the word-fraction variant of the
     paper's character fractions, so its default thresholds are looser:
     ordinary English already repeats ~40-55% of its words (stopwords),
@@ -355,14 +377,16 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
         # all-rules-fail row, not a NULL-propagated vanishing one
         F.coalesce(norm_text(text_col), F.lit("")).alias("nt"),
         # the repetition tokenization (words(text): NULL stays NULL) is
-        # carried alongside so the bigram aggregate below reads the SAME
-        # fan-out exchange instead of re-scanning and re-tokenizing the
-        # source through a second repetition_metrics call whose
-        # n_words/n_distinct stats were computed and thrown away
-        # (eleventh-review fix; values are identical — same formula,
-        # same word arrays)
+        # kept separate from ws on purpose — same formula and word arrays
+        # as repetition_metrics (eleventh-review fix)
         words(text_col).alias("rws"),
     ).select("id", "nt", F.split("nt", " ").alias("ws"), "rws")
+    # sorted bigram array bound as a COLUMN (round 9): the top-bigram rule
+    # is now the in-row longest-equal-run fold (_MAX_RUN_SQL) instead of
+    # an explode + two aggregates + join — identical values (see
+    # repetition_metrics), no |corpus words| shuffle, and gopher_flags
+    # becomes a single shuffle-free projection
+    base = base.withColumn("sbg", _sorted_bigrams(F.col("rws")))
     nonempty = F.filter(F.col("ws"), lambda x: x != "")
     n_real = F.size(nonempty)
     mean_len = F.when(
@@ -378,31 +402,9 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
         F.filter(nonempty, lambda x: x.rlike("[A-Za-z]"))
     )
     stop_hits = _stop_hits(nonempty, stopword_lang)
-    bigrams = base.select(
-        "id",
-        F.size("rws").alias("nw"),
-        F.explode_outer(
-            F.when(
-                F.size("rws") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("rws") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("rws", i + 1, 2)),
-                ),
-            ).otherwise(F.col("rws")),
-        ).alias("bg"),
-    )
-    rep = (
-        bigrams.groupBy("id", "nw", "bg")
-        .count()
-        .groupBy("id", "nw")
-        .agg(F.max("count").alias("top_bg"))
-        .select(
-            "id",
-            F.when(
-                F.col("nw") > 0,
-                F.round(2 * F.col("top_bg") / F.col("nw"), 6),
-            ).alias("top_bigram_frac"),
-        )
+    nw = F.size("rws")
+    top_bigram_frac = F.when(
+        nw > 0, F.round(2 * F.expr(_MAX_RUN_SQL) / nw, 6)
     )
     dup_frac = F.when(
         n_real > 0,
@@ -423,18 +425,8 @@ def gopher_flags(df, id_col: str = "doc_id", text_col: str = "text",
         ).otherwise(F.lit(False)).alias("ok_alpha_words"),
         (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
         (dup_frac <= max_dup_word_frac).alias("ok_dup_words"),
-    ).join(rep, "id", "left")
-    flags = flags.select(
-        "id",
-        "ok_words",
-        "ok_mean_word_len",
-        "ok_symbols",
-        "ok_alpha_words",
-        "ok_stopwords",
-        "ok_dup_words",
         (
-            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
-            <= max_top_bigram_frac
+            F.coalesce(top_bigram_frac, F.lit(0.0)) <= max_top_bigram_frac
         ).alias("ok_top_bigram"),
     )
     rule_cols = [c for c in flags.columns if c.startswith("ok_")]

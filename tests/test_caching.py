@@ -48,11 +48,15 @@ def test_slot_repeat_invocation_does_not_leak_cache(spark, name):
         del res
         counts.append(_n_persistent(spark))
     # intermediates are unpersisted inside the call, so the persistent set
-    # can only hold result checkpoints awaiting GC — which the NEXT call's
-    # ContextCleaner sweep may or may not have collected yet. The leak
-    # signature is strict monotone growth by ≥2/call (intermediate +
-    # checkpoint); ownership keeps growth ≤1/call.
-    assert counts[2] - counts[0] <= 2, counts
+    # can only hold GC-owned checkpoints awaiting the ContextCleaner —
+    # which the NEXT call's sweep may or may not have collected yet. Since
+    # round 9 corpus_curation owns up to THREE checkpoints per call (the
+    # gopher/decon frontier checkpoints + the own_result checkpoint), so
+    # worst-case transient growth is 3/call; a REAL leak (an intermediate
+    # cache that is never unpersisted) adds a 4th per call and trips the
+    # bound. exactsubstr_chunks still owns 1/call.
+    limit = 6 if name == "corpus_curation" else 2
+    assert counts[2] - counts[0] <= limit, counts
 
 
 def test_ivf_pq_topk_repeat_invocation_does_not_leak_cache(spark):
